@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()[name](spark, sf_dir)`` and ``oracle_sql()[name]`` are the
+per-operator correctness pairs the driver hash-compares at sf0.01
+(row count + schema + order-insensitive value hash).
+
+Determinism conventions shared by every pair (SURVEY.md §7):
+  * top-k / rank always carries a unique tiebreaker;
+  * double sums aggregate via DECIMAL(18,6) (exact, order-independent),
+    with one final cast back to DOUBLE in both engines;
+  * count()/sum(bigint) cast to BIGINT in DuckDB (avoids HUGEINT);
+  * row_number cast to INTEGER in DuckDB (matches Spark IntegerType);
+  * window_time = window END (Query.cs:50,164); windows epoch-aligned in
+    both engines (Spark ``window()`` and DuckDB ``time_bucket``).
 """
 
 from __future__ import annotations
@@ -13,26 +21,140 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tweetaggregates_spark.plans import events as ev
+
+SF0001 = "/root/testdata/sf0.001"
+
+# DuckDB fragment: explode each event into the 10 hopping windows
+# (10 min size / 1 min hop) covering it; window_time = window end.
+_HOP = """
+  SELECT e.*, date_trunc('minute', e.ts) - (g.k * INTERVAL '1 minute')
+              + INTERVAL '10 minutes' AS window_time
+  FROM events e CROSS JOIN (SELECT unnest(range(10)) AS k) g
+"""
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per 10-min/1-min hopping window, top-10 user_ids by
+    sum(value) with counts (SURVEY §7 M0)."""
+    return ev.top_users_hopping(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tumbling_counts": ev.tumbling_counts,
+        "hopping_counts": ev.hopping_counts,
+        "top_users_hopping": ev.top_users_hopping,
+        "top_event_types_tumbling": ev.top_event_types_tumbling,
+        "top_users_with_examples": ev.top_users_with_examples,
+        "events_summary": ev.events_summary,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tumbling_counts": """
+            SELECT time_bucket(INTERVAL '10 minutes', ts)
+                     + INTERVAL '10 minutes' AS window_time,
+                   count(*) AS cnt
+            FROM events GROUP BY 1
+        """,
+        "hopping_counts": f"""
+            WITH hop AS ({_HOP})
+            SELECT window_time, count(*) AS cnt FROM hop GROUP BY 1
+        """,
+        "top_users_hopping": f"""
+            WITH hop AS ({_HOP}),
+            s1 AS (
+              SELECT window_time, user_id AS entity,
+                     count(*) AS tweet_count,
+                     sum(CAST(value AS DECIMAL(18,6))) AS vs
+              FROM hop GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY window_time
+                       ORDER BY vs DESC, entity ASC) AS rnk
+              FROM s1
+            )
+            SELECT window_time, entity, tweet_count,
+                   CAST(vs AS DOUBLE) AS follower_count_sum,
+                   CAST(rnk AS INTEGER) AS rank
+            FROM r WHERE rnk <= 10
+        """,
+        "top_event_types_tumbling": """
+            WITH s1 AS (
+              SELECT time_bucket(INTERVAL '10 minutes', ts)
+                       + INTERVAL '10 minutes' AS window_time,
+                     event_type AS entity,
+                     count(*) AS tweet_count,
+                     sum(CAST(value AS DECIMAL(18,6))) AS vs
+              FROM events GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY window_time
+                       ORDER BY vs DESC, entity ASC) AS rnk
+              FROM s1
+            )
+            SELECT window_time, entity, tweet_count,
+                   CAST(vs AS DOUBLE) AS follower_count_sum,
+                   CAST(rnk AS INTEGER) AS rank
+            FROM r WHERE rnk <= 5
+        """,
+        "top_users_with_examples": f"""
+            WITH hop AS ({_HOP}),
+            s1 AS (
+              SELECT window_time, user_id AS entity,
+                     sum(CAST(value AS DECIMAL(18,6))) AS vs
+              FROM hop GROUP BY 1, 2
+            ),
+            top AS (
+              SELECT window_time, entity,
+                     CAST(row_number() OVER (
+                       PARTITION BY window_time
+                       ORDER BY vs DESC, entity ASC) AS INTEGER) AS rank
+              FROM s1 QUALIFY rank <= 10
+            ),
+            -- per (window, user): rank examples by value desc, event_id desc
+            ex AS (
+              SELECT window_time, user_id AS entity, event_id, event_type,
+                     CAST(value AS DECIMAL(18,6)) AS w,
+                     row_number() OVER (
+                       PARTITION BY window_time, user_id
+                       ORDER BY CAST(value AS DECIMAL(18,6)) DESC,
+                                event_id DESC) AS ex_rnk
+              FROM hop QUALIFY ex_rnk <= 3
+            ),
+            -- D3 dedupe: within the k examples keep first per event_type
+            dd AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY window_time, entity, event_type
+                       ORDER BY ex_rnk ASC) AS dd_rnk
+              FROM ex QUALIFY dd_rnk = 1
+            ),
+            renum AS (
+              SELECT window_time, entity, event_id, w,
+                     CAST(row_number() OVER (
+                       PARTITION BY window_time, entity
+                       ORDER BY ex_rnk ASC) AS INTEGER) AS example_rank
+              FROM dd
+            )
+            SELECT t.window_time, t.entity, t.rank, r.example_rank,
+                   r.event_id, CAST(r.w AS DOUBLE) AS example_value
+            FROM top t JOIN renum r
+              ON t.window_time = r.window_time AND t.entity = r.entity
+        """,
+        "events_summary": """
+            WITH counts AS (
+              SELECT time_bucket(INTERVAL '10 minutes', ts)
+                       + INTERVAL '10 minutes' AS window_time,
+                     count(*) AS cnt
+              FROM events GROUP BY 1
+            )
+            SELECT min(window_time) AS min_date, max(window_time) AS max_date,
+                   count(*) AS window_count,
+                   CAST(sum(cnt) AS BIGINT) AS number_of_tweets
+            FROM counts
+        """,
+    }

@@ -1,0 +1,96 @@
+"""Windowed grouped aggregation (SURVEY.md §2.5 A1-A8).
+
+The reference fuses count + sum + top-k-examples into one Trill
+``GroupAggregate`` pass per (window x entity) (Query.cs:61-66, 94-99,
+125-131); here the same fusion is a single ``agg()`` — Spark plans one
+partial (map-side) + one final HashAggregate, so the shuffle carries
+pre-combined per-entity state, not raw events. At 100 TB that partial
+aggregation is the difference between shuffling ~#events rows and
+~#distinct (window, entity) rows.
+
+Two-stage shape: stage 1 = per-entity aggregate (this module), stage 2 =
+cross-entity top-k per window (operators.topk.rank_topk). Stage 2's input
+cardinality is #entities-per-window — tiny vs input — so its shuffle is
+negligible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tweetaggregates_spark.operators.topk import rank_topk, topk_payloads
+from tweetaggregates_spark.operators.window import hopping
+
+NUMBER_OF_EXAMPLES = 10  # Query.cs:16
+NUMBER_OF_AGGREGATES_PER_WINDOW = 10  # Query.cs:17
+
+
+def entity_window_agg(
+    df: DataFrame,
+    entity_col: str,
+    weight_col: str,
+    payload_cols: Sequence[Column] | None = None,
+    ts_col: str = "ts",
+    size: str = "10 minutes",
+    slide: str = "1 minute",
+    k_examples: int = NUMBER_OF_EXAMPLES,
+) -> DataFrame:
+    """A2/A3 stage 1: per (hopping window x entity): tweet_count,
+    weight sum, and (optionally) the k max-weight example payloads —
+    one fused hash-agg pass (Query.cs:61-66).
+
+    Output: window (struct), entity, tweet_count, follower_count_sum
+    [, top_payloads].
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("tweet_count"),
+        F.sum(weight_col).alias("follower_count_sum"),
+    ]
+    if payload_cols is not None:
+        aggs.append(
+            topk_payloads(weight_col, payload_cols, k_examples).alias("top_payloads")
+        )
+    return df.groupBy(
+        hopping(ts_col, size, slide).alias("window"),
+        F.col(entity_col).alias("entity"),
+    ).agg(*aggs)
+
+
+def top_entities_per_window(
+    stage1: DataFrame,
+    k: int = NUMBER_OF_AGGREGATES_PER_WINDOW,
+    tiebreak: str = "entity",
+) -> DataFrame:
+    """A6/W5 stage 2 (GetTopItems, Query.cs:152-168): among all entities
+    of one window emission keep the top-k by weight sum; stamp the window
+    END as window_time (Query.cs:160-166). Deterministic tiebreak on the
+    entity key (reference heap order is arbitrary — SURVEY §7)."""
+    ranked = rank_topk(
+        stage1,
+        ["window"],
+        "follower_count_sum",
+        [tiebreak],
+        k,
+        rank_name="rank",
+        keep_rank=True,
+    )
+    return ranked.select(
+        F.col("window.end").alias("window_time"),
+        *[c for c in ranked.columns if c != "window"],
+    )
+
+
+def db_summary(
+    counts: DataFrame, time_col: str = "window_time", count_col: str = "count"
+) -> DataFrame:
+    """A8 (DbSummary, RocksDBStore.DbSummary.cs:19-30): whole-store fold
+    over the counts family."""
+    return counts.agg(
+        F.min(time_col).alias("min_date"),
+        F.max(time_col).alias("max_date"),
+        F.count(F.lit(1)).alias("window_count"),
+        F.sum(count_col).alias("number_of_tweets"),
+    )

@@ -1,0 +1,71 @@
+"""Event-time windowing (SURVEY.md §2.4 W1-W7).
+
+Reference constants (Query.cs:12-17): 10-min window, 1-min hop, 5-s
+disorder tolerance, top-10 x 10.
+
+Windows are epoch-aligned (both Spark ``window()`` and the DuckDB oracle
+``time_bucket``), and results are stamped with the window END, matching
+the reference (Query.cs:50,164: ``WindowTime = e.EndTime``).
+
+Late data: Spark watermarks DROP rows later than the tolerance while
+Trill ``DisorderPolicy.Adjust`` CLAMPS their timestamp forward
+(Query.cs:29). We take drop semantics as the documented default (SURVEY
+§7); ``clamp_late`` provides the Trill-compatible alternative for use
+inside foreachBatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WINDOW_SIZE = "10 minutes"
+HOP_SIZE = "1 minute"
+DISORDER_TOLERANCE = "5 seconds"
+
+
+def tumbling(ts_col: str | Column, size: str = WINDOW_SIZE) -> Column:
+    """W3/W5/W6: tumbling window struct (start, end)."""
+    return F.window(ts_col, size)
+
+
+def hopping(
+    ts_col: str | Column, size: str = WINDOW_SIZE, slide: str = HOP_SIZE
+) -> Column:
+    """W4: hopping window — each event lands in size/slide windows."""
+    return F.window(ts_col, size, slide)
+
+
+def windowed_count(
+    df: DataFrame,
+    ts_col: str = "ts",
+    size: str = WINDOW_SIZE,
+    slide: str | None = None,
+    count_name: str = "cnt",
+) -> DataFrame:
+    """A1: count per (tumbling|hopping) window, stamped with window end
+    (TumblingCounts Query.cs:45-50 / HoppingCounts Query.cs:142-146).
+    """
+    win = hopping(ts_col, size, slide) if slide else tumbling(ts_col, size)
+    return (
+        df.groupBy(win.alias("window"))
+        .agg(F.count(F.lit(1)).alias(count_name))
+        .select(F.col("window.end").alias("window_time"), count_name)
+    )
+
+
+def clamp_late(df: DataFrame, ts_col: str, tolerance: str = DISORDER_TOLERANCE) -> DataFrame:
+    """Trill ``DisorderPolicy.Adjust`` emulation (Query.cs:29): clamp any
+    timestamp older than (max seen - tolerance) forward to that bound.
+    Batch-only (uses a global max); for streaming use inside foreachBatch.
+    """
+    bound = F.max(F.col(ts_col)).over(_all_rows()) - F.expr(f"INTERVAL {tolerance}")
+    return df.withColumn(ts_col, F.greatest(F.col(ts_col), bound))
+
+
+def _all_rows():
+    from pyspark.sql import Window
+
+    return Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
