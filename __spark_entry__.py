@@ -48,6 +48,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_event_types_tumbling": ev.top_event_types_tumbling,
         "top_users_with_examples": ev.top_users_with_examples,
         "events_summary": ev.events_summary,
+        "counts_range": ev.counts_range,
+        "top_users_for_entity": ev.top_users_for_entity,
+        "recent_counts": ev.recent_counts,
+        "running_total_counts": ev.running_total_counts,
+        "top_retweets_shape": ev.top_retweets_shape,
+        "json_props_daily": ev.json_props_daily,
     }
 
 
@@ -156,5 +162,84 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS window_count,
                    CAST(sum(cnt) AS BIGINT) AS number_of_tweets
             FROM counts
+        """,
+        "counts_range": """
+            SELECT time_bucket(INTERVAL '10 minutes', ts)
+                     + INTERVAL '10 minutes' AS window_time,
+                   count(*) AS cnt
+            FROM events GROUP BY 1
+            HAVING window_time >= TIMESTAMP '2024-01-05 00:00:00'
+               AND window_time <  TIMESTAMP '2024-01-12 00:00:00'
+        """,
+        "top_users_for_entity": f"""
+            WITH hop AS ({_HOP})
+            SELECT window_time, user_id AS entity,
+                   count(*) AS tweet_count,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     AS follower_count_sum
+            FROM hop WHERE user_id = 0
+            GROUP BY 1, 2
+            HAVING window_time >= TIMESTAMP '2024-01-05 00:00:00'
+               AND window_time <  TIMESTAMP '2024-01-12 00:00:00'
+        """,
+        "recent_counts": """
+            SELECT time_bucket(INTERVAL '10 minutes', ts)
+                     + INTERVAL '10 minutes' AS window_time,
+                   count(*) AS cnt
+            FROM events GROUP BY 1
+            ORDER BY window_time DESC LIMIT 5
+        """,
+        "running_total_counts": """
+            WITH counts AS (
+              SELECT time_bucket(INTERVAL '10 minutes', ts)
+                       + INTERVAL '10 minutes' AS window_time,
+                     count(*) AS cnt
+              FROM events GROUP BY 1
+            )
+            SELECT window_time, cnt,
+                   CAST(sum(cnt) OVER (ORDER BY window_time
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS running_total
+            FROM counts
+        """,
+        "top_retweets_shape": f"""
+            WITH hop AS ({_HOP}),
+            s1 AS (
+              SELECT window_time, event_type AS entity,
+                     max(props) AS representative,
+                     count(*) AS tweet_count,
+                     sum(CAST(value AS DECIMAL(18,6))) AS vs
+              FROM hop GROUP BY 1, 2
+            ),
+            top AS (
+              SELECT window_time, entity, representative, tweet_count,
+                     CAST(vs AS DOUBLE) AS follower_count_sum,
+                     CAST(row_number() OVER (
+                       PARTITION BY window_time
+                       ORDER BY vs DESC, entity ASC) AS INTEGER) AS rank
+              FROM s1 QUALIFY rank <= 3
+            ),
+            users AS (
+              SELECT window_time, event_type AS entity, user_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY window_time, event_type
+                       ORDER BY CAST(value AS DECIMAL(18,6)) DESC,
+                                event_id DESC) AS INTEGER) AS user_rank
+              FROM hop QUALIFY user_rank <= 3
+            )
+            SELECT t.window_time, t.entity, t.rank, t.representative,
+                   t.tweet_count, t.follower_count_sum,
+                   u.user_rank, u.user_id
+            FROM top t JOIN users u
+              ON t.window_time = u.window_time AND t.entity = u.entity
+        """,
+        "json_props_daily": """
+            SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+                     AS window_time,
+                   event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS BIGINT) AS k_sum,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2
         """,
     }

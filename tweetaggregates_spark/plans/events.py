@@ -127,3 +127,134 @@ def events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8/Q1 (DbSummary) applied to the tumbling counts family."""
     counts = tumbling_counts(spark, sf_dir)
     return db_summary(counts, "window_time", "cnt")
+
+
+# -- store query surface analogs (SURVEY §2.8) ------------------------------
+
+RANGE_START = "2024-01-05 00:00:00"
+RANGE_END = "2024-01-12 00:00:00"
+
+
+def counts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 (getcounts start end): half-open time-range scan of the counts
+    family (RocksDBStore.cs:145-149,236-264). The filter sits on the
+    grouped output; Catalyst still prunes the scan to [start-10min, end)
+    via the window expression only when materialized — for the stored
+    table path (store.py) this is a partition-pruned read."""
+    counts = tumbling_counts(spark, sf_dir)
+    return counts.filter(
+        (F.col("window_time") >= F.lit(RANGE_START).cast("timestamp"))
+        & (F.col("window_time") < F.lit(RANGE_END).cast("timestamp"))
+    )
+
+
+def top_users_for_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 intended semantics (gettopmentionsstring start end screenName):
+    per-entity windowed aggregate for ONE entity within a time range.
+    The reference's prefix-seek quirk returns extra entities
+    (RocksDBStore.cs:242-245); we implement the documented intent —
+    entity equality — and note the deviation (SURVEY §2.8 Q3).
+
+    Entity filter is applied BEFORE the aggregation, so at scale the
+    parquet scan prunes on user_id and the shuffle carries one entity."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") == 0)
+    ev = ev.withColumn("value", _dec("value"))
+    stage1 = entity_window_agg(ev, "user_id", "value", payload_cols=None)
+    out = stage1.select(
+        F.col("window.end").alias("window_time"),
+        "entity",
+        "tweet_count",
+        F.col("follower_count_sum").cast("double").alias("follower_count_sum"),
+    )
+    return out.filter(
+        (F.col("window_time") >= F.lit(RANGE_START).cast("timestamp"))
+        & (F.col("window_time") < F.lit(RANGE_END).cast("timestamp"))
+    )
+
+
+def recent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6/D4 (GetRecentCounts N): newest 5 windows of the counts family
+    (RocksDBStore.cs:213-232 reverse scan)."""
+    counts = tumbling_counts(spark, sf_dir)
+    return counts.orderBy(F.desc("window_time")).limit(5)
+
+
+def running_total_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (running fold / Scan, RocksDBStore.cs:90-92): cumulative tweet
+    total over the tumbling counts, ordered by window_time.
+
+    Scale note: a global running total is inherently a single ordered
+    pass; input here is the per-window aggregate (tiny), not raw events."""
+    from pyspark.sql import Window as W
+
+    counts = tumbling_counts(spark, sf_dir)
+    w = W.orderBy("window_time").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return counts.withColumn("running_total", F.sum("cnt").over(w))
+
+
+def top_retweets_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (TopRetweets, Query.cs:122-140) mapped onto events: per
+    (hopping window x event_type): representative payload = max(props),
+    event count, value sum, and the top-3 user_ids by value as the
+    'top users' list — exploded to scalar rows for oracle hashing."""
+    ev = _events(spark, sf_dir).withColumn("valued", _dec("value"))
+    stage1 = (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "1 minute").alias("window"),
+            F.col("event_type").alias("entity"),
+        ).agg(
+            F.max("props").alias("representative"),
+            F.count(F.lit(1)).alias("tweet_count"),
+            F.sum("valued").alias("follower_count_sum"),
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("valued", "event_id", "user_id")),
+                    asc=False,
+                ),
+                1,
+                3,
+            ).alias("top_users"),
+        )
+    )
+    top = top_entities_per_window(stage1, k=3, tiebreak="entity")
+    return top.select(
+        "window_time",
+        "entity",
+        "rank",
+        "representative",
+        "tweet_count",
+        F.col("follower_count_sum").cast("double").alias("follower_count_sum"),
+        F.posexplode("top_users").alias("pos", "u"),
+    ).select(
+        "window_time",
+        "entity",
+        "rank",
+        "representative",
+        "tweet_count",
+        "follower_count_sum",
+        (F.col("pos") + 1).alias("user_rank"),
+        F.col("u.user_id").alias("user_id"),
+    )
+
+
+def json_props_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5 (JSON parse, Program.Repl.cs:63-80) + tumbling day window:
+    extract props.k, sum per (day x event_type). get_json_object is a
+    JVM-side expression — no Python in the loop."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("long")
+        )
+        .groupBy(
+            F.window("ts", "1 day").alias("window"),
+            F.col("event_type"),
+        )
+        .agg(F.sum("k").alias("k_sum"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.end").alias("window_time"),
+            "event_type",
+            "k_sum",
+            "cnt",
+        )
+    )

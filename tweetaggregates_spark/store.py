@@ -1,0 +1,106 @@
+"""Aggregate store: sink + read query surface (SURVEY.md §2.1 S7, §2.8).
+
+The reference persists each aggregate family to a RocksDB column family
+keyed by zero-padded window ticks so range scans are ordered seeks
+(RocksDBStore.cs:18-21, 70-135, 207-264). The Spark-native equivalent is
+one parquet table per family, partitioned by window DATE and sorted
+within files by window_time:
+
+* partition pruning gives the same skip behavior as the key-ordered seek
+  (a [start, end) scan touches only the covered date partitions);
+* parquet min/max row-group stats on window_time prune inside a day;
+* per-partition atomic file commit replaces the WriteBatch atomicity.
+
+At 100 TB: date partitioning bounds partition count (365/yr — no
+small-file explosion), and family tables are independent so writers
+parallelize. For finer pruning switch the partition column to hour.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FAMILIES = ("counts", "hopping_counts", "mentions", "hashtags", "retweets")
+
+# entity column per family (FIXTURES.md §3 output schemas)
+ENTITY_COL = {"mentions": "screen_name", "hashtags": "hashtag", "retweets": "id"}
+
+
+class AggregateStore:
+    """Parquet-backed store with the reference's read surface
+    (Program.Repl.cs:34-124 commands Q1-Q6)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _path(self, family: str) -> str:
+        return os.path.join(self.root, family)
+
+    # -- S7 sink ------------------------------------------------------------
+
+    def write(self, family: str, df: DataFrame, mode: str = "overwrite") -> None:
+        """Persist one aggregate family; df must carry window_time."""
+        (
+            df.withColumn("window_date", F.to_date("window_time"))
+            .repartition("window_date")
+            .sortWithinPartitions("window_time")
+            .write.mode(mode)
+            .partitionBy("window_date")
+            .parquet(self._path(family))
+        )
+
+    # -- read surface -------------------------------------------------------
+
+    def read(self, family: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(family)).drop("window_date")
+
+    def get_summary(self) -> DataFrame:
+        """Q1 (getsummary): fold over the counts family
+        (RocksDBStore.DbSummary.cs:19-30)."""
+        from tweetaggregates_spark.operators.aggregate import db_summary
+
+        return db_summary(self.read("counts"), "window_time", "cnt")
+
+    def get_counts(self, start: str, end: str) -> DataFrame:
+        """Q2 (getcounts start end): half-open ordered range scan
+        (RocksDBStore.cs:145-149). The window_time filter prunes to the
+        covered window_date partitions before any file is opened."""
+        return self._range(self.read("counts"), start, end)
+
+    def get_top(self, family: str, start: str, end: str, entity: str | None = None) -> DataFrame:
+        """Q3/Q4/Q5 (gettop{mentions,hashtags,retweets}string): range
+        scan, optional entity equality. Implements the INTENDED
+        semantics, not the reference's prefix-seek quirk where the
+        entity filter affects only the first seek (RocksDBStore.cs:
+        242-245) — documented deviation (SURVEY §2.8 Q3)."""
+        df = self._range(self.read(family), start, end)
+        if entity is not None:
+            df = df.filter(F.col(ENTITY_COL.get(family, "entity")) == entity)
+        return df
+
+    def get_recent(self, family: str, n: int) -> DataFrame:
+        """Q6 (getrecent*string N): newest N by window_time
+        (RocksDBStore.cs:213-232 reverse scan). Spark's sort+limit is a
+        distributed top-k (TakeOrderedAndProject), not a full sort."""
+        return self.read(family).orderBy(F.desc("window_time")).limit(n)
+
+    def print_db(self, n: int = 5) -> dict[str, DataFrame]:
+        """Q7 (printDB): recent-N of every family + summary."""
+        out: dict[str, DataFrame] = {
+            f: self.get_recent(f, n)
+            for f in FAMILIES
+            if os.path.exists(self._path(f))
+        }
+        out["summary"] = self.get_summary()
+        return out
+
+    @staticmethod
+    def _range(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.filter(
+            (F.col("window_time") >= F.lit(start).cast("timestamp"))
+            & (F.col("window_time") < F.lit(end).cast("timestamp"))
+        ).orderBy("window_time")
