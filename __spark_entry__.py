@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from tweetaggregates_spark.plans import events as ev
+from tweetaggregates_spark.plans import star
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -54,6 +55,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total_counts": ev.running_total_counts,
         "top_retweets_shape": ev.top_retweets_shape,
         "json_props_daily": ev.json_props_daily,
+        "q1_pricing_summary": star.q1_pricing_summary,
+        "q3_shipping_priority": star.q3_shipping_priority,
+        "q5_region_revenue": star.q5_region_revenue,
+        "revenue_rollup": star.revenue_rollup,
+        "customers_without_orders": star.customers_without_orders,
+        "customers_with_orders_semi": star.customers_with_orders_semi,
+        "brand_supplier_stats": star.brand_supplier_stats,
+        "order_status_pivot": star.order_status_pivot,
+        "top_orders_per_customer": star.top_orders_per_customer,
     }
 
 
@@ -241,5 +251,103 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS k_sum,
                    count(*) AS cnt
             FROM events GROUP BY 1, 2
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                     AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                     AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))) DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY n_name
+        """,
+        "revenue_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                   count(*) AS cnt
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                AND o_orderpriority = '1-URGENT')
+        """,
+        "customers_with_orders_semi": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "brand_supplier_stats": """
+            SELECT p_brand,
+                   count(DISTINCT l_suppkey) AS n_suppliers,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                     AS sum_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "order_status_pivot": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (o_orderstatus = 'O') AS n_o,
+                   count(*) FILTER (o_orderstatus = 'F') AS n_f,
+                   count(*) FILTER (o_orderstatus = 'P') AS n_p,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                     FILTER (o_orderstatus = 'O') AS DOUBLE) AS total_o,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                     FILTER (o_orderstatus = 'F') AS DOUBLE) AS total_f,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                     FILTER (o_orderstatus = 'P') AS DOUBLE) AS total_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC)
+                     AS INTEGER) AS order_rank
+            FROM orders
+            QUALIFY order_rank <= 3
         """,
     }

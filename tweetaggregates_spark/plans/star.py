@@ -1,0 +1,206 @@
+"""Beyond-reference surface: star-schema joins and aggregations over the
+driver testdata (SURVEY.md §7 M5 — the reference has NO joins, §2.3; all
+of this is Spark-built-in capability exposed as engine queries).
+
+Scale design notes (100 TB):
+* dimension tables (region/nation/customer/supplier/part) broadcast —
+  the autoBroadcastJoinThreshold covers them, and AQE converts at
+  runtime if an estimate was off; the fact tables (orders/lineitem)
+  never move for dim joins.
+* the one fact-fact join (orders <-> lineitem) shuffles on the order
+  key; at scale this is the query's cost center — both sides would be
+  bucketed by orderkey in a real deployment (store.py does the
+  analogous sort-on-write for the aggregate tables).
+* every aggregate goes partial -> shuffle -> final (map-side combine);
+  sums over doubles run through DECIMAL(18,6) for exact, order-free
+  results that hash-match the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tweetaggregates_spark.sources.tables import load_table
+
+
+def _revenue() -> F.Column:
+    # one IEEE multiply (identical in both engines), then exact decimal sum
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: lineitem pricing summary by returnflag/linestatus
+    with shipdate cutoff."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-09-02 00:00:00").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(_revenue()).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: revenue of unshipped orders for one market
+    segment; top 10 by revenue. customer broadcasts; orders-lineitem is
+    the shuffle join."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "inner"
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(_revenue()).alias("rev")
+    )
+    return (
+        agg.orderBy(F.desc("rev"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("rev").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where customer and supplier
+    share the nation, one region, one year. All dims broadcast; the
+    plan's only shuffles are the fact-fact join and the final group."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) — subtotals + grand total
+    (grouping-sets surface the reference lacks, SURVEY §2.5 A9)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers who never placed an URGENT
+    order. The priority filter pushes into the orders scan before the
+    anti join; at 100 TB this is a shuffled left-anti on custkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS) counterpart, grouped by market segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def brand_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate + broadcast dim join: per part brand, distinct
+    suppliers/parts seen in lineitem and quantity sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (pivot shape): order counts and totals per
+    priority, one column per order status. Expressed as FILTER-style
+    conditional aggs — one pass, no Spark 'pivot' needed, and the same
+    SQL runs on the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    outs = [
+        F.count(F.when(F.col("o_orderstatus") == s, 1)).alias(f"n_{s.lower()}")
+        for s in ("O", "F", "P")
+    ]
+    sums = [
+        F.sum(
+            F.when(F.col("o_orderstatus") == s, F.col("o_totalprice")).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias(f"total_{s.lower()}")
+        for s in ("O", "F", "P")
+    ]
+    return orders.groupBy("o_orderpriority").agg(*outs, *sums)
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window function over the fact table: top-3 orders by
+    totalprice per customer (deterministic tiebreak on orderkey)."""
+    from tweetaggregates_spark.operators.topk import rank_topk
+
+    orders = load_table(spark, sf_dir, "orders")
+    ranked = rank_topk(
+        orders, ["o_custkey"], "o_totalprice", ["o_orderkey"], 3,
+        rank_name="order_rank", keep_rank=True,
+    )
+    return ranked.select(
+        "o_custkey", "o_orderkey", "o_totalprice", "order_rank"
+    )
