@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from tweetaggregates_spark.plans import events as ev
-from tweetaggregates_spark.plans import star
+from tweetaggregates_spark.plans import llm, star
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -33,6 +33,42 @@ _HOP = """
               + INTERVAL '10 minutes' AS window_time
   FROM events e CROSS JOIN (SELECT unnest(range(10)) AS k) g
 """
+
+# DuckDB twins of the portable text/hash primitives
+# (functions/hashing.py, functions/textstats.py — verified identical).
+_D_HASH = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+_D_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_D_SH3 = "[array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]"
+_D_SH4 = "[array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks) - 2)]"
+
+_D_SHINGLES = f"""
+  WITH toksrc AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+  sh AS (SELECT doc_id, unnest(list_distinct({_D_SH3})) AS shingle FROM toksrc)
+"""
+
+_MINHASH_MINS = ",\n".join(
+    "min(" + _D_HASH.format(x=f"concat('{i}:', shingle)") + f") AS mh{i}"
+    for i in range(16)
+)
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_id, concat_ws(':', "
+    + ", ".join(f"mh{b * 4 + r}" for r in range(4))
+    + ") AS band_key FROM sig"
+    for b in range(4)
+)
+
+_SIMHASH_SUMS = ",\n".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(16)
+)
+_SIMHASH_VAL = " + ".join(
+    f"(CASE WHEN s{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+)
+
+_D_COS = (
+    "round(list_dot_product(q.v, c.v) / "
+    "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)"
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -64,6 +100,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_supplier_stats": star.brand_supplier_stats,
         "order_status_pivot": star.order_status_pivot,
         "top_orders_per_customer": star.top_orders_per_customer,
+        "exact_dedup_docs": llm.exact_dedup_docs,
+        "minhash_lsh_docs": llm.minhash_lsh_docs,
+        "ngram_jaccard_docs": llm.ngram_jaccard_docs,
+        "simhash_docs": llm.simhash_docs,
+        "knn_cosine": llm.knn_cosine,
+        "knn_cosine_bucketed": llm.knn_cosine_bucketed,
+        "lang_id_docs": llm.lang_id_docs,
+        "quality_docs": llm.quality_docs,
+        "token_counts_docs": llm.token_counts_docs,
+        "fingerprint_docs": llm.fingerprint_docs,
+        "media_meta_docs": llm.media_meta_docs,  # rows-only: stubbed decode
     }
 
 
@@ -349,5 +396,133 @@ def oracle_sql() -> dict[str, str]:
                      AS INTEGER) AS order_rank
             FROM orders
             QUALIFY order_rank <= 3
+        """,
+        "exact_dedup_docs": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 5 = 0
+            )
+            SELECT {_D_HASH.format(x="text")} AS content_hash,
+                   min(doc_id) AS canonical_id,
+                   count(*) AS n_copies
+            FROM corpus GROUP BY 1 HAVING count(*) > 1
+        """,
+        "minhash_lsh_docs": f"""
+            {_D_SHINGLES},
+            sig AS (
+              SELECT doc_id, {_MINHASH_MINS}
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS ({_BAND_SELECTS})
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        """,
+        "ngram_jaccard_docs": f"""
+            {_D_SHINGLES},
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS n_inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_inter,
+                   round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.3
+        """,
+        "simhash_docs": f"""
+            WITH toksrc AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+            tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM toksrc),
+            h AS (SELECT doc_id, {_D_HASH.format(x="t")} AS h FROM tok),
+            sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id)
+            SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash
+            FROM sums
+        """,
+        "knn_cosine": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            s AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     {_D_COS} AS cos_sim
+              FROM e q JOIN e c
+                ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+            )
+            SELECT query_id, neighbor_id, cos_sim,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id ASC)
+                     AS INTEGER) AS knn_rank
+            FROM s QUALIFY knn_rank <= 5
+        """,
+        "knn_cosine_bucketed": f"""
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            s AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     {_D_COS} AS cos_sim
+              FROM e q JOIN e c
+                ON q.vec_id < 20 AND q.label = c.label
+               AND q.vec_id <> c.vec_id
+            )
+            SELECT query_id, neighbor_id, cos_sim,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id ASC)
+                     AS INTEGER) AS knn_rank
+            FROM s QUALIFY knn_rank <= 3
+        """,
+        "lang_id_docs": f"""
+            WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS INTEGER) AS n_tokens,
+                   round(len(list_filter(toks, x -> list_contains(
+                       ['the','a','of','to','and','in','is','it','for','on'],
+                       x))) / greatest(len(toks), 1), 6) AS en_stop_ratio,
+                   CASE WHEN round(len(list_filter(toks, x -> list_contains(
+                       ['the','a','of','to','and','in','is','it','for','on'],
+                       x))) / greatest(len(toks), 1), 6) >= 0.03
+                        THEN 'en' ELSE 'unknown' END AS lang_pred
+            FROM t
+        """,
+        "quality_docs": f"""
+            WITH t AS (SELECT doc_id, text, {_D_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+                   CAST(length(text) AS INTEGER) AS n_chars,
+                   CAST(len(toks) AS INTEGER) AS n_tokens,
+                   round(list_sum(list_transform(toks, x -> length(x)))
+                     / greatest(len(toks), 1), 6) AS mean_token_len,
+                   round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                     / greatest(length(text), 1), 6) AS alpha_ratio,
+                   round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                     / greatest(length(text), 1), 6) AS punct_ratio,
+                   round((length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                     / greatest(length(text), 1)) * 0.5
+                     + least(len(toks) / 100.0, 1.0) * 0.5, 6) AS quality_score
+            FROM t
+        """,
+        "token_counts_docs": """
+            SELECT doc_id,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '')) AS INTEGER) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
+                     AS n_bpe_pieces
+            FROM documents
+        """,
+        "fingerprint_docs": f"""
+            WITH toksrc AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+            w AS (SELECT doc_id, unnest({_D_SH4}) AS win FROM toksrc),
+            h AS (SELECT doc_id, {_D_HASH.format(x="win")} AS h FROM w)
+            SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
+                   count(DISTINCT h) AS n_windows
+            FROM h GROUP BY doc_id
         """,
     }

@@ -1,0 +1,101 @@
+"""LLM-data-pipeline operator tests (dedup, similarity, text, multimodal)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tweetaggregates_spark.operators import dedup, multimodal, similarity
+from tweetaggregates_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = load_table(spark, SF, "documents").select("doc_id", "text").persist()
+    d.count()
+    yield d
+    d.unpersist()
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """LSH candidates must cover (almost all of) the true near-dup pairs;
+    16 hashes / 4 bands at jaccard>=0.5 gives P(detect) >= 1-(1-0.5^4)^4
+    ~ 0.24 per band... empirically the planted dups are ~identical so
+    recall should be 1.0 on them."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    cand = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert exact, "expected planted near-dups in testdata"
+    assert len(exact & cand) / len(exact) >= 0.9
+
+
+def test_exact_dedup_finds_planted(spark, docs):
+    dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    out = dedup.exact_dedup(docs.unionAll(dups)).filter(F.col("n_copies") > 1)
+    n_planted = docs.filter(F.col("doc_id") % 7 == 0).count()
+    assert out.count() == n_planted
+    assert out.agg(F.max("n_copies")).collect()[0][0] == 2
+
+
+def test_simhash_near_dups_have_small_hamming(docs):
+    """Planted near-dup pairs should collide (or nearly) in simhash."""
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    fp = dedup.simhash(docs)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    joined = (
+        jac.join(a, jac.doc_a == F.col("a.doc_id"))
+        .join(b, jac.doc_b == F.col("b.doc_id"))
+        .select(
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming")
+        )
+        .collect()
+    )
+    assert joined
+    avg = sum(r.hamming for r in joined) / len(joined)
+    assert avg <= 4  # near-dups are close in simhash space
+
+
+def test_knn_rank1_is_argmax(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.knn_bruteforce(emb, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.knn_rank)
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert len(rows) == 5
+
+
+def test_bucketed_knn_subset_of_bucket(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.knn_bucketed(emb, queries, k=3)
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in out.collect():
+        assert labels[r.query_id] == labels[r.neighbor_id]
+
+
+def test_media_meta_deterministic(spark, docs):
+    df = multimodal.extract_media_meta(multimodal.attach_fake_media(docs))
+    rows1 = sorted(df.collect(), key=lambda r: r.doc_id)
+    rows2 = sorted(df.collect(), key=lambda r: r.doc_id)
+    assert rows1 == rows2
+    assert all(r.n_bytes > 0 and 1 <= r.width <= 640 for r in rows1)
+    assert df.schema == multimodal.MEDIA_META_SCHEMA
+
+
+def test_decode_real_is_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"\x89PNG")

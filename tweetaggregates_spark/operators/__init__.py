@@ -1,3 +1,21 @@
-from tweetaggregates_spark.operators import aggregate, project, topk, window
+from tweetaggregates_spark.operators import (
+    aggregate,
+    dedup,
+    multimodal,
+    project,
+    similarity,
+    text,
+    topk,
+    window,
+)
 
-__all__ = ["aggregate", "project", "topk", "window"]
+__all__ = [
+    "aggregate",
+    "dedup",
+    "multimodal",
+    "project",
+    "similarity",
+    "text",
+    "topk",
+    "window",
+]

@@ -1,0 +1,225 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point of these algorithms):
+* exact: one hash-groupBy on the content key — a single shuffle whose
+  payload is (key, id), not the documents.
+* n-gram Jaccard: exact but quadratic-ish — the shingle self-join
+  explodes on hot shingles. Correct baseline; use MinHash at 100 TB.
+* MinHash+LSH: per-doc signature (map-side only), then a self-join on
+  (band_id, band_key) — candidates are limited to docs agreeing on a
+  full band, so the join is bucket-local; recall tunable via
+  (n_hashes, bands).
+* SimHash: one 64-bit (here 16-bit for oracle economy) fingerprint per
+  doc; near-dups = small hamming distance; blocking by band at scale.
+
+Every hash is the portable md5-based hash64 (functions/hashing.py) so
+the DuckDB oracle reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tweetaggregates_spark.functions.hashing import hash64, seeded_hash64
+from tweetaggregates_spark.functions.textstats import tokens, word_shingles
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+SIMHASH_BITS = 16
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on content hash: one row per distinct text with the
+    canonical (minimum) id and the duplicate count."""
+    return (
+        df.select(F.col(id_col), hash64(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col(text_col)), k))
+        ).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = N_MINHASH,
+) -> DataFrame:
+    """Per-doc minhash signature: mh_i = min over shingles of
+    hash64(i:shingle). One explode + one groupBy with n_hashes fused
+    min() aggregates — a single shuffle of (doc, shingle-hash) pairs."""
+    sh = _doc_shingles(df, text_col, id_col, k)
+    aggs = [
+        F.min(seeded_hash64(F.col("shingle"), i)).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, n_hashes: int = N_MINHASH, n_bands: int = N_BANDS) -> DataFrame:
+    """Signature -> (doc_id, band_id, band_key) rows; band_key is the
+    ':'-joined minhash slice, so equal key <=> equal band values."""
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(":", *[F.col(c).cast("string") for c in cols]).alias(
+                    "band_key"
+                ),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing at least one full LSH band.
+    The self-join key is (band_id, band_key) — bucket-local, never a
+    cross product. Output: (doc_a, doc_b), doc_a < doc_b, distinct."""
+    bands = lsh_bands(
+        minhash_signatures(df, text_col, id_col, k, n_hashes), n_hashes, n_bands
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup join: pairs with
+    |A∩B| / |A∪B| >= threshold. Shingle self-join baseline — correct
+    but O(sum over shingles of freq^2); at 100 TB use minhash_lsh_pairs
+    and verify candidates with this measure."""
+    sh = _doc_shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Per-doc SimHash fingerprint over distinct tokens: bit i is the
+    sign of sum over tokens of (+1 if hash bit i set else -1). bits=16
+    keeps the oracle SQL tractable; production would use 64."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", hash64(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = None
+    for i in range(bits):
+        bit = F.when(F.col(f"s{i}") >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return sums.select("doc_id", fingerprint.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance. Plain self-join here
+    (testdata scale); at 100 TB block on simhash bands first so the join
+    is bucket-local, exactly like MinHash-LSH."""
+    fp = simhash(df, text_col, id_col, bits)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
+        )
+    )

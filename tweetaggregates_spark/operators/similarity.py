@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``knn_bruteforce`` — exact cosine top-k: queries x corpus join with a
+  JVM-codegen'd fold dot product. The correctness baseline; cost is
+  |Q| x |C| x dim flops, no Python.
+* ``knn_bucketed`` — IVF-style pruned search: candidates restricted to
+  the query's bucket (here the ``label`` column as the inverted-list
+  cell; in production, a coarse-quantizer assignment computed the same
+  way). The join becomes bucket-local — this is the 100 TB path.
+* ``cosine_near_dup_pairs`` — all-pairs near-duplicate detection above
+  a cosine threshold; bucket it the same way at scale.
+
+Similarities are rounded to 6 decimals at the output boundary so the
+DuckDB oracle (list_dot_product) hash-matches; ranking ties broken by
+neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tweetaggregates_spark.functions.vectors import as_double, cosine_sim
+from tweetaggregates_spark.operators.topk import rank_topk
+
+
+def _normed(df: DataFrame, id_col: str, vec_col: str, extra: list[str] | None = None):
+    cols = [F.col(id_col), as_double(vec_col).alias("v")]
+    for c in extra or []:
+        cols.append(F.col(c))
+    return df.select(*cols)
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (self excluded).
+    Output: query_id, neighbor_id, cos_sim (rounded 6), knn_rank."""
+    q = _normed(queries, id_col, vec_col).withColumnRenamed(id_col, "query_id")
+    c = _normed(corpus, id_col, vec_col).withColumnRenamed(id_col, "neighbor_id")
+    scored = (
+        q.withColumnRenamed("v", "qv")
+        .join(c.withColumnRenamed("v", "cv"), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine_sim(F.col("qv"), F.col("cv")), 6))
+    )
+    top = rank_topk(
+        scored, ["query_id"], "cos_sim", ["neighbor_id"], k,
+        rank_name="knn_rank", keep_rank=True,
+    )
+    return top.select("query_id", "neighbor_id", "cos_sim", "knn_rank")
+
+
+def knn_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: search only the query's bucket. The equi-join on
+    the bucket key makes candidate generation shuffle-local per bucket —
+    the structure that scales; recall depends on the quantizer."""
+    q = _normed(queries, id_col, vec_col, [bucket_col]).withColumnRenamed(
+        id_col, "query_id"
+    )
+    c = _normed(corpus, id_col, vec_col, [bucket_col]).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    scored = (
+        q.withColumnRenamed("v", "qv")
+        .withColumnRenamed(bucket_col, "qb")
+        .join(
+            c.withColumnRenamed("v", "cv").withColumnRenamed(bucket_col, "cb"),
+            (F.col("qb") == F.col("cb"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cos_sim", F.round(cosine_sim(F.col("qv"), F.col("cv")), 6))
+    )
+    top = rank_topk(
+        scored, ["query_id"], "cos_sim", ["neighbor_id"], k,
+        rank_name="knn_rank", keep_rank=True,
+    )
+    return top.select("query_id", "neighbor_id", "cos_sim", "knn_rank")
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold, a < b."""
+    a = _normed(df, id_col, vec_col).withColumnRenamed(id_col, "id_a")
+    b = _normed(df, id_col, vec_col).withColumnRenamed(id_col, "id_b")
+    return (
+        a.withColumnRenamed("v", "va")
+        .join(b.withColumnRenamed("v", "vb"), F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,103 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions over the tokenization contract in
+functions/textstats.py — whole-stage codegen end to end, no Python in
+the row path, embarrassingly parallel (no shuffle except noted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tweetaggregates_spark.functions.hashing import hash64
+from tweetaggregates_spark.functions.textstats import (
+    EN_STOPWORDS,
+    tokens,
+    word_shingles,
+)
+
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: English function-word ratio. Map-only."""
+    toks = tokens(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_tok = F.size(toks)
+    ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        ratio.alias("en_stop_ratio"),
+        F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("unknown")).alias(
+            "lang_pred"
+        ),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality heuristics: length, token stats, punctuation/alpha ratios,
+    and a fixed-formula score. Map-only, deterministic."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", ""))
+    mean_tok_len = F.round(
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+        / F.greatest(n_tokens, F.lit(1)),
+        6,
+    )
+    alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    score = F.round(
+        (n_alpha / F.greatest(n_chars, F.lit(1))) * 0.5
+        + F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5,
+        6,
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace token count + BPE-ish regex piece count (letters runs,
+    digit runs, single punctuation)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.filter(F.split(t, r"\s+"), lambda x: x != "")).alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_ISH_RE)).alias("n_bpe_pieces"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 4
+) -> DataFrame:
+    """Rolling-window document fingerprint: hash every k-word window,
+    keep min/max hash + distinct window count (a 2-value winnowing
+    sketch; equal fingerprints => near-certain duplicates). One explode
+    + groupBy — same shuffle shape as minhash."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(tokens(F.col(text_col)), k)).alias("w"),
+    ).withColumn("h", hash64(F.col("w")))
+    return sh.groupBy("doc_id").agg(
+        F.min("h").alias("fp_min"),
+        F.max("h").alias("fp_max"),
+        F.countDistinct("h").alias("n_windows"),
+    )

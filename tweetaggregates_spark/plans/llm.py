@@ -1,0 +1,91 @@
+"""LLM-training-data pipeline queries over ``documents`` / ``embeddings``
+(BASELINE.json north star; SURVEY §7 M5).
+
+Each function is a driver-contract query (spark, sf_dir) -> DataFrame
+with a DuckDB oracle twin in __spark_entry__.py (multimodal is the one
+rows-only exception — its decode is a stub by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tweetaggregates_spark.operators import dedup, similarity, text
+from tweetaggregates_spark.operators.multimodal import (
+    attach_fake_media,
+    extract_media_meta,
+)
+from tweetaggregates_spark.sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The testdata documents are all unique; simulate a crawl with
+    duplicates by unioning a shifted copy of every 5th doc — makes the
+    exact-dedup output non-vacuous and still fully deterministic."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionAll(dups)
+
+
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the dup-augmented corpus: groups with >1 copy."""
+    out = dedup.exact_dedup(_docs_with_dups(spark, sf_dir))
+    return out.filter(F.col("n_copies") > 1)
+
+
+def minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate near-dup pairs (16 hashes, 4 bands x 4)."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs at >= 0.3."""
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit SimHash fingerprints."""
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id<20."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.knn_bruteforce(emb, queries, k=5)
+
+
+def knn_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style label-bucketed ANN top-3 for query vectors vec_id<20."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.knn_bucketed(emb, queries, k=3)
+
+
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+def quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+def token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(_docs(spark, sf_dir))
+
+
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def media_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only check: decode is a deliberate
+    deterministic stub — see operators/multimodal.py)."""
+    return extract_media_meta(attach_fake_media(_docs(spark, sf_dir)))
