@@ -46,8 +46,11 @@ _D_SHINGLES = f"""
   sh AS (SELECT doc_id, unnest(list_distinct({_D_SH3})) AS shingle FROM toksrc)
 """
 
+# two 60-bit hashes per md5 (hex chars [1,15] and [16,30]) — mirrors
+# functions.hashing.seeded_hash64_pair
 _MINHASH_MINS = ",\n".join(
-    "min(" + _D_HASH.format(x=f"concat('{i}:', shingle)") + f") AS mh{i}"
+    f"min((('0x' || substr(md5(concat('{i // 2}:', shingle)), "
+    f"{1 if i % 2 == 0 else 16}, 15))::BIGINT)) AS mh{i}"
     for i in range(16)
 )
 _BAND_SELECTS = "\nUNION ALL\n".join(

@@ -35,6 +35,18 @@ def seeded_hash64(col: Column | str, seed: int) -> Column:
     return hash64(F.concat(F.lit(f"{seed}:"), c))
 
 
+def seeded_hash64_pair(col: Column | str, seed: int) -> tuple[Column, Column]:
+    """Two independent 60-bit hashes from ONE md5: hex chars [1,15] and
+    [16,30] of md5(seed:x). Halves the md5 cost of a minhash signature;
+    codegen CSEs the shared md5 call."""
+    c = F.col(col) if isinstance(col, str) else col
+    m = F.md5(F.concat(F.lit(f"{seed}:"), c))
+    return (
+        F.conv(F.substring(m, 1, 15), 16, 10).cast("long"),
+        F.conv(F.substring(m, 16, 15), 16, 10).cast("long"),
+    )
+
+
 def duck_hash64(expr: str) -> str:
     """The DuckDB twin of hash64(), as a SQL fragment."""
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"

@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from tweetaggregates_spark.functions.hashing import hash64, seeded_hash64
+from tweetaggregates_spark.functions.hashing import (
+    hash64,
+    seeded_hash64,
+    seeded_hash64_pair,
+)
 from tweetaggregates_spark.functions.textstats import tokens, word_shingles
 
 N_MINHASH = 16
@@ -65,11 +69,22 @@ def minhash_signatures(
     hash64(i:shingle). One explode + one groupBy with n_hashes fused
     min() aggregates — a single shuffle of (doc, shingle-hash) pairs."""
     sh = _doc_shingles(df, text_col, id_col, k)
-    aggs = [
-        F.min(seeded_hash64(F.col("shingle"), i)).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    # hash columns in a Project ahead of the aggregate: subexpression
+    # elimination shares each md5 between its two 60-bit halves there
+    # (it would not across separate min() aggregate expressions)
+    hash_cols = []
+    for pair in range(n_hashes // 2):
+        lo, hi = seeded_hash64_pair(F.col("shingle"), pair)
+        hash_cols.append(lo.alias(f"h{2 * pair}"))
+        hash_cols.append(hi.alias(f"h{2 * pair + 1}"))
+    if n_hashes % 2:
+        hash_cols.append(
+            seeded_hash64(F.col("shingle"), n_hashes // 2).alias(f"h{n_hashes - 1}")
+        )
+    hashed = sh.select("doc_id", *hash_cols)
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(n_hashes)]
+    )
 
 
 def lsh_bands(sig: DataFrame, n_hashes: int = N_MINHASH, n_bands: int = N_BANDS) -> DataFrame:
