@@ -114,6 +114,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_docs": llm.token_counts_docs,
         "fingerprint_docs": llm.fingerprint_docs,
         "media_meta_docs": llm.media_meta_docs,  # rows-only: stubbed decode
+        "session_windows": ev.session_windows,
+        "throughput_5min": ev.throughput_5min,
+        "distinct_users_daily": ev.distinct_users_daily,
+        "approx_users_daily": ev.approx_users_daily,  # rows-only: HLL sketch
+        "clickers_without_purchase": ev.clickers_without_purchase,
+        "cosine_near_dups": llm.cosine_near_dups,
+        "simhash_pairs_docs": llm.simhash_pairs_docs,
     }
 
 
@@ -527,5 +534,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
                    count(DISTINCT h) AS n_windows
             FROM h GROUP BY doc_id
+        """,
+        # sessions: gaps-and-islands; break when gap >= 6h (Spark session
+        # windows have exclusive ends, so an exact-6h gap starts a new
+        # session); session_end = last event + gap
+        "session_windows": """
+            WITH g AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL '6 hours' OR lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+            ),
+            isl AS (
+              SELECT *, sum(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sess
+              FROM g
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL '6 hours' AS session_end,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     AS value_sum
+            FROM isl GROUP BY user_id, sess
+        """,
+        "throughput_5min": """
+            SELECT time_bucket(INTERVAL '5 minutes', ts)
+                     + INTERVAL '5 minutes' AS window_time,
+                   CAST(sum(length(props)) AS BIGINT) AS bytes_read
+            FROM events GROUP BY 1
+        """,
+        "distinct_users_daily": """
+            SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+                     AS window_time,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "clickers_without_purchase": """
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'click'
+              AND ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase'
+              AND ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+        """,
+        "cosine_near_dups": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+        """,
+        "simhash_pairs_docs": f"""
+            WITH toksrc AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+            tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM toksrc),
+            h AS (SELECT doc_id, {_D_HASH.format(x="t")} AS h FROM tok),
+            sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id),
+            fp AS (SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash
+                   FROM sums)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                     AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         """,
     }

@@ -237,6 +237,77 @@ def top_retweets_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 extension (the reference has no session windows — SURVEY §2.4):
+    per-user sessions with a 6-hour inactivity gap. Spark's
+    ``session_window`` merges events whose spans overlap; session end =
+    last event + gap. Works identically on a stream (with watermark)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window("ts", "6 hours").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def throughput_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 (ops throughput metric, TwitterStream.cs:50-64): payload bytes
+    per 5-min tumbling window."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("window"))
+        .agg(F.sum(F.length("props")).alias("bytes_read"))
+        .select(F.col("window.end").alias("window_time"), "bytes_read")
+    )
+
+
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 extension: exact distinct aggregation per day window."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("window"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("window.end").alias("window_time"), "n_users")
+    )
+
+
+def approx_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 extension: HyperLogLog++ distinct sketch — rows-only check
+    (DuckDB's approx_count_distinct uses a different sketch, so values
+    intentionally have no oracle; accuracy asserted vs exact in tests)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("window"))
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"))
+        .select(F.col("window.end").alias("window_time"), "n_users_approx")
+    )
+
+
+def clickers_without_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (EXCEPT): users who clicked on 2024-01-15 but made
+    no purchase that day. Both filters push to the scan; EXCEPT plans as
+    a left-anti join."""
+    ev = _events(spark, sf_dir).filter(
+        (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.distinct().subtract(buys.distinct())
+
+
 def json_props_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4/F5 (JSON parse, Program.Repl.cs:63-80) + tumbling day window:
     extract props.k, sum per (day x event_type). get_json_object is a

@@ -69,6 +69,17 @@ def knn_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_bucketed(emb, queries, k=3)
 
 
+def cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at >= 0.4."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.4)
+
+
+def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming distance <= 2 (16-bit)."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=2)
+
+
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(_docs(spark, sf_dir))
 
