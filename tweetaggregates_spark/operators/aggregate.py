@@ -59,6 +59,58 @@ def entity_window_agg(
     ).agg(*aggs)
 
 
+def entity_window_agg_bounded(
+    df: DataFrame,
+    entity_col: str,
+    weight_col: str,
+    payload_cols: Sequence[Column],
+    ts_col: str = "ts",
+    size: str = "10 minutes",
+    slide: str = "1 minute",
+    k_examples: int = NUMBER_OF_EXAMPLES,
+) -> DataFrame:
+    """Scale-path variant of ``entity_window_agg``: identical output,
+    bounded shuffle state.
+
+    The fused version's ``collect_list`` carries EVERY payload of a
+    (window x entity) group through the shuffle — O(group) state, fine
+    until one hot entity has millions of rows in a window. Here examples
+    are pre-ranked with ``row_number() <= k`` (state O(k) per group in
+    the window-sort spill), then count/sum aggregate separately and the
+    k survivors fold back into the array. Costs one extra shuffle on the
+    same key; wins whenever max-group-size >> k. Same determinism rules
+    (struct-lexicographic order == rank order)."""
+    from pyspark.sql import Window as W
+
+    keyed = df.select(
+        hopping(ts_col, size, slide).alias("window"),
+        F.col(entity_col).alias("entity"),
+        F.col(weight_col).alias("_w"),
+        F.struct(
+            F.col(weight_col).alias("w"), *payload_cols
+        ).alias("_payload"),
+    )
+    sums = keyed.groupBy("window", "entity").agg(
+        F.count(F.lit(1)).alias("tweet_count"),
+        F.sum("_w").alias("follower_count_sum"),
+    )
+    w = W.partitionBy("window", "entity").orderBy(F.desc("_payload"))
+    examples = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k_examples)
+        .groupBy("window", "entity")
+        .agg(
+            F.array_sort(F.collect_list("_payload")).alias("_asc"),
+        )
+        .select(
+            "window",
+            "entity",
+            F.reverse("_asc").alias("top_payloads"),
+        )
+    )
+    return sums.join(examples, ["window", "entity"])
+
+
 def top_entities_per_window(
     stage1: DataFrame,
     k: int = NUMBER_OF_AGGREGATES_PER_WINDOW,
