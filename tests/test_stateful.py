@@ -48,6 +48,13 @@ def test_running_totals_matches_batch(spark, tmp_path):
             .start()
         )
         q.awaitTermination()
+        # listener events are async — give queued progress events a
+        # moment to land before detaching
+        import time
+
+        deadline = time.time() + 10
+        while time.time() < deadline and sum(listener.totals.values()) < 200:
+            time.sleep(0.2)
     finally:
         spark.streams.removeListener(listener)
 
@@ -60,5 +67,4 @@ def test_running_totals_matches_batch(spark, tmp_path):
     )
     expected = {r.user_id: (r.n, r.v) for r in batch}
     assert out == expected
-    # listener saw the input rows
     assert sum(listener.totals.values()) >= 200
