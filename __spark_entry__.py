@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickers_without_purchase": ev.clickers_without_purchase,
         "cosine_near_dups": llm.cosine_near_dups,
         "simhash_pairs_docs": llm.simhash_pairs_docs,
+        "clickers_who_purchased": ev.clickers_who_purchased,
+        "value_quantiles_by_type": ev.value_quantiles_by_type,
     }
 
 
@@ -594,6 +596,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_dot_product(a.v, b.v) /
                     (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+        """,
+        "clickers_who_purchased": """
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'click'
+              AND ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase'
+              AND ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+        """,
+        "value_quantiles_by_type": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   count(*) AS cnt
+            FROM events GROUP BY event_type
         """,
         "simhash_pairs_docs": f"""
             WITH toksrc AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),

@@ -308,6 +308,31 @@ def clickers_without_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.distinct().subtract(buys.distinct())
 
 
+def clickers_who_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (INTERSECT): users who both clicked and purchased
+    on 2024-01-15."""
+    ev = _events(spark, sf_dir).filter(
+        (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 extension: exact interpolated quantiles (median / p90) of
+    value per event type — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the standard linear-interpolation
+    definition."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
 def json_props_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4/F5 (JSON parse, Program.Repl.cs:63-80) + tumbling day window:
     extract props.k, sum per (day x event_type). get_json_object is a
