@@ -122,7 +122,10 @@ def minhash_lsh_pairs(
         minhash_signatures(df, text_col, id_col, k, n_hashes), n_hashes, n_bands
     )
     a = bands.alias("a")
-    b = bands.alias("b")
+    # shuffle join => identical canonical subplans on both sides => the
+    # whole signature pipeline computes once (ReusedExchange), and the
+    # join stays bucket-local at any scale
+    b = bands.alias("b").hint("shuffle_hash")
     return (
         a.join(
             b,
@@ -149,9 +152,19 @@ def ngram_jaccard_pairs(
     but O(sum over shingles of freq^2); at 100 TB use minhash_lsh_pairs
     and verify candidates with this measure."""
     sh = _doc_shingles(df, text_col, id_col, k)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # per-doc shingle counts map-only (no explode/shuffle needed)
+    sizes = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.array_distinct(word_shingles(tokens(F.col(text_col)), k))
+        ).alias("n_shingles"),
+    )
     a = sh.alias("a")
-    b = sh.alias("b")
+    # shuffle_hash: (1) broadcasting a shingle table is wrong at any
+    # real scale; (2) with both sides shuffled on `shingle` the plans
+    # canonicalize identically and Spark REUSES the exchange — the
+    # shingle pipeline runs once, not twice
+    b = sh.alias("b").hint("shuffle_hash")
     inter = (
         a.join(
             b,
