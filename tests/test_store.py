@@ -68,3 +68,25 @@ def test_top_entity_filter(store):
 def test_print_db(store):
     out = store.print_db(2)
     assert "summary" in out and "counts" in out
+
+
+def test_prefix_seek_quirk(store):
+    """The quirk variant returns the intended rows PLUS later-keyed
+    entities of the seek window (RocksDBStore.cs:242-245)."""
+    m = store.read("mentions").orderBy("window_time").collect()
+    w0 = m[0].window_time
+    names_in_w0 = sorted(r.screen_name for r in m if r.window_time == w0)
+    if len(names_in_w0) < 2:
+        import pytest
+
+        pytest.skip("need >=2 entities in first window")
+    pivot = names_in_w0[1]
+    end = str(m[-1].window_time)
+    got = store.get_top_prefix_seek("mentions", str(w0), end, pivot).collect()
+    got_w0 = sorted(r.screen_name for r in got if r.window_time == w0)
+    # seek starts at (w0, pivot): names before pivot in w0 excluded
+    assert got_w0 == [n for n in names_in_w0 if n >= pivot]
+    # but later windows are NOT filtered by entity (the quirk)
+    later = {r.window_time for r in got if r.window_time != w0}
+    expected_later = {r.window_time for r in m if r.window_time not in (w0, m[-1].window_time)}
+    assert expected_later <= later | {m[-1].window_time}

@@ -65,11 +65,20 @@ def _vals_close(a, b):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
-    for a in sys.argv[1:]:
-        if a.startswith("--sf="):
-            sf_dir = a.split("=", 1)[1]
+    args = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--sf" and i + 1 < len(argv):
+            sf_dir = argv[i + 1]
+            i += 2
+        elif argv[i].startswith("--sf="):
+            sf_dir = argv[i].split("=", 1)[1]
+            i += 1
+        else:
+            args.append(argv[i])
+            i += 1
 
     con = duckdb.connect()
     for t in TABLES:

@@ -82,6 +82,26 @@ class AggregateStore:
             df = df.filter(F.col(ENTITY_COL.get(family, "entity")) == entity)
         return df
 
+    def get_top_prefix_seek(
+        self, family: str, start: str, end: str, entity: str
+    ) -> DataFrame:
+        """The reference's EXACT Q3/Q4 behavior, quirk included: the
+        entity only positions the starting seek key (start‖entity) and
+        subsequent keys are NOT re-filtered, so every (window_time,
+        entity') with key >= that seek point inside the time range comes
+        back (RocksDBStore.cs:242-245, 236-264). Provided for byte-parity
+        replay; `get_top` implements the intended semantics."""
+        ecol = ENTITY_COL.get(family, "entity")
+        df = self.read(family)
+        start_ts = F.lit(start).cast("timestamp")
+        after_seek = (F.col("window_time") > start_ts) | (
+            (F.col("window_time") == start_ts)
+            & (F.col(ecol).cast("string") >= entity)
+        )
+        return df.filter(
+            after_seek & (F.col("window_time") < F.lit(end).cast("timestamp"))
+        ).orderBy("window_time", F.col(ecol).cast("string"))
+
     def get_recent(self, family: str, n: int) -> DataFrame:
         """Q6 (getrecent*string N): newest N by window_time
         (RocksDBStore.cs:213-232 reverse scan). Spark's sort+limit is a
