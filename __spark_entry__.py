@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_docs": llm.simhash_pairs_docs,
         "clickers_who_purchased": ev.clickers_who_purchased,
         "value_quantiles_by_type": ev.value_quantiles_by_type,
+        "purchase_asof_click": ev.purchase_asof_click,
     }
 
 
@@ -612,6 +613,21 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.9), 6) AS p90,
                    count(*) AS cnt
             FROM events GROUP BY event_type
+        """,
+        "purchase_asof_click": """
+            WITH p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ),
+            c AS (
+              SELECT user_id, ts AS click_ts, max(event_id) AS click_event_id
+              FROM events WHERE event_type = 'click'
+              GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id, p.ts, c.click_ts, c.click_event_id,
+                   epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.click_ts
         """,
         "simhash_pairs_docs": f"""
             WITH toksrc AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),

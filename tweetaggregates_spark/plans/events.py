@@ -333,6 +333,34 @@ def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase matched to the
+    user's most recent at-or-before click, with the gap in microseconds.
+    One sort-shuffle on (user, ts); oracle = DuckDB native ASOF JOIN."""
+    from tweetaggregates_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    out = asof_join(
+        purchases, clicks, "user_id", "ts", "click_ts", ["click_event_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("matched_click_ts").alias("click_ts"),
+        F.col("matched_click_event_id").alias("click_event_id"),
+        (F.unix_micros("ts") - F.unix_micros("matched_click_ts")).alias("gap_us"),
+    )
+
+
 def json_props_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4/F5 (JSON parse, Program.Repl.cs:63-80) + tumbling day window:
     extract props.k, sum per (day x event_type). get_json_object is a
