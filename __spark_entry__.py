@@ -17,7 +17,12 @@ Determinism conventions shared by every pair (SURVEY.md §7):
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# robust against being imported from a different working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
