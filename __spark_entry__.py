@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickers_who_purchased": ev.clickers_who_purchased,
         "value_quantiles_by_type": ev.value_quantiles_by_type,
         "purchase_asof_click": ev.purchase_asof_click,
+        "lsh_verified_pairs": llm.lsh_verified_pairs,
     }
 
 
@@ -542,6 +543,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
                    count(DISTINCT h) AS n_windows
             FROM h GROUP BY doc_id
+        """,
+        "lsh_verified_pairs": f"""
+            {_D_SHINGLES},
+            sig AS (
+              SELECT doc_id, {_MINHASH_MINS}
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS ({_BAND_SELECTS}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+            ),
+            shs AS (
+              SELECT doc_id, text,
+                     list_distinct({_D_SH3}) AS shingles
+              FROM toksrc JOIN documents USING (doc_id)
+            )
+            SELECT c.doc_a, c.doc_b,
+                   round(len(list_intersect(x.shingles, y.shingles)) /
+                     (len(x.shingles) + len(y.shingles)
+                      - len(list_intersect(x.shingles, y.shingles))), 6)
+                     AS jaccard,
+                   CAST(levenshtein(x.text, y.text) AS INTEGER) AS lev_dist
+            FROM cand c
+            JOIN shs x ON c.doc_a = x.doc_id
+            JOIN shs y ON c.doc_b = y.doc_id
         """,
         # sessions: gaps-and-islands; break when gap >= 6h (Spark session
         # windows have exclusive ends, so an exact-6h gap starts a new

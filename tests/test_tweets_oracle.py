@@ -70,6 +70,42 @@ def test_tumbling_counts_match(setup):
     assert spark_counts == duck_counts
 
 
+def test_retweet_aggregates_match(setup):
+    flat, con = setup
+    spark_rows = {
+        (r.window_time, r.id, r.tweet_count, r.follower_count_sum)
+        for r in tp.top_retweets(flat)
+        .select("window_time", "id", "tweet_count", "follower_count_sum")
+        .collect()
+    }
+    duck_rows = set(
+        con.sql(
+            """
+        WITH rt AS (
+          SELECT * FROM flat WHERE original_tweet_id <> -1
+        ),
+        hop AS (
+          SELECT date_trunc('minute', ts) - (g.k * INTERVAL '1 minute')
+                   + INTERVAL '10 minutes' AS window_time,
+                 original_tweet_id, follower_count
+          FROM rt CROSS JOIN (SELECT unnest(range(10)) AS k) g
+        ),
+        s1 AS (
+          SELECT window_time, original_tweet_id AS id,
+                 count(*) AS tweet_count,
+                 CAST(sum(follower_count) AS BIGINT) AS fcs
+          FROM hop GROUP BY 1, 2
+        )
+        SELECT window_time, id, tweet_count, fcs
+        FROM s1
+        QUALIFY row_number() OVER (
+          PARTITION BY window_time ORDER BY fcs DESC, id ASC) <= 10
+        """
+        ).fetchall()
+    )
+    assert spark_rows == duck_rows
+
+
 def test_mention_aggregates_match(setup):
     flat, con = setup
     spark_rows = {

@@ -55,6 +55,36 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir))
 
 
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE scale pattern for near-dup dedup: cheap LSH candidate
+    generation, then exact verification ONLY on candidates — here both
+    3-gram Jaccard and Levenshtein distance, joined back to the docs.
+    At 100 TB the verify stage touches |candidates| pairs instead of
+    |docs|^2."""
+    from tweetaggregates_spark.functions.textstats import tokens, word_shingles
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    cand = dedup.minhash_lsh_pairs(docs)
+    sh = F.array_distinct(word_shingles(tokens(F.col("text")), 3))
+    a = docs.select(F.col("doc_id").alias("doc_a"), sh.alias("sh_a"),
+                    F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), sh.alias("sh_b"),
+                    F.col("text").alias("text_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                inter / (F.size("sh_a") + F.size("sh_b") - inter), 6
+            ).alias("jaccard"),
+            F.levenshtein("text_a", "text_b").alias("lev_dist"),
+        )
+    )
+
+
 def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors vec_id<20."""
     emb = load_table(spark, sf_dir, "embeddings")
