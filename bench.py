@@ -36,6 +36,11 @@ HEADLINE = [
     "ngram_jaccard_docs",
     "knn_cosine",
     "quality_docs",
+    "purchase_asof_click",
+    "session_windows",
+    "value_quantiles_by_type",
+    "simhash_docs",
+    "lsh_verified_pairs",
 ]
 
 
