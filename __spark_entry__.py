@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": star.q3_shipping_priority,
         "q5_region_revenue": star.q5_region_revenue,
         "revenue_rollup": star.revenue_rollup,
+        "revenue_cube": star.revenue_cube,
         "customers_without_orders": star.customers_without_orders,
         "customers_with_orders_semi": star.customers_with_orders_semi,
         "brand_supplier_stats": star.brand_supplier_stats,
@@ -370,6 +371,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "revenue_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                   count(*) AS cnt
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name, c_mktsegment
