@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from tests.fixtures import make_tweets
 from tweetaggregates_spark.plans import tweets as tp
+from tweetaggregates_spark.store import AggregateStore
 from tweetaggregates_spark.streaming.pipeline import run_streaming_aggregates
 
 
@@ -25,7 +26,7 @@ def stream_outputs(spark, tmp_path_factory):
     (in_dir / "tweets.ndjson").write_text(
         "\n".join(make_tweets(1500, seed=11)) + "\n"
     )
-    run_streaming_aggregates(
+    queries = run_streaming_aggregates(
         spark,
         str(in_dir),
         str(root / "store"),
@@ -34,7 +35,7 @@ def stream_outputs(spark, tmp_path_factory):
     )
     flat = tp.parse_tweets(spark.read.text(str(in_dir))).persist()
     max_ts = flat.agg(F.max("ts")).collect()[0][0]
-    yield spark, str(root / "store"), flat, max_ts
+    yield spark, str(root / "store"), flat, max_ts, queries, str(in_dir)
     flat.unpersist()
 
 
@@ -53,24 +54,23 @@ def _rows(df, key_cols):
 
 
 def test_counts_parity(stream_outputs):
-    spark, store_dir, flat, max_ts = stream_outputs
-    streamed = spark.read.parquet(f"{store_dir}/counts").drop("window_date")
+    spark, store_dir, flat, max_ts, _queries, _in_dir = stream_outputs
+    streamed = AggregateStore(spark, store_dir).read("counts")
     batch = _closed(tp.tumbling_counts(flat), max_ts)
     assert _rows(streamed, None) == _rows(batch, None)
 
 
 def test_hopping_counts_parity(stream_outputs):
-    spark, store_dir, flat, max_ts = stream_outputs
-    streamed = spark.read.parquet(f"{store_dir}/hopping_counts").drop("window_date")
+    spark, store_dir, flat, max_ts, _queries, _in_dir = stream_outputs
+    streamed = AggregateStore(spark, store_dir).read("hopping_counts")
     batch = _closed(tp.hopping_counts(flat), max_ts)
     assert _rows(streamed, None) == _rows(batch, None)
 
 
 def test_mentions_parity(stream_outputs):
-    spark, store_dir, flat, max_ts = stream_outputs
+    spark, store_dir, flat, max_ts, _queries, _in_dir = stream_outputs
     streamed = (
-        spark.read.parquet(f"{store_dir}/mentions")
-        .drop("window_date")
+        AggregateStore(spark, store_dir).read("mentions")
         .select("window_time", "screen_name", "tweet_count", "follower_count_sum")
     )
     batch = _closed(
@@ -80,13 +80,99 @@ def test_mentions_parity(stream_outputs):
 
 
 def test_retweets_parity(stream_outputs):
-    spark, store_dir, flat, max_ts = stream_outputs
+    spark, store_dir, flat, max_ts, _queries, _in_dir = stream_outputs
     streamed = (
-        spark.read.parquet(f"{store_dir}/retweets")
-        .drop("window_date")
+        AggregateStore(spark, store_dir).read("retweets")
         .select("window_time", "id", "tweet_count", "follower_count_sum")
     )
     batch = _closed(tp.top_retweets(flat), max_ts).select(
         "window_time", "id", "tweet_count", "follower_count_sum"
     )
     assert _rows(streamed, None) == _rows(batch, None)
+
+
+def test_source_read_once(stream_outputs):
+    """The defining single-pass property (Query.cs:42,55 Multicast): ONE
+    streaming query, and total numInputRows across every progress event
+    equals the input line count — each byte is read/parsed exactly once,
+    not once per aggregate family."""
+    spark, store_dir, flat, max_ts, queries, in_dir = stream_outputs
+    assert len(queries) == 1
+    raw_lines = spark.read.text(in_dir).count()
+    total_input = sum(p.numInputRows for q in queries for p in q.recentProgress)
+    assert total_input == raw_lines
+
+
+@pytest.fixture(scope="module")
+def multi_batch_outputs(spark, tmp_path_factory):
+    """Three time-ordered files drained one per micro-batch
+    (maxFilesPerTrigger=1): exercises the cross-batch carry, the
+    monotone watermark, and the disjoint (prev_wm, new_wm] emit ranges."""
+    import json as _json
+
+    root = tmp_path_factory.mktemp("stream_mb")
+    in_dir = root / "in"
+    in_dir.mkdir()
+    lines = make_tweets(1500, seed=23)
+    parsed = []
+    for ln in lines:
+        try:
+            ts = int(_json.loads(ln)["timestamp_ms"])
+        except Exception:
+            ts = 0  # invalid lines: front-load, they drop in parse anyway
+        parsed.append((ts, ln))
+    parsed.sort(key=lambda p: p[0])
+    third = len(parsed) // 3
+    chunks = [parsed[:third], parsed[third : 2 * third], parsed[2 * third :]]
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, chunk in enumerate(chunks):
+        path = in_dir / f"{i:03d}.ndjson"
+        path.write_text("\n".join(ln for _, ln in chunk) + "\n")
+        # FileStreamSource drains oldest-mtime first: make order explicit
+        _os.utime(path, (now + 10 * i, now + 10 * i))
+    queries = run_streaming_aggregates(
+        spark,
+        str(in_dir),
+        str(root / "store"),
+        str(root / "ckpt"),
+        available_now=True,
+        max_files_per_trigger=1,
+    )
+    flat = tp.parse_tweets(spark.read.text(str(in_dir))).persist()
+    max_ts = flat.agg(F.max("ts")).collect()[0][0]
+    yield spark, str(root / "store"), str(root / "ckpt"), flat, max_ts, queries
+    flat.unpersist()
+
+
+def test_multi_batch_parity_and_exactly_once(multi_batch_outputs):
+    spark, store_dir, ckpt, flat, max_ts, queries = multi_batch_outputs
+    n_batches = sum(1 for q in queries for p in q.recentProgress if p.numInputRows > 0)
+    assert n_batches == 3
+    store = AggregateStore(spark, store_dir)
+    streamed = store.read("counts")
+    # exactly-once per window: emit ranges are disjoint across batches
+    dupes = streamed.groupBy("window_time").count().filter(F.col("count") > 1)
+    assert dupes.count() == 0
+    batch = _closed(tp.tumbling_counts(flat), max_ts)
+    assert _rows(streamed, None) == _rows(batch, None)
+    hop = store.read("hopping_counts")
+    hop_dupes = hop.groupBy("window_time").count().filter(F.col("count") > 1)
+    assert hop_dupes.count() == 0
+    assert _rows(hop, None) == _rows(_closed(tp.hopping_counts(flat), max_ts), None)
+
+
+def test_restart_is_idempotent(multi_batch_outputs):
+    """A restart over the same checkpoint with no new data must not
+    change the store (commit markers + overwrite-keyed batch dirs)."""
+    spark, store_dir, ckpt, flat, max_ts, queries = multi_batch_outputs
+    store = AggregateStore(spark, store_dir)
+    before = {f: store.read(f).count() for f in ("counts", "hopping_counts", "mentions")}
+    in_dir = store_dir.rsplit("/", 1)[0] + "/in"
+    run_streaming_aggregates(
+        spark, in_dir, store_dir, ckpt, available_now=True, max_files_per_trigger=1
+    )
+    after = {f: store.read(f).count() for f in ("counts", "hopping_counts", "mentions")}
+    assert before == after

@@ -53,10 +53,29 @@ class AggregateStore:
             .parquet(self._path(family))
         )
 
+    def write_batch(self, family: str, df: DataFrame, batch_id: int) -> None:
+        """Streaming sink: persist one family's output for one micro-batch
+        into a deterministic ``family/batch_id=N/`` subdirectory with mode
+        OVERWRITE. foreachBatch is at-least-once, so a replayed batch
+        overwrites its own directory instead of appending duplicates —
+        the Spark-file equivalent of the reference's idempotent keyed
+        RocksDB puts (RocksDBStore.cs:70-135). batch_id is a discovered
+        partition column on read and dropped."""
+        (
+            df.withColumn("window_date", F.to_date("window_time"))
+            .repartition("window_date")
+            .sortWithinPartitions("window_time")
+            .write.mode("overwrite")
+            .partitionBy("window_date")
+            .parquet(os.path.join(self._path(family), f"batch_id={batch_id}"))
+        )
+
     # -- read surface -------------------------------------------------------
 
     def read(self, family: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(family)).drop("window_date")
+        df = self.spark.read.parquet(self._path(family))
+        drop = [c for c in ("window_date", "batch_id") if c in df.columns]
+        return df.drop(*drop)
 
     def get_summary(self) -> DataFrame:
         """Q1 (getsummary): fold over the counts family

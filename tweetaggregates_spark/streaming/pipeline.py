@@ -1,78 +1,113 @@
 """Structured Streaming wrapper (SURVEY.md §2.4 W1-W7, §3.1, §7 M3).
 
-The reference runs one Trill dataflow with five egress observables
-persisting to RocksDB (Program.SaveAggregates.cs:61-107). Here each
-aggregate family is a streaming query over the same parsed stream:
+Single-pass dataflow, matching the reference's Multicast shape: the
+reference evaluates the upstream tweet stream ONCE and fans out to the
+five egress observables (TweetGateCore/Query.cs:42,55 Multicast;
+Program.SaveAggregates.cs:61-107). Here that is ONE ``readStream`` ->
+``parse_tweets`` -> ONE ``foreachBatch`` that persists the micro-batch
+and computes all five aggregate families from it via the shared batch
+plan ``plans.tweets.tweet_aggregates`` — every ingested byte is read and
+JSON-parsed exactly once per micro-batch.
 
-* counts / hopping_counts: streaming windowed count, watermark 5 s
-  (DisOrderTicks, Query.cs:14), APPEND mode — a window emits exactly
-  once, when the watermark passes its end: the Spark equivalent of
-  Trill's CoalesceEndEdges interval emission (W7).
-* mentions / hashtags / retweets: stage-1 per-entity windowed aggregate
-  is the streaming part; the cross-entity top-k (A6) + array dedupe (D3)
-  is a batch rank inside foreachBatch — Spark forbids chained streaming
-  aggregations (SURVEY §4.3), and append mode guarantees every group of
-  a window arrives in the same micro-batch, so the per-window rank is
-  complete.
+Windowing semantics are Trill's interval emission (W7), implemented
+manually inside foreachBatch (Spark cannot branch one streaming
+aggregation into five groupings within a single query):
 
-Late-data semantics: Spark DROPS rows later than the watermark; Trill's
-DisorderPolicy.Adjust CLAMPS timestamps forward (Query.cs:29). Drop is
-the documented default (SURVEY §7); operators.window.clamp_late gives
-the Trill behavior inside foreachBatch if byte-parity is required.
+* watermark = max event time seen so far − 5 s tolerance (DisOrderTicks,
+  Query.cs:14). Rows older than the watermark at batch start DROP —
+  Spark's default late policy, the documented delta from Trill's
+  DisorderPolicy.Adjust (SURVEY §7).
+* a window is FINAL and emitted exactly once, in the first batch whose
+  watermark passes its end (prev_wm < window_end <= new_wm) — the exact
+  append-mode contract of a native streaming aggregation, and Trill's
+  CoalesceEndEdges interval emission.
+* a ``carry`` of still-open-window events rides between batches: an
+  event is retained while some window containing it is open
+  (ts + window_size > watermark). Any window this batch closes therefore
+  sees its COMPLETE event set (carry ∪ batch), so per-window top-k (A6)
+  and array dedupe (D3) are computed over full windows.
 
-State scale: hopping windows put each event in 10 windows (W4); the 5 s
-watermark keeps only ~the open window frontier in the state store. For
-large entity cardinality switch the state store to RocksDB
-(spark.sql.streaming.stateStore.providerClass) — a neat symmetry with
-the reference's own store.
+Failure semantics: foreachBatch is at-least-once, so every write is a
+deterministic overwrite keyed by batch_id — family rows land in
+``family/batch_id=N/`` (AggregateStore.write_batch) and the carry in
+``_state/carry/batch_id=N`` — and a commit marker
+(``_state/commits/N.json``, atomic rename) is written LAST. A replayed
+batch either short-circuits on the marker or recomputes byte-identical
+output into the same directories. This restores the keyed-put
+idempotence of the reference's RocksDB sink (RocksDBStore.cs:70-135).
+
+State scale at 100 TB: the carry holds only events inside the open
+window frontier (≤ window_size + tolerance of event time), written as
+date-partitioned parquet — the same bound a native state store would
+hold, but spillable and executor-count independent.
 """
 
 from __future__ import annotations
 
+import datetime
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tweetaggregates_spark.operators.aggregate import (
-    NUMBER_OF_AGGREGATES_PER_WINDOW,
-    NUMBER_OF_EXAMPLES,
-    entity_window_agg,
-    top_entities_per_window,
-)
-from tweetaggregates_spark.operators.project import explode_entities, retweets_only
 from tweetaggregates_spark.plans.tweets import (
-    HOP_SIZE,
     WINDOW_SIZE,
-    _dedupe_and_shape,
-    _tweet_payload,
     parse_tweets,
+    tweet_aggregates,
 )
 from tweetaggregates_spark.store import AggregateStore
 
-DISORDER_TOLERANCE = "5 seconds"  # Query.cs:14
+DISORDER_TOLERANCE_SECONDS = 5  # Query.cs:14 DisOrderTicks
 
 
-def _write_family(store: AggregateStore, family: str):
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.isEmpty():
-            store.write(family, batch_df, mode="append")
-
-    return _sink
+# -- commit-marker protocol (idempotent foreachBatch) ------------------------
 
 
-def _rank_and_write(store: AggregateStore, family: str, entity_name: str):
-    """Stage 2 inside foreachBatch: A6 top-k per window + D3 dedupe."""
+def _commit_path(commits_dir: str, batch_id: int) -> str:
+    return os.path.join(commits_dir, f"{batch_id}.json")
 
-    def _sink(stage1: DataFrame, batch_id: int) -> None:
-        if stage1.isEmpty():
-            return
-        top = top_entities_per_window(
-            stage1, k=NUMBER_OF_AGGREGATES_PER_WINDOW, tiebreak="entity"
-        ).drop("rank")
-        store.write(family, _dedupe_and_shape(top, entity_name), mode="append")
 
-    return _sink
+def _is_committed(commits_dir: str, batch_id: int) -> bool:
+    return os.path.exists(_commit_path(commits_dir, batch_id))
+
+
+def _last_commit(commits_dir: str) -> tuple[int | None, datetime.datetime | None]:
+    """Latest committed (batch_id, watermark); (None, None) if fresh."""
+    ids = []
+    for name in os.listdir(commits_dir):
+        if name.endswith(".json"):
+            try:
+                ids.append(int(name[: -len(".json")]))
+            except ValueError:
+                continue
+    if not ids:
+        return None, None
+    last = max(ids)
+    with open(_commit_path(commits_dir, last)) as f:
+        payload = json.load(f)
+    wm = payload.get("watermark")
+    return last, (datetime.datetime.fromisoformat(wm) if wm else None)
+
+
+def _commit(
+    commits_dir: str, batch_id: int, watermark: datetime.datetime | None
+) -> None:
+    """Atomic (write-tmp + rename) marker: the batch is durable only once
+    this file exists, so a crash anywhere earlier replays harmlessly into
+    the same overwrite-keyed directories."""
+    tmp = _commit_path(commits_dir, batch_id) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"batch_id": batch_id,
+             "watermark": watermark.isoformat() if watermark else None},
+            f,
+        )
+    os.replace(tmp, _commit_path(commits_dir, batch_id))
+
+
+# -- the single-pass pipeline ------------------------------------------------
 
 
 def run_streaming_aggregates(
@@ -83,107 +118,84 @@ def run_streaming_aggregates(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
 ) -> list:
-    """Run the full five-family pipeline over a stream of NDJSON files.
+    """Run the full five-family pipeline over a stream of NDJSON files
+    in a SINGLE streaming query (source read once per micro-batch).
 
     available_now=True drains existing files and stops (deterministic
     replay / tests); False runs continuously (micro-batch). Returns the
-    list of StreamingQuery handles (already awaited if available_now)."""
+    (length-1) list of StreamingQuery handles (already awaited if
+    available_now)."""
     store = AggregateStore(spark, store_dir)
+    state_dir = os.path.join(store_dir, "_state")
+    commits_dir = os.path.join(state_dir, "commits")
+    carry_root = os.path.join(state_dir, "carry")
+    os.makedirs(commits_dir, exist_ok=True)
 
-    def _source() -> DataFrame:
-        reader = spark.readStream
-        if max_files_per_trigger is not None:
-            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-        lines = reader.text(input_path)
-        return parse_tweets(lines).withWatermark("ts", DISORDER_TOLERANCE)
+    def _process(batch_lines: DataFrame, batch_id: int) -> None:
+        if _is_committed(commits_dir, batch_id):
+            return  # at-least-once replay of a fully committed batch
+        last_id, prev_wm = _last_commit(commits_dir)
 
-    queries = []
-
-    def _start(df: DataFrame, name: str, sink) -> None:
-        writer = (
-            df.writeStream.queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(checkpoint_dir, name))
-            .foreachBatch(sink)
+        flat = parse_tweets(batch_lines)
+        if prev_wm is not None:
+            # W1 drop policy: rows older than the watermark drop
+            flat = flat.filter(F.col("ts") >= F.lit(prev_wm))
+        carry_path = (
+            os.path.join(carry_root, f"batch_id={last_id}")
+            if last_id is not None
+            else None
         )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        queries.append(writer.start())
+        if carry_path is not None and os.path.exists(carry_path):
+            carry = spark.read.schema(flat.schema).parquet(carry_path)
+            events = flat.unionByName(carry)
+        else:
+            events = flat
+        events = events.persist()
+        try:
+            max_ts = events.agg(F.max("ts")).collect()[0][0]
+            if max_ts is None:  # empty batch: advance nothing, commit
+                _commit(commits_dir, batch_id, prev_wm)
+                return
+            new_wm = max_ts - datetime.timedelta(
+                seconds=DISORDER_TOLERANCE_SECONDS
+            )
+            if prev_wm is not None and new_wm < prev_wm:
+                new_wm = prev_wm  # watermark is monotone
 
-    flat = _source()
-    # counts families: pure streaming windowed count (append mode emits
-    # a window once, after the watermark passes its end)
-    counts = (
-        flat.groupBy(F.window("ts", WINDOW_SIZE).alias("window"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.col("window.end").alias("window_time"), "cnt")
+            # one cached upstream -> all five families (Multicast, P9)
+            for family, df in tweet_aggregates(events).items():
+                out = df.filter(F.col("window_time") <= F.lit(new_wm))
+                if prev_wm is not None:
+                    out = out.filter(F.col("window_time") > F.lit(prev_wm))
+                if not out.isEmpty():
+                    store.write_batch(family, out, batch_id)
+
+            # retain events while any window containing them is open
+            still_open = F.col("ts") + F.expr(f"INTERVAL {WINDOW_SIZE}") > F.lit(
+                new_wm
+            )
+            events.filter(still_open).write.mode("overwrite").parquet(
+                os.path.join(carry_root, f"batch_id={batch_id}")
+            )
+            _commit(commits_dir, batch_id, new_wm)
+            if carry_path is not None and os.path.exists(carry_path):
+                shutil.rmtree(carry_path, ignore_errors=True)
+        finally:
+            events.unpersist()
+
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.text(input_path)
+
+    writer = (
+        lines.writeStream.queryName("tweet_aggregates_single_pass")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "single_pass"))
+        .foreachBatch(_process)
     )
-    _start(counts, "counts", _write_family(store, "counts"))
-
-    hop_counts = (
-        _source()
-        .groupBy(F.window("ts", WINDOW_SIZE, HOP_SIZE).alias("window"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.col("window.end").alias("window_time"), "cnt")
-    )
-    _start(hop_counts, "hopping_counts", _write_family(store, "hopping_counts"))
-
-    # entity families: streaming stage-1 agg + batch stage-2 in foreachBatch
-    for family, array_col, entity_name in (
-        ("mentions", "mentions", "screen_name"),
-        ("hashtags", "hashtags", "hashtag"),
-    ):
-        exploded = explode_entities(_source(), array_col, "entity")
-        stage1 = entity_window_agg(
-            exploded,
-            "entity",
-            "follower_count",
-            payload_cols=_tweet_payload(),
-            size=WINDOW_SIZE,
-            slide=HOP_SIZE,
-            k_examples=NUMBER_OF_EXAMPLES,
-        )
-        _start(stage1, family, _rank_and_write(store, family, entity_name))
-
-    rts = retweets_only(_source())
-    rt_stage1 = rts.groupBy(
-        F.window("ts", WINDOW_SIZE, HOP_SIZE).alias("window"),
-        F.col("original_tweet_id").alias("entity"),
-    ).agg(
-        F.max("text").alias("text"),
-        F.count(F.lit(1)).alias("tweet_count"),
-        F.sum("follower_count").alias("follower_count_sum"),
-        F.slice(
-            F.sort_array(
-                F.collect_list(F.struct("follower_count", "id", "screen_name")),
-                asc=False,
-            ),
-            1,
-            NUMBER_OF_EXAMPLES,
-        ).alias("top_user_payloads"),
-    )
-
-    def _rt_sink(stage1_df: DataFrame, batch_id: int) -> None:
-        if stage1_df.isEmpty():
-            return
-        top = top_entities_per_window(
-            stage1_df, k=NUMBER_OF_AGGREGATES_PER_WINDOW, tiebreak="entity"
-        ).drop("rank")
-        shaped = top.select(
-            "window_time",
-            F.col("entity").alias("id"),
-            "text",
-            "tweet_count",
-            "follower_count_sum",
-            F.transform("top_user_payloads", lambda x: x["screen_name"]).alias(
-                "top_users"
-            ),
-        )
-        store.write("retweets", shaped, mode="append")
-
-    _start(rt_stage1, "retweets", _rt_sink)
-
     if available_now:
-        for q in queries:
-            q.awaitTermination()
-    return queries
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination()
+    return [query]
