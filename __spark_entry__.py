@@ -126,7 +126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_users_daily": ev.approx_users_daily,  # rows-only: HLL sketch
         "clickers_without_purchase": ev.clickers_without_purchase,
         "cosine_near_dups": llm.cosine_near_dups,
+        "cosine_near_dups_banded": llm.cosine_near_dups_banded,
         "simhash_pairs_docs": llm.simhash_pairs_docs,
+        "simhash_pairs_banded": llm.simhash_pairs_banded_docs,
         "clickers_who_purchased": ev.clickers_who_purchased,
         "value_quantiles_by_type": ev.value_quantiles_by_type,
         "purchase_asof_click": ev.purchase_asof_click,
@@ -135,7 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "tumbling_counts": """
             SELECT time_bucket(INTERVAL '10 minutes', ts)
                      + INTERVAL '10 minutes' AS window_time,
@@ -686,3 +688,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         """,
     }
+    # banded SimHash must equal the all-pairs result (pigeonhole recall=1):
+    # same oracle SQL proves the equivalence via the hash-match gate
+    sql["simhash_pairs_banded"] = sql["simhash_pairs_docs"]
+    # banded+verified cosine near-dups must equal the all-pairs result
+    # (recall 1 in practice at these LSH parameters; see similarity.py)
+    sql["cosine_near_dups_banded"] = sql["cosine_near_dups"]
+    return sql

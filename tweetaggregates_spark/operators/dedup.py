@@ -230,9 +230,9 @@ def simhash_pairs(
     bits: int = SIMHASH_BITS,
     max_hamming: int = 2,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance. Plain self-join here
-    (testdata scale); at 100 TB block on simhash bands first so the join
-    is bucket-local, exactly like MinHash-LSH."""
+    """Near-dup pairs by SimHash hamming distance — ALL-PAIRS exact
+    baseline (cartesian). Kept only as the sf0.01 oracle cross-check for
+    simhash_pairs_banded, which is the scale path."""
     fp = simhash(df, text_col, id_col, bits)
     a = fp.alias("a")
     b = fp.alias("b")
@@ -250,4 +250,81 @@ def simhash_pairs(
             F.col("b.doc_id").alias("doc_b"),
             "hamming",
         )
+    )
+
+
+def simhash_banded_candidates(
+    fp: DataFrame, bits: int, max_hamming: int
+) -> DataFrame:
+    """(doc_id, simhash) -> (doc_id, simhash, band_id, band_bits) rows.
+
+    Pigeonhole blocking: split the fingerprint into max_hamming + 1
+    disjoint bit-bands. Two fingerprints within hamming distance
+    max_hamming differ in at most max_hamming bands, so they AGREE
+    exactly on at least one band — an equi-join on (band_id, band_bits)
+    finds every true pair (recall = 1 by construction)."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(bits, n_bands)
+    bands = []
+    offset = 0
+    for b in range(n_bands):
+        width = base + (1 if b < extra else 0)
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("simhash"), offset)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_bits"),
+            )
+        )
+        offset += width
+    return fp.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "simhash", "band.band_id", "band.band_bits")
+
+
+def simhash_pairs_banded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance via band blocking —
+    the 100 TB path, replacing the all-pairs `simhash_pairs` cartesian.
+
+    Same pigeonhole trick as MinHash-LSH: equi-join on (band_id,
+    band_bits) makes the self-join bucket-local, then the exact hamming
+    filter keeps true pairs; result set is IDENTICAL to `simhash_pairs`
+    (recall 1, the band only over-generates candidates). distinct()
+    collapses pairs that agree on several bands.
+
+    Bucket width: with the oracle-economy bits=16 and max_hamming=2 each
+    band carries 5-6 bits (<=64 buckets) — fine at test scale, hot at
+    100 TB. Production uses bits=64 => ~21-bit bands (~2M buckets), the
+    same shape Google's SimHash dedup paper (Manku et al., WWW'07) runs."""
+    fp = simhash(df, text_col, id_col, bits)
+    banded = simhash_banded_candidates(fp, bits, max_hamming)
+    a = banded.alias("a")
+    # shuffle join on identical canonical subplans => the fingerprint
+    # pipeline computes once (ReusedExchange), join stays bucket-local
+    b = banded.alias("b").hint("shuffle_hash")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
+        )
+        .distinct()
     )

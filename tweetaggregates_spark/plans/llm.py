@@ -100,14 +100,30 @@ def knn_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs at >= 0.4."""
+    """Embedding-cosine near-duplicate pairs at >= 0.4 — all-pairs
+    exact baseline, kept as the oracle cross-check."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dup_pairs(emb, threshold=0.4)
 
 
+def cosine_near_dups_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-sign banded near-dup pairs + exact verify on
+    candidates — the 100 TB path; equals the all-pairs result here
+    (per-pair miss ~5e-6 at the marginal cos=0.4 with w=2/r=24)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs_banded(emb, threshold=0.4)
+
+
 def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at hamming distance <= 2 (16-bit)."""
+    """SimHash near-dup pairs at hamming distance <= 2 (16-bit) —
+    all-pairs exact baseline, kept as the oracle cross-check."""
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=2)
+
+
+def simhash_pairs_banded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole band blocking — the 100 TB
+    path; result set identical to simhash_pairs_docs (recall 1)."""
+    return dedup.simhash_pairs_banded(_docs(spark, sf_dir), max_hamming=2)
 
 
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
