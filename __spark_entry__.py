@@ -239,7 +239,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(window_time) AS min_date, max(window_time) AS max_date,
                    count(*) AS window_count,
-                   CAST(sum(cnt) AS BIGINT) AS number_of_tweets
+                   CAST(sum(cnt) AS BIGINT) AS number_of_tweets,
+                   date_diff('second', min(window_time), max(window_time))
+                     AS duration_seconds
             FROM counts
         """,
         "counts_range": """

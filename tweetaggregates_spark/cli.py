@@ -34,10 +34,31 @@ def save_aggregates(in_path: str, store_dir: str) -> None:
     print(f"wrote {len(FAMILIES)} aggregate families to {store_dir}")
 
 
-def save_tweets(in_path: str, out_dir: str) -> None:
+def save_tweets(in_path: str, out_dir: str, minutes: int | None = None) -> None:
+    """S6 (Program.SaveTweets.cs:14-51): persist the raw NDJSON stream.
+    The reference captures for a bounded duration (SaveTweets.cs:42-45
+    timer); the deterministic replay analog bounds by EVENT time — keep
+    lines whose timestamp falls in [min_ts, min_ts + minutes). Unbounded
+    (minutes=None) copies everything; bounded mode drops unparseable
+    lines (no timestamp to bound by)."""
+    from pyspark.sql import functions as F
+
     spark = get_spark("saveTweets")
-    spark.read.text(in_path).write.mode("overwrite").text(out_dir)
-    print(f"saved raw tweets to {out_dir}")
+    lines = spark.read.text(in_path)
+    if minutes is not None:
+        ts = F.to_timestamp(
+            F.from_unixtime(
+                F.get_json_object("value", "$.timestamp_ms").cast("long") / 1000
+            )
+        )
+        with_ts = lines.withColumn("ts", ts).filter(F.col("ts").isNotNull())
+        min_ts = with_ts.agg(F.min("ts")).collect()[0][0]
+        if min_ts is not None:
+            bound = F.lit(min_ts) + F.expr(f"INTERVAL {int(minutes)} MINUTES")
+            lines = with_ts.filter(F.col("ts") < bound).select("value")
+    lines.write.mode("overwrite").text(out_dir)
+    span = f" ({minutes} min bound)" if minutes is not None else ""
+    print(f"saved raw tweets to {out_dir}{span}")
 
 
 def print_db(store_dir: str, n: int = 5) -> None:
@@ -49,18 +70,49 @@ def print_db(store_dir: str, n: int = 5) -> None:
             print(json.dumps(row.asDict(recursive=True), default=str))
 
 
+# getrecent<key>[string] -> store family (Program.Repl.cs:84-108)
+RECENT_FAMILIES = {
+    "counts": "counts",
+    "hoppingcounts": "hopping_counts",
+    "mentions": "mentions",
+    "hashtags": "hashtags",
+    "retweets": "retweets",
+}
+
+
+def _emit(df, out_path: str | None) -> None:
+    """Result sink (Program.Repl.cs:110-123): console, or `> file`
+    redirection writing the same JSON lines to a file."""
+    rows = [
+        json.dumps(r.asDict(recursive=True), default=str) for r in df.collect()
+    ]
+    if out_path is None:
+        for r in rows:
+            print(r)
+    else:
+        with open(out_path, "w") as f:
+            f.write("\n".join(rows) + ("\n" if rows else ""))
+        print(f"wrote {len(rows)} rows to {out_path}")
+
+
 def repl(store_dir: str) -> None:
-    """Q1-Q6 command loop (Program.Repl.cs:34-124)."""
+    """Q1-Q6 command loop (Program.Repl.cs:34-124). Append `> path` to
+    any command to write the result to a file instead of the console."""
     spark = get_spark("repl")
     store = AggregateStore(spark, store_dir)
     fam_by_cmd = {"topmentions": "mentions", "tophashtags": "hashtags",
                   "topretweets": "retweets"}
     print("commands: getsummary | getcounts s e | gettop{mentions,hashtags,"
-          "retweets}string s e [entity] | getrecent<family>string n | exit")
+          "retweets}string s e [entity] | getrecent<family>string n | exit"
+          " (append '> file' to redirect)")
     for line in sys.stdin:
         parts = line.strip().split()
         if not parts:
             continue
+        out_path = None
+        if len(parts) >= 2 and parts[-2] == ">":
+            out_path = parts[-1]
+            parts = parts[:-2]
         cmd = parts[0].lower()
         try:
             if cmd == "exit":
@@ -75,13 +127,16 @@ def repl(store_dir: str) -> None:
                 df = store.get_top(fam, parts[1], parts[2], entity)
             elif cmd.startswith("getrecent"):
                 key = cmd[len("getrecent"):].removesuffix("string")
-                fam = fam_by_cmd.get(key, "counts" if key == "counts" else key)
+                fam = RECENT_FAMILIES.get(key)
+                if fam is None:
+                    print(f"unknown family in {cmd}: expected getrecent"
+                          f"{{{','.join(RECENT_FAMILIES)}}}[string] n")
+                    continue
                 df = store.get_recent(fam, int(parts[1]))
             else:
                 print(f"unknown command: {cmd}")
                 continue
-            for row in df.collect():
-                print(json.dumps(row.asDict(recursive=True), default=str))
+            _emit(df, out_path)
         except Exception as e:  # noqa: BLE001
             print(f"error: {e}")
 
@@ -94,7 +149,11 @@ def main() -> int:
     if cmd == "saveAggregates":
         save_aggregates(sys.argv[2], sys.argv[3])
     elif cmd == "saveTweets":
-        save_tweets(sys.argv[2], sys.argv[3])
+        save_tweets(
+            sys.argv[2],
+            sys.argv[3],
+            int(sys.argv[4]) if len(sys.argv) > 4 else None,
+        )
     elif cmd == "printDB":
         print_db(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 5)
     elif cmd == "repl":

@@ -138,11 +138,16 @@ def top_entities_per_window(
 def db_summary(
     counts: DataFrame, time_col: str = "window_time", count_col: str = "count"
 ) -> DataFrame:
-    """A8 (DbSummary, RocksDBStore.DbSummary.cs:19-30): whole-store fold
-    over the counts family."""
+    """A8 (DbSummary, RocksDBStore.DbSummary.cs:13,19-30): whole-store
+    fold over the counts family. Duration = MaxDate - MinDate
+    (DbSummary.cs:13 TimeSpan), emitted as whole seconds so the oracle
+    hash-matches across engines."""
     return counts.agg(
         F.min(time_col).alias("min_date"),
         F.max(time_col).alias("max_date"),
         F.count(F.lit(1)).alias("window_count"),
         F.sum(count_col).alias("number_of_tweets"),
+    ).withColumn(
+        "duration_seconds",
+        F.col("max_date").cast("long") - F.col("min_date").cast("long"),
     )

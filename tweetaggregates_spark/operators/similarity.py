@@ -91,13 +91,17 @@ def knn_bruteforce_vectorized(
             c_mat = np.stack(pdf[vec_col].values).astype("float64")
             c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
             sims = qn @ c_mat.T
-            kk = min(k + 1, sims.shape[1])  # +1 to absorb self-matches
-            idx = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
             cids = pdf[id_col].values
+            # mask self-matches BEFORE the partial top-k: with a
+            # trailing +1 slot a self row plus a near-tie could displace
+            # the true k-th neighbor out of the partition partial
+            sims[cids[None, :] == np.asarray(qids)[:, None]] = -np.inf
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
             out = {"query_id": [], "neighbor_id": [], "cos_sim": []}
             for qi in range(sims.shape[0]):
                 for ci in idx[qi]:
-                    if cids[ci] == qids[qi]:
+                    if not np.isfinite(sims[qi, ci]):
                         continue
                     out["query_id"].append(qids[qi])
                     out["neighbor_id"].append(int(cids[ci]))

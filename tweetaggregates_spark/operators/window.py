@@ -102,9 +102,16 @@ def hopping_paned(
 
 
 def clamp_late(df: DataFrame, ts_col: str, tolerance: str = DISORDER_TOLERANCE) -> DataFrame:
-    """Trill ``DisorderPolicy.Adjust`` emulation (Query.cs:29): clamp any
-    timestamp older than (max seen - tolerance) forward to that bound.
-    Batch-only (uses a global max); for streaming use inside foreachBatch.
+    """Trill ``DisorderPolicy.Adjust`` APPROXIMATION (Query.cs:29): clamp
+    any timestamp older than (max - tolerance) forward to that bound.
+
+    Approximation, not parity: Trill clamps against the RUNNING max in
+    arrival order, so a row that arrives before any later event passes
+    through unmodified; this batch helper clamps against the GLOBAL max
+    — equivalent only under the assumption that all later data has
+    already arrived (true per drained micro-batch or full replay file,
+    where batch order is the only arrival order Spark retains). Per-row
+    byte parity with a live Trill stream is NOT guaranteed.
     """
     bound = F.max(F.col(ts_col)).over(_all_rows()) - F.expr(f"INTERVAL {tolerance}")
     return df.withColumn(ts_col, F.greatest(F.col(ts_col), bound))

@@ -124,8 +124,15 @@ class AggregateStore:
     def get_recent(self, family: str, n: int) -> DataFrame:
         """Q6 (getrecent*string N): newest N by window_time
         (RocksDBStore.cs:213-232 reverse scan). Spark's sort+limit is a
-        distributed top-k (TakeOrderedAndProject), not a full sort."""
-        return self.read(family).orderBy(F.desc("window_time")).limit(n)
+        distributed top-k (TakeOrderedAndProject), not a full sort.
+        The entity column is a deterministic tiebreaker — the reference's
+        reverse scan is totally ordered by key (ticks‖entity), so without
+        it the subset inside the boundary window would be run-dependent
+        for entity families (10 rows per window_time)."""
+        order = [F.desc("window_time")]
+        if family in ENTITY_COL:
+            order.append(F.col(ENTITY_COL[family]).cast("string").asc())
+        return self.read(family).orderBy(*order).limit(n)
 
     def print_db(self, n: int = 5) -> dict[str, DataFrame]:
         """Q7 (printDB): recent-N of every family + summary."""
