@@ -26,6 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tweetaggregates_spark.functions.textstats import (
+    LANG_PRED_THRESHOLD,
+    LANG_STOPWORDS,
+)
 from tweetaggregates_spark.plans import events as ev
 from tweetaggregates_spark.plans import llm, star
 
@@ -50,6 +54,21 @@ _D_SHINGLES = f"""
   WITH toksrc AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
   sh AS (SELECT doc_id, unnest(list_distinct({_D_SH3})) AS shingle FROM toksrc)
 """
+
+# multi-language lang-id fragments, generated from the SAME stopword
+# sets the Spark operator uses (functions/textstats.LANG_STOPWORDS)
+_LANG_RATIO_COLS = ",\n".join(
+    "round(len(list_filter(toks, x -> list_contains(["
+    + ",".join(f"'{w}'" for w in words)
+    + f"], x))) / greatest(len(toks), 1), 6) AS {lang}_stop_ratio"
+    for lang, words in LANG_STOPWORDS.items()
+)
+_LANG_RATIO_NAMES = ", ".join(f"{lang}_stop_ratio" for lang in LANG_STOPWORDS)
+_LANG_BEST = "greatest(" + _LANG_RATIO_NAMES + ")"
+_LANG_PRED_WHENS = "\n".join(
+    f"WHEN {lang}_stop_ratio = {_LANG_BEST} THEN '{lang}'"
+    for lang in LANG_STOPWORDS
+)
 
 # two 60-bit hashes per md5 (hex chars [1,15] and [16,30]) — mirrors
 # functions.hashing.seeded_hash64_pair
@@ -512,17 +531,16 @@ def oracle_sql() -> dict[str, str]:
             FROM s QUALIFY knn_rank <= 3
         """,
         "lang_id_docs": f"""
-            WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
-            SELECT doc_id,
-                   CAST(len(toks) AS INTEGER) AS n_tokens,
-                   round(len(list_filter(toks, x -> list_contains(
-                       ['the','a','of','to','and','in','is','it','for','on'],
-                       x))) / greatest(len(toks), 1), 6) AS en_stop_ratio,
-                   CASE WHEN round(len(list_filter(toks, x -> list_contains(
-                       ['the','a','of','to','and','in','is','it','for','on'],
-                       x))) / greatest(len(toks), 1), 6) >= 0.03
-                        THEN 'en' ELSE 'unknown' END AS lang_pred
-            FROM t
+            WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+            r AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+                         {_LANG_RATIO_COLS}
+                  FROM t)
+            SELECT doc_id, n_tokens, {_LANG_RATIO_NAMES},
+                   CASE WHEN {_LANG_BEST} < {LANG_PRED_THRESHOLD}
+                        THEN 'unknown'
+                        {_LANG_PRED_WHENS}
+                        END AS lang_pred
+            FROM r
         """,
         "quality_docs": f"""
             WITH t AS (SELECT doc_id, text, {_D_TOKS} AS toks FROM documents)

@@ -171,3 +171,25 @@ def test_cosine_banded_high_threshold_prunes(spark):
         .count()
     )
     assert n_cand < 0.25 * n * (n - 1) / 2  # far below the cross product
+
+
+def test_lang_id_multilanguage(spark):
+    """Multi-language classification on real sentences in each of the
+    four supported languages plus number-salad -> unknown."""
+    from tweetaggregates_spark.operators import text as text_ops
+
+    fixtures = [
+        (1, "the quick brown fox is on the hill and it is happy", "en"),
+        (2, "el problema es que los datos no se pueden cargar por el "
+            "momento pero sus archivos ya este listos como antes", "es"),
+        (3, "je ne vous comprends pas mais il est dans le jardin et "
+            "nous avons du pain pour le soir", "fr"),
+        (4, "der hund und die katze sind nicht im haus aber sie haben "
+            "auch ein problem mit dem wetter", "de"),
+        (5, "42 17 9000 3 1415 2718 xyzzy qwerty 99 100", "unknown"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in fixtures], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.lang_pred for r in text_ops.lang_id(df).collect()}
+    assert got == {i: lang for i, _, lang in fixtures}

@@ -20,6 +20,24 @@ TOKEN_SPLIT_RE = "[^a-z0-9]+"
 # tiny English function-word list for the lang-id heuristic
 EN_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
 
+# per-language function-word sets for multi-language lang-id. Accent-free
+# on purpose: the token contract splits on [^a-z0-9], so accented forms
+# never survive tokenization — only ascii function words discriminate.
+# "a"/"en"/"de" style collisions are resolved by the ratio argmax.
+LANG_STOPWORDS = {
+    "en": EN_STOPWORDS,
+    "es": ("que", "el", "los", "se", "del", "las", "por", "con", "una",
+           "su", "para", "es", "al", "lo", "como", "mas", "pero", "sus",
+           "este", "ya"),
+    "fr": ("le", "les", "des", "du", "une", "et", "qui", "dans", "pour",
+           "pas", "sur", "ne", "ce", "il", "est", "je", "vous", "nous",
+           "au", "avec"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+           "zu", "den", "dem", "mit", "sich", "auf", "im", "dass", "er",
+           "sie", "als", "auch"),
+}
+LANG_PRED_THRESHOLD = 0.08  # best ratio below this => "unknown"
+
 
 def tokens(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col

@@ -13,7 +13,8 @@ from pyspark.sql import functions as F
 
 from tweetaggregates_spark.functions.hashing import hash64
 from tweetaggregates_spark.functions.textstats import (
-    EN_STOPWORDS,
+    LANG_PRED_THRESHOLD,
+    LANG_STOPWORDS,
     tokens,
     word_shingles,
 )
@@ -22,19 +23,26 @@ BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic language ID: English function-word ratio. Map-only."""
+    """Heuristic multi-language ID: per-language function-word ratios
+    (en/es/fr/de), prediction = argmax over rounded ratios with a fixed
+    en>es>fr>de tie order, "unknown" below LANG_PRED_THRESHOLD.
+    Map-only pure Column exprs — portable to the DuckDB oracle."""
     toks = tokens(F.col(text_col))
-    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     n_tok = F.size(toks)
-    ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6)
+    ratios = {}
+    for lang, words in LANG_STOPWORDS.items():
+        stop_arr = F.array(*[F.lit(s) for s in words])
+        n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        ratios[lang] = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6)
+    best = F.greatest(*ratios.values())
+    pred = F.when(best < F.lit(LANG_PRED_THRESHOLD), F.lit("unknown"))
+    for lang in LANG_STOPWORDS:  # insertion order = deterministic ties
+        pred = pred.when(ratios[lang] == best, F.lit(lang))
     return df.select(
         F.col(id_col).alias("doc_id"),
         n_tok.alias("n_tokens"),
-        ratio.alias("en_stop_ratio"),
-        F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("unknown")).alias(
-            "lang_pred"
-        ),
+        *[ratios[lang].alias(f"{lang}_stop_ratio") for lang in LANG_STOPWORDS],
+        pred.alias("lang_pred"),
     )
 
 
