@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": star.top_orders_per_customer,
         "exact_dedup_docs": llm.exact_dedup_docs,
         "minhash_lsh_docs": llm.minhash_lsh_docs,
+        "minhash_lsh_capped": llm.minhash_lsh_capped_docs,
         "ngram_jaccard_docs": llm.ngram_jaccard_docs,
         "simhash_docs": llm.simhash_docs,
         "knn_cosine": llm.knn_cosine,
@@ -711,6 +712,9 @@ def oracle_sql() -> dict[str, str]:
     # banded SimHash must equal the all-pairs result (pigeonhole recall=1):
     # same oracle SQL proves the equivalence via the hash-match gate
     sql["simhash_pairs_banded"] = sql["simhash_pairs_docs"]
+    # the capped LSH variant equals the uncapped result on normal data
+    # (no bucket exceeds the cap at sf0.01; quarantine path is pytested)
+    sql["minhash_lsh_capped"] = sql["minhash_lsh_docs"]
     # banded+verified cosine near-dups must equal the all-pairs result
     # (recall 1 in practice at these LSH parameters; see similarity.py)
     sql["cosine_near_dups_banded"] = sql["cosine_near_dups"]

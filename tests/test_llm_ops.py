@@ -193,3 +193,55 @@ def test_lang_id_multilanguage(spark):
     )
     got = {r.doc_id: r.lang_pred for r in text_ops.lang_id(df).collect()}
     assert got == {i: lang for i, _, lang in fixtures}
+
+
+def test_lsh_capped_quarantines_giant_cluster(spark, docs):
+    """A pathological 1000-copy cluster must not explode into ~500k
+    pairs: its buckets are quarantined, pair output stays bounded, and
+    normal near-dup pairs are unaffected."""
+    clones = (
+        spark.range(1000)
+        .withColumnRenamed("id", "n")
+        .crossJoin(docs.filter(F.col("doc_id") == 1).select("text"))
+        .select((F.col("n") + 700000).alias("doc_id"), "text")
+    )
+    corpus = docs.unionByName(clones)
+    pairs, quarantine = dedup.minhash_lsh_pairs_capped(
+        corpus, max_bucket_size=100
+    )
+    n_pairs = pairs.count()
+    q_rows = quarantine.collect()
+    assert q_rows, "giant cluster must surface on the quarantine channel"
+    assert all(r.bucket_size > 100 for r in q_rows)
+    assert all(len(r.example_doc_ids) == 10 for r in q_rows)
+    # uncapped baseline on the same corpus would include ~1000^2/2 clone
+    # pairs; capped output must stay near the normal-data pair count
+    normal_pairs = dedup.minhash_lsh_pairs(docs).count()
+    assert n_pairs <= normal_pairs + 1000
+    # normal near-dups still found: capped == uncapped on clean data
+    p2, q2 = dedup.minhash_lsh_pairs_capped(docs, max_bucket_size=100)
+    assert q2.isEmpty()
+    assert {tuple(r) for r in p2.collect()} == {
+        tuple(r) for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+
+
+def test_ngram_jaccard_doc_freq_cap(spark, docs):
+    """Hot-shingle pruning bounds the join: with a tiny cap the shingle
+    join shrinks, true near-dups (sharing distinctive shingles) survive,
+    and jaccard never exceeds the exact value (lower bound)."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_doc_freq=50
+        ).collect()
+    }
+    assert exact, "expected planted near-dups"
+    assert set(capped) <= set(exact)  # pruning only removes pairs
+    assert len(capped) / len(exact) >= 0.9  # distinctive overlap survives
+    for pair, j in capped.items():
+        assert j <= exact[pair] + 1e-9  # lower bound

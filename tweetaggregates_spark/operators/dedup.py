@@ -146,12 +146,33 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup join: pairs with
-    |A∩B| / |A∪B| >= threshold. Shingle self-join baseline — correct
-    but O(sum over shingles of freq^2); at 100 TB use minhash_lsh_pairs
-    and verify candidates with this measure."""
+    """n-gram Jaccard near-dup join: pairs with |A∩B| / |A∪B| >=
+    threshold. Shingle self-join — exact with max_doc_freq=None, but
+    O(sum over shingles of freq²): hot shingles (boilerplate n-grams
+    appearing in thousands of docs) dominate the join quadratically.
+
+    ``max_doc_freq`` enables the DISCOVERY-role mitigation: shingles
+    appearing in more than that many docs are dropped from the join.
+    The intersection count then undercounts by at most the number of
+    hot shingles a pair shares, so the reported jaccard is a LOWER
+    BOUND — pairs sharing only boilerplate fall away (usually the
+    desired behavior: boilerplate overlap is not near-duplication),
+    genuinely near-dup pairs keep most of their (distinctive) shingles.
+    Exact-verify survivors with max_doc_freq=None if exactness matters.
+    At 100 TB use minhash_lsh_pairs for discovery and this as verify."""
     sh = _doc_shingles(df, text_col, id_col, k)
+    if max_doc_freq is not None:
+        # doc-frequency per shingle once (the groupBy reuses the same
+        # shuffle key as the join), keep only cool shingles
+        cool = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(cool.hint("shuffle_hash"), "shingle")
     # per-doc shingle counts map-only (no explode/shuffle needed)
     sizes = df.select(
         F.col(id_col).alias("doc_id"),
@@ -328,3 +349,60 @@ def simhash_pairs_banded(
         )
         .distinct()
     )
+
+
+def minhash_lsh_pairs_capped(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    max_bucket_size: int = 100,
+) -> tuple[DataFrame, DataFrame]:
+    """``minhash_lsh_pairs`` with the giant-cluster guard the 100 TB
+    deployment needs: an LSH bucket of b docs emits O(b²) candidate
+    pairs, so one pathological cluster (a boilerplate page duplicated
+    millions of times) can dominate the whole job. Buckets larger than
+    ``max_bucket_size`` are excluded from pair generation and reported
+    on a QUARANTINE channel instead — at scale those clusters are
+    handled by exact dedup (identical/near-identical content hashes
+    one groupBy away) rather than pairwise comparison.
+
+    Returns ``(pairs, quarantine)``: pairs as in ``minhash_lsh_pairs``
+    but only from buckets within the cap; quarantine one row per
+    oversized bucket (band_id, band_key, bucket_size, example_doc_ids
+    sample) for downstream exact handling/audit."""
+    bands = lsh_bands(
+        minhash_signatures(df, text_col, id_col, k, n_hashes), n_hashes, n_bands
+    )
+    sized = bands.join(
+        bands.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("bucket_size")
+        ),
+        ["band_id", "band_key"],
+    )
+    ok = sized.filter(F.col("bucket_size") <= max_bucket_size).select(
+        "doc_id", "band_id", "band_key"
+    )
+    quarantine = (
+        sized.filter(F.col("bucket_size") > max_bucket_size)
+        .groupBy("band_id", "band_key", "bucket_size")
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias(
+            "example_doc_ids"))
+    )
+    a = ok.alias("a")
+    b = ok.alias("b").hint("shuffle_hash")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs, quarantine

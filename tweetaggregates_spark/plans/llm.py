@@ -45,6 +45,16 @@ def minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def minhash_lsh_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Giant-cluster-guarded LSH pairs: on normal data (no bucket over
+    the cap) identical to minhash_lsh_docs — the quarantine channel only
+    activates on pathological clusters (pytest covers that path)."""
+    pairs, _quarantine = dedup.minhash_lsh_pairs_capped(
+        _docs(spark, sf_dir), max_bucket_size=100
+    )
+    return pairs
+
+
 def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs at >= 0.3."""
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
