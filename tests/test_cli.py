@@ -86,3 +86,12 @@ def test_repl_file_redirect_and_families(spark, tmp_path, capsys, monkeypatch):
         json.loads(ln)
     assert "unknown family" in out
     assert "error:" not in out
+
+
+def test_send_to_event_hub_file_sink(spark, tmp_path, capsys):
+    src = tmp_path / "in.ndjson"
+    write_tweets_file(str(src), 150, seed=41)
+    sink_dir = str(tmp_path / "frames")
+    cli.send_to_event_hub(str(src), sink_dir)
+    assert "sent frames" in capsys.readouterr().out
+    assert spark.read.parquet(sink_dir).count() >= 1

@@ -2,7 +2,8 @@
 
   saveAggregates <in.ndjson> <store_dir>   (file replay mode,
                                             Program.SaveAggregates.cs:31-39)
-  saveTweets <in.ndjson> <out_dir>         (Program.SaveTweets.cs:14-51)
+  saveTweets <in.ndjson> <out_dir> [min]   (Program.SaveTweets.cs:14-51)
+  sendToEventHub <in> <sink_uri> [min]     (Program.SendToEventHub.cs)
   printDB <store_dir>                      (Program.PrintDB.cs:12-46)
   repl <store_dir>                         (Program.Repl.cs:15-125)
 
@@ -59,6 +60,43 @@ def save_tweets(in_path: str, out_dir: str, minutes: int | None = None) -> None:
     lines.write.mode("overwrite").text(out_dir)
     span = f" ({minutes} min bound)" if minutes is not None else ""
     print(f"saved raw tweets to {out_dir}{span}")
+
+
+def send_to_event_hub(
+    in_path: str, sink_uri: str, minutes: int | None = None
+) -> None:
+    """S8 (Program.SendToEventHub.cs:22-160): frame the tweet stream and
+    send to an event sink. sink_uri = kafka://brokers/topic for a real
+    broker (Event Hubs Kafka endpoint included), else a directory path
+    for the file-backed sink."""
+    import tempfile
+
+    from tweetaggregates_spark.streaming.eventsink import (
+        FileEventSink,
+        KafkaEventSink,
+        send_to_event_sink,
+    )
+
+    import os
+
+    spark = get_spark("sendToEventHub")
+    if sink_uri.startswith("kafka://"):
+        brokers, _, topic = sink_uri[len("kafka://"):].partition("/")
+        sink = KafkaEventSink(brokers, topic)
+    else:
+        sink = FileEventSink(sink_uri)
+    with tempfile.TemporaryDirectory() as work:
+        src = in_path
+        if os.path.isfile(in_path):
+            # the file stream source wants a directory to watch
+            src = os.path.join(work, "in")
+            os.makedirs(src)
+            os.symlink(os.path.abspath(in_path),
+                       os.path.join(src, os.path.basename(in_path)))
+        send_to_event_sink(
+            spark, src, sink, os.path.join(work, "ckpt"), minutes=minutes
+        )
+    print(f"sent frames to {sink_uri}")
 
 
 def print_db(store_dir: str, n: int = 5) -> None:
@@ -150,6 +188,12 @@ def main() -> int:
         save_aggregates(sys.argv[2], sys.argv[3])
     elif cmd == "saveTweets":
         save_tweets(
+            sys.argv[2],
+            sys.argv[3],
+            int(sys.argv[4]) if len(sys.argv) > 4 else None,
+        )
+    elif cmd == "sendToEventHub":
+        send_to_event_hub(
             sys.argv[2],
             sys.argv[3],
             int(sys.argv[4]) if len(sys.argv) > 4 else None,
