@@ -41,7 +41,44 @@ HEADLINE = [
     "value_quantiles_by_type",
     "simhash_docs",
     "lsh_verified_pairs",
+    # round 2: the banded (non-cartesian) near-dup paths
+    "simhash_pairs_banded",
+    "cosine_near_dups_banded",
 ]
+
+STREAM_TWEETS = 20_000  # single-pass streaming drain size
+
+
+def bench_streaming_drain(spark) -> float:
+    """Time the single-pass streaming pipeline (one foreachBatch, five
+    aggregate families) draining a synthetic NDJSON replay — the
+    reference's defining dataflow (Query.cs Multicast)."""
+    import shutil
+    import tempfile
+
+    from tests.fixtures import write_tweets_file
+    from tweetaggregates_spark.streaming.pipeline import (
+        run_streaming_aggregates,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        in_dir = os.path.join(root, "in")
+        os.makedirs(in_dir)
+        write_tweets_file(
+            os.path.join(in_dir, "tweets.ndjson"), STREAM_TWEETS, seed=7
+        )
+        t0 = time.perf_counter()
+        run_streaming_aggregates(
+            spark,
+            in_dir,
+            os.path.join(root, "store"),
+            os.path.join(root, "ckpt"),
+            available_now=True,
+        )
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> int:
@@ -66,6 +103,8 @@ def main() -> int:
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+
+    timings["streaming_drain_20k"] = round(bench_streaming_drain(spark), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -245,3 +245,33 @@ def test_ngram_jaccard_doc_freq_cap(spark, docs):
     assert len(capped) / len(exact) >= 0.9  # distinctive overlap survives
     for pair, j in capped.items():
         assert j <= exact[pair] + 1e-9  # lower bound
+
+
+def test_knn_ivf_full_probe_equals_bruteforce(spark):
+    """IVF-Flat exactness pin: probing EVERY cell must reproduce brute
+    force exactly; a narrow probe keeps most of the recall at a
+    fraction of the candidates."""
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 20)
+    cents = similarity.train_ivf_centroids(emb, n_cells=8, seed=7)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    exact = {
+        (r.query_id, r.knn_rank): r.neighbor_id
+        for r in similarity.knn_bruteforce(emb, queries, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.knn_rank): r.neighbor_id
+        for r in similarity.knn_ivf(
+            emb, queries, k=5, n_cells=8, n_probe=8, centroids=cents
+        ).collect()
+    }
+    assert full == exact
+    narrow = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_ivf(
+            emb, queries, k=5, n_cells=8, n_probe=2, centroids=cents
+        ).collect()
+    }
+    exact_pairs = {(q, n) for (q, _), n in exact.items()}
+    recall = len(narrow & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.5  # 2-of-8 probes keeps the bulk of the recall

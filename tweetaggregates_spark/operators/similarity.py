@@ -253,6 +253,11 @@ def cosine_near_dup_pairs_banded(
     # shuffle join on identical canonical subplans: the sign-bit
     # pipeline computes once (ReusedExchange), join stays bucket-local
     b = bands.alias("b").hint("shuffle_hash")
+    # dedup candidates BEFORE the verify: a pair can match in up to
+    # n_bands bands, and the cosine fold (higher-order fn, interpreted —
+    # not codegen) is the expensive step, so it must run once per unique
+    # pair, not once per band hit (measured 6x at sf0.1, where w=2
+    # amplification makes nearly every pair a candidate somewhere).
     cand = (
         a.join(
             b,
@@ -268,6 +273,8 @@ def cosine_near_dup_pairs_banded(
     )
     va = _normed(df, id_col, vec_col).withColumnRenamed(id_col, "id_a")
     vb = _normed(df, id_col, vec_col).withColumnRenamed(id_col, "id_b")
+    # vector joins left to Catalyst/AQE: broadcast while the vector
+    # table fits (any test SF), shuffle join beyond that
     return (
         cand.join(va.withColumnRenamed("v", "va"), "id_a")
         .join(vb.withColumnRenamed("v", "vb"), "id_b")
@@ -275,3 +282,88 @@ def cosine_near_dup_pairs_banded(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Train an IVF coarse quantizer: k-means over the embedding column
+    (Spark ML, distributed k-means||). Returns the centroids as plain
+    lists — n_cells x dim doubles, small enough to inline as literals
+    in the assignment expression (no broadcast join needed).
+
+    At 100 TB you train on a sample (k-means converges on far less data
+    than the corpus) and assignment stays a map-only pass."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    data = df.select(array_to_vector(as_double(vec_col)).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(data)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _nearest_cells(vec_col_expr, centroids: list[list[float]], n: int):
+    """Column expr: ids of the n nearest centroids by cosine, via an
+    array-of-structs sort (codegen; struct ordering = (sim, cell) desc)."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine_sim(
+                        vec_col_expr, F.array(*[F.lit(x) for x in c])
+                    ),
+                    9,
+                ).alias("sim"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(cells)), 1, n)
+    return F.transform(top, lambda s: s["cell"])
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    seed: int = 7,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN with a TRAINED quantizer (vs ``knn_bucketed``'s given
+    label column): corpus vectors live in their nearest-centroid cell;
+    each query probes its ``n_probe`` nearest cells; candidates join on
+    the cell id (bucket-local, never all-pairs), exact cosine ranks the
+    final top-k.
+
+    Recall is governed by n_probe; n_probe == n_cells probes every cell
+    and EQUALS brute force (pinned by pytest) — the standard
+    IVF-Flat trade (Johnson et al., "Billion-scale similarity search
+    with GPUs", the faiss IVF design)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_cells, seed)
+    c = _normed(corpus, id_col, vec_col).withColumnRenamed(id_col, "neighbor_id")
+    c = c.withColumn(
+        "cell", _nearest_cells(F.col("v"), centroids, 1)[0]
+    ).withColumnRenamed("v", "cv")
+    q = _normed(queries, id_col, vec_col).withColumnRenamed(id_col, "query_id")
+    q = q.withColumn(
+        "cell", F.explode(_nearest_cells(F.col("v"), centroids, n_probe))
+    ).withColumnRenamed("v", "qv")
+    scored = (
+        q.join(c, (q["cell"] == c["cell"]) & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("cos_sim", F.round(cosine_sim(F.col("qv"), F.col("cv")), 6))
+    )
+    top = rank_topk(
+        scored, ["query_id"], "cos_sim", ["neighbor_id"], k,
+        rank_name="knn_rank", keep_rank=True,
+    )
+    return top.select("query_id", "neighbor_id", "cos_sim", "knn_rank")
