@@ -176,3 +176,53 @@ def test_restart_is_idempotent(multi_batch_outputs):
     )
     after = {f: store.read(f).count() for f in ("counts", "hopping_counts", "mentions")}
     assert before == after
+
+
+def test_socket_source_live_shape(spark, tmp_path):
+    """S1 live-stream shape: NDJSON over one TCP connection (the
+    reference's wire format) parses through the same pipeline as file
+    replay. A thread serves 50 tweets; the query drains them into a
+    memory sink."""
+    import socket
+    import threading
+    import time as _time
+
+    from tweetaggregates_spark.sources.tweets import read_tweets_socket
+
+    lines = make_tweets(50, seed=43)
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def _serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            _time.sleep(8)  # keep the connection open while spark reads
+
+    t = threading.Thread(target=_serve, daemon=True)
+    t.start()
+    try:
+        parsed = tp.parse_tweets(read_tweets_socket(spark, "127.0.0.1", port))
+        q = (
+            parsed.writeStream.queryName("socket_smoke")
+            .format("memory")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 30
+            expected = tp.parse_tweets(
+                spark.createDataFrame([(ln,) for ln in lines], ["value"])
+            ).count()
+            while _time.time() < deadline:
+                if spark.table("socket_smoke").count() >= expected:
+                    break
+                _time.sleep(0.5)
+            assert spark.table("socket_smoke").count() == expected
+        finally:
+            q.stop()
+    finally:
+        srv.close()

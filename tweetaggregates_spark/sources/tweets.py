@@ -32,6 +32,23 @@ def read_tweets_stream(
     return reader.text(path)
 
 
+def read_tweets_socket(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """S1 live-stream shape: a TCP line source (``socket``). The
+    reference's HTTP source is one long-lived connection delivering
+    newline-delimited JSON (TwitterStream.cs:207-262) — byte-identical
+    wire format to this source, so everything downstream (parse,
+    watermark, five-family foreachBatch) is shared with file replay.
+    Spark's socket source has no offset replay (at-most-once on
+    reconnect); a production live feed terminates into Kafka/Event Hubs
+    first (streaming/eventsink.py) and the engine consumes that."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+
+
 def write_tweets_ndjson(df: DataFrame, path: str) -> None:
     """S6 ``saveTweets`` equivalent: persist raw NDJSON lines."""
     df.write.mode("overwrite").text(path)
