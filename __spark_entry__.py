@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": llm.lang_id_docs,
         "quality_docs": llm.quality_docs,
         "token_counts_docs": llm.token_counts_docs,
+        "normalize_docs": llm.normalize_docs,
+        "pii_mask_docs": llm.pii_mask_docs,
         "fingerprint_docs": llm.fingerprint_docs,
         "media_meta_docs": llm.media_meta_docs,  # rows-only: stubbed decode
         "session_windows": ev.session_windows,
@@ -709,6 +711,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         """,
     }
+    sql["normalize_docs"] = """
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                 AS norm_text,
+               CAST(length(trim(regexp_replace(lower(text), '\s+', ' ',
+                 'g'))) AS INTEGER) AS n_chars_norm
+        FROM documents
+    """
+    _email = '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'
+    _url = 'https?://[^ \t\n]+'
+    _phone = '\+?[0-9][0-9()\- ]{6,}[0-9]'
+    sql["pii_mask_docs"] = f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '{_email}', '<EMAIL>', 'g'),
+                 '{_url}', '<URL>', 'g'),
+                 '{_phone}', '<PHONE>', 'g') AS masked_text,
+               CAST(len(regexp_extract_all(text, '{_email}')) AS INTEGER)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_url}')) AS INTEGER)
+                 AS n_urls,
+               CAST(len(regexp_extract_all(text, '{_phone}')) AS INTEGER)
+                 AS n_phones
+        FROM documents
+    """
     # banded SimHash must equal the all-pairs result (pigeonhole recall=1):
     # same oracle SQL proves the equivalence via the hash-match gate
     sql["simhash_pairs_banded"] = sql["simhash_pairs_docs"]

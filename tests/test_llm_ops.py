@@ -275,3 +275,25 @@ def test_knn_ivf_full_probe_equals_bruteforce(spark):
     exact_pairs = {(q, n) for (q, _), n in exact.items()}
     recall = len(narrow & exact_pairs) / len(exact_pairs)
     assert recall >= 0.5  # 2-of-8 probes keeps the bulk of the recall
+
+
+def test_pii_mask_and_normalize(spark):
+    from tweetaggregates_spark.operators import text as text_ops
+
+    rows = [
+        (1, "contact me at jane.doe+x@example.co.uk or visit "
+            "https://example.com/a?b=1 thanks"),
+        (2, "call +1 (425) 555-0199 today"),
+        (3, "no pii here just words"),
+        (4, "  Mixed   CASE\tand\n\nwhitespace  "),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    masked = {r.doc_id: r for r in text_ops.pii_mask(df).collect()}
+    assert "<EMAIL>" in masked[1].masked_text
+    assert "<URL>" in masked[1].masked_text
+    assert "jane.doe" not in masked[1].masked_text
+    assert masked[1].n_emails == 1 and masked[1].n_urls == 1
+    assert "<PHONE>" in masked[2].masked_text and masked[2].n_phones == 1
+    assert masked[3].masked_text == rows[2][1]
+    norm = {r.doc_id: r.norm_text for r in text_ops.normalize_text(df).collect()}
+    assert norm[4] == "mixed case and whitespace"

@@ -95,3 +95,40 @@ def test_rank_topk_bounded_and_ordered(spark, rows):
             key=lambda t: (-t[3], t[0]),
         )[: len(rs)]
         assert [(r.id, r.v) for r in rs] == [(t[0], t[3]) for t in all_k]
+
+
+@st.composite
+def doc_corpus(draw):
+    """Small random corpora with word-salad texts including planted
+    near-identical pairs."""
+    vocab = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    n = draw(st.integers(4, 16))
+    rows = []
+    for i in range(n):
+        words = draw(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=12)
+        )
+        rows.append((i, " ".join(words)))
+        if draw(st.booleans()):
+            rows.append((i + 1000, " ".join(words + ["tail"])))
+    return rows
+
+
+@given(doc_corpus())
+@settings(max_examples=8, deadline=None)
+def test_simhash_banding_pigeonhole_property(spark, corpus):
+    """Property: for ANY corpus and max_hamming, banded pair generation
+    equals the all-pairs join exactly (the pigeonhole guarantee is
+    data-independent)."""
+    from tweetaggregates_spark.operators import dedup
+
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    banded = {
+        tuple(r)
+        for r in dedup.simhash_pairs_banded(df, max_hamming=3).collect()
+    }
+    allp = {
+        tuple(r) for r in dedup.simhash_pairs(df, max_hamming=3).collect()
+    }
+    assert banded == allp

@@ -109,3 +109,47 @@ def doc_fingerprint(
         F.max("h").alias("fp_max"),
         F.countDistinct("h").alias("n_windows"),
     )
+
+
+# regexes shared with the DuckDB oracle — keep to the Java/RE2 common
+# subset (character classes, +, {m,n}; no lookarounds/backrefs)
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PHONE_RE = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+URL_RE = "https?://[^ \\t\\n]+"
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical text normalization for dedup/training prep: lowercase,
+    collapse whitespace runs, trim. Map-only codegen; at 100 TB this is
+    the zero-shuffle pass that runs before any hashing so near-dup
+    detection is insensitive to formatting noise."""
+    t = F.col(text_col)
+    norm = F.trim(F.regexp_replace(F.lower(t), "\\s+", " "))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
+def pii_mask(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing: mask emails, URLs and phone-number-shaped spans
+    with typed placeholders and count what was masked — the standard
+    pre-training hygiene pass. Pure regexp codegen, map-only; the
+    counts make the pass auditable (what fraction of the corpus carried
+    PII) without retaining the PII itself."""
+    t = F.col(text_col)
+    masked = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    masked = F.regexp_replace(masked, URL_RE, "<URL>")
+    masked = F.regexp_replace(masked, PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        masked.alias("masked_text"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(URL_RE)).alias("n_urls"),
+        F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
+    )

@@ -156,3 +156,13 @@ def media_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (rows-only check: decode is a deliberate
     deterministic stub — see operators/multimodal.py)."""
     return extract_media_meta(attach_fake_media(_docs(spark, sf_dir)))
+
+
+def normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization pass over the documents table."""
+    return text.normalize_text(_docs(spark, sf_dir))
+
+
+def pii_mask_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking pass over the documents table."""
+    return text.pii_mask(_docs(spark, sf_dir))
