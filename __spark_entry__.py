@@ -721,7 +721,7 @@ def oracle_sql() -> dict[str, str]:
     """
     _email = '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'
     _url = 'https?://[^ \t\n]+'
-    _phone = '\+?[0-9][0-9()\- ]{6,}[0-9]'
+    _phone = '\\+?[0-9][0-9()\\- ]{6,}[0-9]'
     sql["pii_mask_docs"] = f"""
         SELECT doc_id,
                regexp_replace(regexp_replace(regexp_replace(text,

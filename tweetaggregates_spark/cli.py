@@ -120,17 +120,23 @@ RECENT_FAMILIES = {
 
 def _emit(df, out_path: str | None) -> None:
     """Result sink (Program.Repl.cs:110-123): console, or `> file`
-    redirection writing the same JSON lines to a file."""
-    rows = [
-        json.dumps(r.asDict(recursive=True), default=str) for r in df.collect()
-    ]
+    redirection writing the same JSON lines to a file. Rows stream
+    through toLocalIterator so a large range scan never materializes on
+    the driver."""
+    rows = (
+        json.dumps(r.asDict(recursive=True), default=str)
+        for r in df.toLocalIterator()
+    )
     if out_path is None:
         for r in rows:
             print(r)
     else:
+        n = 0
         with open(out_path, "w") as f:
-            f.write("\n".join(rows) + ("\n" if rows else ""))
-        print(f"wrote {len(rows)} rows to {out_path}")
+            for r in rows:
+                f.write(r + "\n")
+                n += 1
+        print(f"wrote {n} rows to {out_path}")
 
 
 def repl(store_dir: str) -> None:
