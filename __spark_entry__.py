@@ -155,6 +155,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles_by_type": ev.value_quantiles_by_type,
         "purchase_asof_click": ev.purchase_asof_click,
         "lsh_verified_pairs": llm.lsh_verified_pairs,
+        "dedup_clusters_docs": llm.dedup_clusters_docs,
+        "canonical_docs": llm.canonical_docs_query,
+        "stratified_sample_docs": llm.stratified_sample_docs,
+        "split_docs": llm.split_docs,
+        "shuffle_order_docs": llm.shuffle_order_docs,
+        "pack_sequences_docs": llm.pack_sequences_docs,
+        "cosine_near_dups_blocked": llm.cosine_near_dups_blocked,
     }
 
 
@@ -745,4 +752,105 @@ def oracle_sql() -> dict[str, str]:
     # banded+verified cosine near-dups must equal the all-pairs result
     # (recall 1 in practice at these LSH parameters; see similarity.py)
     sql["cosine_near_dups_banded"] = sql["cosine_near_dups"]
+    # blocked-matmul discovery + exact verify equals the all-pairs plan
+    # by construction (margin overgenerates, verify is the same fold)
+    sql["cosine_near_dups_blocked"] = sql["cosine_near_dups"]
+
+    # connected components over the LSH pair graph: the oracle computes
+    # the transitive closure with a recursive CTE and labels each node
+    # with the min reachable id — equals hash-min label propagation at
+    # fixpoint (operators/cluster.py)
+    _lsh_cc_cte = f"""
+            toksrc AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+            sh AS (SELECT doc_id, unnest(list_distinct({_D_SH3})) AS shingle
+                   FROM toksrc),
+            sig AS (SELECT doc_id, {_MINHASH_MINS} FROM sh GROUP BY doc_id),
+            bands AS ({_BAND_SELECTS}),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+            ),
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach(u, r) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+            ),
+            labels AS (SELECT u AS doc_id, min(r) AS cluster_id
+                       FROM reach GROUP BY 1)
+    """
+    sql["dedup_clusters_docs"] = f"""
+        WITH RECURSIVE {_lsh_cc_cte}
+        SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN labels l USING (doc_id)
+    """
+    sql["canonical_docs"] = f"""
+        WITH RECURSIVE {_lsh_cc_cte},
+        cl AS (
+          SELECT d.doc_id, d.n_chars,
+                 coalesce(l.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN labels l USING (doc_id)
+        ),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY cluster_id
+                ORDER BY n_chars DESC, doc_id ASC) AS rn FROM cl)
+        SELECT cluster_id,
+               min(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM r GROUP BY 1
+    """
+
+    # deterministic hash sampling / split / shuffle / packing
+    # (operators/sampling.py): pure functions of (salt, doc_id) in both
+    # engines via the portable hash64
+    def _dbucket(salt: str) -> str:
+        key = f"concat('{salt}:', CAST(doc_id AS VARCHAR))"
+        return f"({_D_HASH.format(x=key)} % 1000000)"
+
+    sql["stratified_sample_docs"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {_dbucket("strata")} <
+          CASE WHEN lang = 'en' THEN 500000
+               WHEN lang = 'zh' THEN 250000
+               ELSE 100000 END
+    """
+    sql["split_docs"] = f"""
+        SELECT doc_id,
+               CASE WHEN {_dbucket("split")} < 100000 THEN 'val'
+                    WHEN {_dbucket("split")} < 200000 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+    """
+    _shuf_h = _D_HASH.format(x="concat('shuffle:', CAST(doc_id AS VARCHAR))")
+    sql["shuffle_order_docs"] = f"""
+        WITH h AS (SELECT doc_id, {_shuf_h} AS h FROM documents)
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY h % 64, h, doc_id) - 1
+                 AS BIGINT) AS pos
+        FROM h
+    """
+    _pack_h = _D_HASH.format(x="concat('pack:', CAST(doc_id AS VARCHAR))")
+    sql["pack_sequences_docs"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   x -> x <> '')) AS ntok,
+                 {_pack_h} AS h
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id,
+                 CAST(coalesce(sum(ntok) OVER (
+                   ORDER BY h % 64, h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_offset
+          FROM t
+        )
+        SELECT doc_id, start_offset,
+               CAST(floor(start_offset / 2048) AS BIGINT) AS chunk_id
+        FROM s
+    """
     return sql

@@ -41,9 +41,14 @@ HEADLINE = [
     "value_quantiles_by_type",
     "simhash_docs",
     "lsh_verified_pairs",
-    # round 2: the banded (non-cartesian) near-dup paths
+    # round 2: the banded (non-cartesian) near-dup paths; blocked matmul
+    # is the marginal-threshold fast path (banded kept for the contrast)
     "simhash_pairs_banded",
     "cosine_near_dups_banded",
+    "cosine_near_dups_blocked",
+    # round 2: dup-cluster resolution + packing (training-data ops)
+    "dedup_clusters_docs",
+    "pack_sequences_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

@@ -1,0 +1,133 @@
+"""Duplicate-cluster resolution: connected components over a near-dup
+pair list, then per-cluster canonical-document selection.
+
+This is the stage the reference pipeline stops short of and every
+large-scale training-data dedup needs: pair lists (from exact hash,
+MinHash-LSH, SimHash or embedding blocking — operators/dedup.py,
+operators/similarity.py) only say "a ~ b"; to actually DROP duplicates
+you need the transitive closure (a~b, b~c => {a,b,c} is one cluster)
+and one kept representative per cluster.
+
+Algorithm: hash-min label propagation — every node starts labeled with
+its own id; each round a node takes the min label among itself and its
+neighbors; fixpoint = every node carries the min id of its component.
+
+Scale design:
+* Each round is one equi-join (edges x labels on the destination) plus
+  one groupBy min — both shuffle on node id, so successive rounds reuse
+  the same partitioning; nothing is ever collected to the driver.
+* Rounds needed = component DIAMETER, and near-dup clusters are
+  quasi-cliques (LSH emits most intra-cluster pairs directly), so 2-4
+  rounds close real corpora. For adversarial long-chain graphs the
+  large-star/small-star variant (Kiveris et al., "Connected Components
+  in MapReduce and Beyond", SoCC'14) converges in O(log n) rounds with
+  the same per-round join shape — the swap is local to this module.
+* ``localCheckpoint`` truncates the lineage each round (iterative plans
+  otherwise grow exponentially in Catalyst); on a cluster use
+  ``checkpoint`` with a reliable dir instead for fault tolerance.
+* The per-round convergence test rides the same job that materializes
+  the checkpoint — no extra pass over the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Label every node in the pair graph with the minimum node id of
+    its connected component. Input: an edge list (src, dst); output:
+    (node, cluster_id). Nodes appearing in no pair are absent (callers
+    left-join and coalesce to the node's own id)."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("label").alias("v_label")
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("v_label").alias("nbr_label"))
+        )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            "label",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("new_label"),
+        )
+        stepped = stepped.localCheckpoint()
+        changed = stepped.filter(F.col("new_label") < F.col("label")).count()
+        labels = stepped.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def assign_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Every document with its dup-cluster id: the component min-id for
+    docs in some near-dup pair, the doc's own id for singletons. Output:
+    docs' columns + cluster_id."""
+    labels = connected_components(pairs, src, dst).withColumnRenamed(
+        "node", id_col
+    )
+    return docs.join(labels, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Dedup resolution: one kept document per cluster — the highest
+    ``quality_col`` (ties: lowest id, so the choice is deterministic),
+    with the cluster's size. The kept-doc choice is the standard
+    "keep best-quality member" policy of training-data dedup; swap the
+    quality column for a model score without touching the shape.
+
+    Output: cluster_id, keep_doc_id, n_members. One row per cluster
+    (singletons included: n_members = 1, keep = the doc itself)."""
+    clustered = assign_clusters(docs, pairs, id_col)
+    w_cols = [F.col(quality_col).desc(), F.col(id_col).asc()]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(*w_cols)
+    return (
+        clustered.withColumn("_rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("_rn") == 1, F.col(id_col))).alias(
+                "keep_doc_id"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )

@@ -1,0 +1,198 @@
+"""Deterministic sampling, splitting, shuffling and sequence packing
+for training-data pipelines.
+
+Everything here is HASH-driven, not RNG-driven: membership of a row in
+a sample / split / shuffle position is a pure function of (salt, key),
+so results are reproducible across runs, engines, cluster sizes and
+partitionings — the property training pipelines need (the same doc
+always lands in the same split; re-running a job cannot leak test docs
+into train). The hash is the portable 60-bit md5 hash
+(functions/hashing.py), so the DuckDB oracle reproduces every query
+bit-for-bit.
+
+Scale design:
+* sample / split / stratify are MAP-ONLY — a filter or projection on a
+  hash expression, no shuffle at all; they compose with partition
+  pruning and pushdown untouched.
+* ``shuffle_order`` (deterministic global shuffle) avoids the classic
+  single-partition ``row_number() OVER (ORDER BY ...)`` scale-killer:
+  rows hash into ``n_buckets`` ordered buckets; position = in-bucket
+  rank (a per-bucket window, parallel across buckets) + bucket offset
+  (a cumulative sum over the tiny n_buckets-row count table). Two
+  narrow shuffles, no global window. Same two-pass shape as
+  ``repartitionByRange`` + per-partition offsets.
+* ``pack_sequences`` reuses the same bucketed order for the global
+  token cumsum, so greedy contiguous packing is also two-pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tweetaggregates_spark.functions.hashing import hash64
+
+BUCKETS = 1_000_000  # hash buckets for fraction thresholds (ppm)
+
+
+def sample_bucket(key: Column, salt: str) -> Column:
+    """Uniform deterministic bucket in [0, BUCKETS) for a key: the salt
+    picks an independent 'randomness stream' per use-site (sampling with
+    salt A is independent of splitting with salt B)."""
+    return hash64(F.concat(F.lit(f"{salt}:"), key.cast("string"))) % BUCKETS
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen deterministically by key hash.
+    Map-only: a single filter, no shuffle, pushdown-friendly."""
+    return df.filter(
+        sample_bucket(F.col(key_col), salt) < int(fraction * BUCKETS)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the 'data mixture' op of
+    training pipelines (e.g. keep 50% of en, 20% of the rest). Still
+    map-only; the per-stratum threshold is a CASE expression."""
+    thresh = F.lit(int(default_fraction * BUCKETS))
+    for value, frac in fractions.items():
+        thresh = (
+            F.when(F.col(strata_col) == value, F.lit(int(frac * BUCKETS)))
+            .otherwise(thresh)
+        )
+    return df.filter(sample_bucket(F.col(key_col), salt) < thresh)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column.
+    Hash-keyed, so membership is stable under re-runs, repartitioning
+    and incremental appends — new data never moves old docs across
+    splits (the leakage guarantee fraction-based randomSplit lacks)."""
+    b = sample_bucket(F.col(key_col), salt)
+    t_val = int(val_fraction * BUCKETS)
+    t_test = t_val + int(test_fraction * BUCKETS)
+    return df.withColumn(
+        "split",
+        F.when(b < t_val, F.lit("val"))
+        .when(b < t_test, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def shuffle_order(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "shuffle",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic global shuffle: adds ``pos`` — the row's position
+    (0-based, a permutation of 0..n-1) in the hash-shuffled total order
+    (bucket, hash, key). Training pipelines use this to fix an epoch's
+    data order reproducibly.
+
+    Two-pass, no global window: per-bucket row_number runs parallel
+    across ``n_buckets`` partitions; bucket offsets come from the
+    n_buckets-row count table (its cumsum window is over counts, not
+    data). At 100 TB raise n_buckets to O(partitions); each bucket's
+    window state is n/n_buckets rows."""
+    h = hash64(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    hashed = df.withColumn("_h", h).withColumn(
+        "_bucket", F.col("_h") % n_buckets
+    )
+    w = Window.partitionBy("_bucket").orderBy("_h", key_col)
+    ranked = hashed.withColumn("_rn", F.row_number().over(w))
+    offsets = (
+        hashed.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bucket", "_offset")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_bucket")
+        .withColumn("pos", (F.col("_offset") + F.col("_rn") - 1).cast("long"))
+        .drop("_h", "_bucket", "_rn", "_offset")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    budget: int,
+    salt: str = "pack",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Greedy contiguous sequence packing: walk the docs in the
+    deterministic shuffled order and assign chunk ids by cumulative
+    token count — doc d goes to chunk floor(tokens_before_d / budget)
+    (the streaming concat-then-cut packing most LLM data loaders use; a
+    doc may straddle its chunk boundary and spill into the next, exactly
+    like token-level concatenation does).
+
+    Adds ``start_offset`` (global token offset of the doc) and
+    ``chunk_id``. Same two-pass bucketed shape as ``shuffle_order`` but
+    the offsets carry token totals instead of row counts."""
+    h = hash64(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    hashed = df.withColumn("_h", h).withColumn(
+        "_bucket", F.col("_h") % n_buckets
+    )
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_h", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = hashed.withColumn(
+        "_local_cum", F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    )
+    offsets = (
+        hashed.groupBy("_bucket")
+        .agg(F.sum(token_col).alias("_tok"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_tok").over(
+                    Window.orderBy("_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bucket", "_offset")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            "start_offset",
+            (F.col("_offset") + F.col("_local_cum")).cast("long"),
+        )
+        .withColumn(
+            "chunk_id", F.floor(F.col("start_offset") / budget).cast("long")
+        )
+        .drop("_h", "_bucket", "_local_cum", "_offset", "_tok")
+    )

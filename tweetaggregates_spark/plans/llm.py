@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tweetaggregates_spark.operators import dedup, similarity, text
+from tweetaggregates_spark.operators import (
+    cluster,
+    dedup,
+    sampling,
+    similarity,
+    text,
+)
 from tweetaggregates_spark.operators.multimodal import (
     attach_fake_media,
     extract_media_meta,
@@ -156,6 +162,75 @@ def media_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (rows-only check: decode is a deliberate
     deterministic stub — see operators/multimodal.py)."""
     return extract_media_meta(attach_fake_media(_docs(spark, sf_dir)))
+
+
+def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster assignment: connected components (hash-min label
+    propagation, operators/cluster.py) over the MinHash-LSH pair graph.
+    Every doc gets the min doc_id of its transitive near-dup cluster;
+    docs in no pair are their own singleton cluster."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs)
+    return cluster.assign_clusters(docs.select("doc_id"), pairs).select(
+        "doc_id", "cluster_id"
+    )
+
+
+def canonical_docs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup resolution: one kept doc per near-dup cluster (highest
+    n_chars, ties to lowest doc_id) with the cluster size."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs)
+    return cluster.canonical_docs(
+        docs.select("doc_id", "n_chars"), pairs, quality_col="n_chars"
+    )
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language data mixture: keep 50% of en, 25% of
+    zh, 10% of everything else — hash-keyed, map-only."""
+    out = sampling.stratified_sample(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "lang",
+        {"en": 0.5, "zh": 0.25},
+        default_fraction=0.1,
+    )
+    return out.select("doc_id", "lang")
+
+
+def split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (10/10/80) by doc_id
+    hash — stable under re-runs and appends (no split leakage)."""
+    return sampling.split_assign(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", "split"
+    )
+
+
+def shuffle_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle position (epoch data order) via the
+    bucketed two-pass rank — no single-partition window."""
+    return sampling.shuffle_order(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", "pos"
+    )
+
+
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing: whitespace-token counts,
+    budget 2048 tokens per chunk, walked in the deterministic shuffled
+    order."""
+    toks = text.token_counts(_docs(spark, sf_dir))
+    return sampling.pack_sequences(
+        toks, "doc_id", "n_ws_tokens", budget=2048
+    ).select("doc_id", "start_offset", "chunk_id")
+
+
+def cosine_near_dups_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-threshold near-dup pairs via block-matmul discovery +
+    exact verify — same result as cosine_near_dups, BLAS instead of n²/2
+    interpreted folds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs_blocked(emb, threshold=0.4)
 
 
 def normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
