@@ -121,6 +121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": star.q1_pricing_summary,
         "q3_shipping_priority": star.q3_shipping_priority,
         "q5_region_revenue": star.q5_region_revenue,
+        "q6_revenue_change": star.q6_revenue_change,
+        "q10_returned_items": star.q10_returned_items,
+        "q14_promo_revenue": star.q14_promo_revenue,
+        "q18_large_orders": star.q18_large_orders,
         "revenue_rollup": star.revenue_rollup,
         "revenue_cube": star.revenue_cube,
         "customers_without_orders": star.customers_without_orders,
@@ -742,6 +746,67 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(text, '{_phone}')) AS INTEGER)
                  AS n_phones
         FROM documents
+    """
+    sql["q6_revenue_change"] = """
+        SELECT CAST(sum(CAST(l_extendedprice * l_discount
+                 AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """
+    sql["q10_returned_items"] = """
+        WITH agg AS (
+          SELECT c_custkey, c_name, n_name,
+                 sum(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(18,6))) AS rev
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1997-10-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+          GROUP BY 1, 2, 3
+        )
+        SELECT c_custkey, c_name, n_name, CAST(rev AS DOUBLE) AS revenue
+        FROM agg ORDER BY rev DESC, c_custkey ASC LIMIT 20
+    """
+    sql["q14_promo_revenue"] = """
+        WITH j AS (
+          SELECT CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(18,6)) AS r, p_type
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+            AND l_shipdate < TIMESTAMP '1997-10-01'
+        ),
+        a AS (
+          SELECT sum(CASE WHEN p_type = 'PROMO' THEN r
+                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS promo,
+                 sum(r) AS total
+          FROM j
+        )
+        SELECT round(100.0 * promo / total, 6) AS promo_revenue_pct,
+               CAST(promo AS DOUBLE) AS promo_revenue,
+               CAST(total AS DOUBLE) AS total_revenue
+        FROM a
+    """
+    sql["q18_large_orders"] = """
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_qty
+          FROM lineitem GROUP BY 1
+          HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   > 250
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+               total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
     """
     # banded SimHash must equal the all-pairs result (pigeonhole recall=1):
     # same oracle SQL proves the equivalence via the hash-match gate

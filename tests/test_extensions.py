@@ -71,3 +71,42 @@ def test_except_day_scoped(spark):
     # result is a set of user ids, no duplicates
     ids = [r.user_id for r in rows]
     assert len(ids) == len(set(ids))
+
+
+def _formatted_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_pushdown_plan(spark):
+    """Q6's predicates must reach the parquet scan and the scan must
+    read only the referenced columns — the pushdown/pruning contract
+    that makes scan-side queries scale with selectivity, not table
+    size."""
+    from tweetaggregates_spark.plans import star
+
+    plan = _formatted_plan(star.q6_revenue_change(spark, "/root/testdata/sf0.001"))
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # range pushed
+    assert "LessThan(l_quantity" in plan
+    scan_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "l_orderkey" not in scan_schema  # pruned
+    assert "l_returnflag" not in scan_schema
+    assert "l_extendedprice" in scan_schema
+
+
+def test_q18_aggregates_before_join(spark):
+    """Q18 groups the fact table BEFORE joining back to orders/customer
+    — the HAVING survivors (~1%) are what shuffles into the joins."""
+    from tweetaggregates_spark.plans import star
+
+    plan = _formatted_plan(star.q18_large_orders(spark, "/root/testdata/sf0.001"))
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
