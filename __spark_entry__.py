@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_users_for_entity": ev.top_users_for_entity,
         "recent_counts": ev.recent_counts,
         "running_total_counts": ev.running_total_counts,
+        "daily_rollup_counts": ev.daily_rollup_counts,
         "top_retweets_shape": ev.top_retweets_shape,
         "json_props_daily": ev.json_props_daily,
         "q1_pricing_summary": star.q1_pricing_summary,
@@ -746,6 +747,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(text, '{_phone}')) AS INTEGER)
                  AS n_phones
         FROM documents
+    """
+    # the oracle computes daily counts straight from raw events; equality
+    # with the Spark side (which re-aggregates the persisted 10-min
+    # buckets) PROVES the rollup nesting property, not just the numbers
+    sql["daily_rollup_counts"] = """
+        SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+                 AS window_time,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
     """
     sql["q6_revenue_change"] = """
         SELECT CAST(sum(CAST(l_extendedprice * l_discount

@@ -116,3 +116,23 @@ def test_blocked_near_dups_equal_allpairs(spark):
     bl = {tuple(r) for r in
           similarity.cosine_near_dup_pairs_blocked(emb, threshold=0.4).collect()}
     assert ap == bl and len(ap) > 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    from tweetaggregates_spark.operators.skew import salted_join
+
+    # 90% of fact rows share one hot key
+    fact = spark.createDataFrame(
+        [(1 if i % 10 else i, float(i)) for i in range(2_000)],
+        "k long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 2_000, 7)] + [(1, "hot")],
+        "k long, name string",
+    )
+    plain = fact.join(dim, "k").collect()
+    salted = salted_join(fact, dim, "k", n_salts=8).collect()
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+    left_plain = fact.join(dim, "k", "left").collect()
+    left_salted = salted_join(fact, dim, "k", n_salts=8, how="left").collect()
+    assert sorted(map(tuple, left_salted)) == sorted(map(tuple, left_plain))

@@ -192,6 +192,26 @@ def running_total_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("running_total", F.sum("cnt").over(w))
 
 
+def daily_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical window rollup: daily counts derived by RE-AGGREGATING
+    the 10-min tumbling counts, not by rescanning raw events. Because
+    tumbling windows are epoch-aligned, 10-min windows nest exactly
+    inside days, so sum-of-fine-buckets == coarse bucket — the
+    hypertable/materialized-rollup pattern: at 100 TB the daily job
+    reads the (tiny) persisted fine aggregate table, and any additive
+    metric (count, sum, min, max, HLL merge) rolls up the same way."""
+    fine = tumbling_counts(spark, sf_dir)
+    # window_time is the window END: shift back 1us so an end exactly on
+    # midnight attributes to the day it summarizes, then re-window
+    day = F.date_trunc(
+        "day", F.col("window_time") - F.expr("INTERVAL 0.000001 SECONDS")
+    )
+    return (
+        fine.groupBy((day + F.expr("INTERVAL 1 DAY")).alias("window_time"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 def top_retweets_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 (TopRetweets, Query.cs:122-140) mapped onto events: per
     (hopping window x event_type): representative payload = max(props),
