@@ -144,6 +144,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_docs": llm.quality_docs,
         "token_counts_docs": llm.token_counts_docs,
         "normalize_docs": llm.normalize_docs,
+        "repetition_docs": llm.repetition_docs,
+        "contamination_docs": llm.contamination_docs,
+        "domain_stats_docs": llm.domain_stats_docs,
         "pii_mask_docs": llm.pii_mask_docs,
         "fingerprint_docs": llm.fingerprint_docs,
         "media_meta_docs": llm.media_meta_docs,  # rows-only: stubbed decode
@@ -747,6 +750,55 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(text, '{_phone}')) AS INTEGER)
                  AS n_phones
         FROM documents
+    """
+    sql["repetition_docs"] = f"""
+        WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id, {_D_SH3} AS sh FROM t)
+        SELECT doc_id,
+               CAST(len(sh) AS INTEGER) AS n_shingles,
+               CAST(len(list_distinct(sh)) AS INTEGER)
+                 AS n_distinct_shingles,
+               round((len(sh) - len(list_distinct(sh)))
+                 / greatest(len(sh), 1), 6) AS repetition_ratio
+        FROM s
+    """
+    _d_sh4 = (
+        "[array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks) - 2)]"
+    )
+    sql["contamination_docs"] = f"""
+        WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct({_d_sh4})) AS shingle
+               FROM t),
+        h AS (SELECT doc_id, {_D_HASH.format(x="shingle")} AS h FROM sh),
+        tr AS (SELECT doc_id AS train_doc_id, h FROM h
+               WHERE doc_id % 50 <> 0),
+        ev AS (SELECT doc_id AS eval_doc_id, h FROM h
+               WHERE doc_id % 50 = 0)
+        SELECT train_doc_id, eval_doc_id,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM tr JOIN ev USING (h)
+        GROUP BY 1, 2 HAVING count(*) >= 1
+    """
+    _url_frag = 'https?://[^ \t\n]+'
+    sql["domain_stats_docs"] = f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' https://' || source
+                           || '.example.com/page/'
+                           || CAST(doc_id AS VARCHAR)
+                      ELSE text END AS text
+          FROM documents
+        ),
+        u AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '{_url_frag}'))
+                   AS url
+          FROM aug
+        )
+        SELECT lower(regexp_extract(url, 'https?://([^/ ]+)', 1)) AS domain,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM u GROUP BY 1
     """
     # the oracle computes daily counts straight from raw events; equality
     # with the Spark side (which re-aggregates the persisted 10-min

@@ -297,3 +297,61 @@ def test_pii_mask_and_normalize(spark):
     assert masked[3].masked_text == rows[2][1]
     norm = {r.doc_id: r.norm_text for r in text_ops.normalize_text(df).collect()}
     assert norm[4] == "mixed case and whitespace"
+
+
+def test_repetition_stats_flags_repeats(spark):
+    from tweetaggregates_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat quietly today"),  # no repeats
+            (2, "spam spam spam spam spam spam spam spam"),  # degenerate
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["repetition_ratio"] == 0.0
+    # 6 shingles, all identical -> 5/6 repeats
+    assert got[2]["n_shingles"] == 6
+    assert got[2]["n_distinct_shingles"] == 1
+    assert abs(got[2]["repetition_ratio"] - round(5 / 6, 6)) < 1e-9
+
+
+def test_contamination_pairs_finds_planted_overlap(spark):
+    from tweetaggregates_spark.operators.text import contamination_pairs
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally unrelated words here none shared"),
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, "prefix alpha beta gamma delta epsilon suffix")],
+        "doc_id long, text string",
+    )
+    got = contamination_pairs(train, evalset, k=5).collect()
+    assert len(got) == 1
+    r = got[0]
+    # "alpha beta gamma delta epsilon" is the shared 5-gram (2 windows
+    # of it in train doc 1 -> distinct-shingle count is still per type)
+    assert (r["train_doc_id"], r["eval_doc_id"]) == (1, 100)
+    assert r["n_shared"] == 1
+
+
+def test_domain_stats_groups_hosts(spark):
+    from tweetaggregates_spark.operators.text import domain_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://a.example.com/x and https://a.example.com/y"),
+            (2, "also https://B.example.com/z here"),
+            (3, "and https://a.example.com/w too"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["domain"]: r for r in domain_stats(docs).collect()}
+    assert got["a.example.com"]["n_urls"] == 3
+    assert got["a.example.com"]["n_docs"] == 2
+    assert got["b.example.com"]["n_urls"] == 1  # host lowercased

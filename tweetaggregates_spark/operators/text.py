@@ -111,6 +111,93 @@ def doc_fingerprint(
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Repetition-based quality signal (the Gopher/C4 duplicate-n-gram
+    filters, Rae et al. 2021 §A1.1): fraction of k-word shingles that
+    are repeats of an earlier shingle in the same doc. Boilerplate /
+    spam / degenerate generations score high; clean prose ~0. Map-only
+    pure Column exprs (array ops per row, no explode, no shuffle)."""
+    sh = word_shingles(tokens(F.col(text_col)), k)
+    n_total = F.size(sh)
+    n_distinct = F.size(F.array_distinct(sh))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_total.alias("n_shingles"),
+        n_distinct.alias("n_distinct_shingles"),
+        F.round(
+            (n_total - n_distinct) / F.greatest(n_total, F.lit(1)), 6
+        ).alias("repetition_ratio"),
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing >= min_overlap
+    distinct k-word shingles with any eval doc (the n-gram overlap
+    check run before training on any corpus that might contain the
+    benchmark). Output: (train_doc_id, eval_doc_id, n_shared).
+
+    Scale shape: both sides explode to (shingle-hash, id) and meet in a
+    shuffle equi-join on the hash — the eval side is tiny (benchmarks
+    are thousands of docs), so Catalyst broadcasts it and the train
+    side NEVER shuffles: a map-side join per partition, cost linear in
+    train shingle count. Same pigeonhole economics as LSH: a long
+    shared passage shares many shingles, so min_overlap tolerates hash
+    noise without losing true contamination."""
+    t_sh = train.select(
+        F.col(id_col).alias("train_doc_id"),
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col(text_col)), k))
+        ).alias("shingle"),
+    ).withColumn("h", hash64(F.col("shingle"))).drop("shingle")
+    e_sh = evalset.select(
+        F.col(id_col).alias("eval_doc_id"),
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col(text_col)), k))
+        ).alias("shingle"),
+    ).withColumn("h", hash64(F.col("shingle"))).drop("shingle")
+    return (
+        t_sh.join(F.broadcast(e_sh), "h")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+
+
+def domain_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain aggregation of URLs mentioned in documents — the
+    domain-blocklist / domain-mix accounting pass of a crawl pipeline.
+    Extract every URL, reduce to its host, aggregate: (domain, n_urls,
+    n_docs). One explode + one groupBy on domain."""
+    urls = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)
+        ).alias("url"),
+    )
+    domain = F.lower(
+        F.regexp_extract(F.col("url"), "https?://([^/ ]+)", 1)
+    )
+    return (
+        urls.withColumn("domain", domain)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
 # regexes shared with the DuckDB oracle — keep to the Java/RE2 common
 # subset (character classes, +, {m,n}; no lookarounds/backrefs)
 EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"

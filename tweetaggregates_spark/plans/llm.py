@@ -233,6 +233,45 @@ def cosine_near_dups_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs_blocked(emb, threshold=0.4)
 
 
+def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram repetition ratio per doc (Gopher/C4 filter)."""
+    return text.repetition_stats(_docs(spark, sf_dir))
+
+
+def contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 50 != 0)
+    sharing a 4-gram with the synthetic eval set (doc_id % 50 == 0).
+    Production pipelines use 8-13-grams; k=4 keeps the check
+    non-vacuous on this synthetic corpus (19 pairs at sf0.01)."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    evalset = docs.filter(F.col("doc_id") % 50 == 0)
+    return text.contamination_pairs(train, evalset, k=4)
+
+
+def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The testdata documents contain no URLs; append a deterministic
+    per-source URL footer to every 3rd doc (same synthesis convention
+    as _docs_with_dups) so domain accounting is non-vacuous."""
+    docs = _docs(spark, sf_dir)
+    footer = F.concat(
+        F.col("text"),
+        F.lit(" https://"),
+        F.col("source"),
+        F.lit(".example.com/page/"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, footer).otherwise(F.col("text")),
+    )
+
+
+def domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL accounting over the URL-augmented documents."""
+    return text.domain_stats(_docs_with_urls(spark, sf_dir))
+
+
 def normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization pass over the documents table."""
     return text.normalize_text(_docs(spark, sf_dir))
