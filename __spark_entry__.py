@@ -149,7 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats_docs": llm.domain_stats_docs,
         "pii_mask_docs": llm.pii_mask_docs,
         "fingerprint_docs": llm.fingerprint_docs,
-        "media_meta_docs": llm.media_meta_docs,  # rows-only: stubbed decode
+        "media_meta_docs": llm.media_meta_docs,
         "session_windows": ev.session_windows,
         "throughput_5min": ev.throughput_5min,
         "distinct_users_daily": ev.distinct_users_daily,
@@ -750,6 +750,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(text, '{_phone}')) AS INTEGER)
                  AS n_phones
         FROM documents
+    """
+    # the Arrow-side decode is a deterministic envelope parse (first 8
+    # payload bytes -> 60-bit checksum -> fake dims); DuckDB reproduces
+    # it from the blob hex, so the binary plumbing is hash-checked end
+    # to end (the NotImplementedError stub remains only where a real
+    # image library would plug in)
+    sql["media_meta_docs"] = """
+        WITH m AS (SELECT doc_id, encode(text) AS media FROM documents),
+        h AS (
+          SELECT doc_id,
+                 octet_length(media) AS n_bytes,
+                 (('0x' || rpad(substr(hex(media), 1, 16), 16, '0'))::UBIGINT
+                   % 1152921504606846976)::BIGINT AS checksum
+          FROM m
+        )
+        SELECT doc_id, 'image/fake' AS media_type,
+               CAST(n_bytes AS BIGINT) AS n_bytes,
+               CAST(checksum % 640 + 1 AS INTEGER) AS width,
+               CAST(checksum % 480 + 1 AS INTEGER) AS height,
+               checksum
+        FROM h
     """
     sql["repetition_docs"] = f"""
         WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
