@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "throughput_5min": ev.throughput_5min,
         "distinct_users_daily": ev.distinct_users_daily,
         "approx_users_daily": ev.approx_users_daily,  # rows-only: HLL sketch
+        "kmv_users_daily": ev.kmv_users_daily,
         "clickers_without_purchase": ev.clickers_without_purchase,
         "cosine_near_dups": llm.cosine_near_dups,
         "cosine_near_dups_banded": llm.cosine_near_dups_banded,
@@ -750,6 +751,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(text, '{_phone}')) AS INTEGER)
                  AS n_phones
         FROM documents
+    """
+    # KMV sketch: estimate is a pure function of the distinct key set
+    # via the portable hash, so the APPROXIMATION itself hash-matches
+    _kmv_h = _D_HASH.format(x="CAST(user_id AS VARCHAR)")
+    sql["kmv_users_daily"] = f"""
+        WITH h AS (
+          SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+                   AS window_time,
+                 {_kmv_h} AS h
+          FROM events
+        ),
+        g AS (
+          SELECT window_time,
+                 (list_sort(list_distinct(list(h))))[1:64] AS mink,
+                 CAST(count(DISTINCT h) AS BIGINT) AS n_exact
+          FROM h GROUP BY 1
+        )
+        SELECT window_time,
+               CASE WHEN len(mink) < 64 THEN n_exact
+                    ELSE CAST(round(63 * 1152921504606846976.0 / mink[64])
+                              AS BIGINT) END AS n_users_kmv,
+               n_exact AS n_users_exact
+        FROM g
     """
     # the Arrow-side decode is a deterministic envelope parse (first 8
     # payload bytes -> 60-bit checksum -> fake dims); DuckDB reproduces

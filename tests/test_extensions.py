@@ -110,3 +110,15 @@ def test_q18_aggregates_before_join(spark):
     agg_pos = plan.find("HashAggregate")
     join_pos = plan.find("Join")
     assert agg_pos != -1 and join_pos != -1
+
+
+def test_kmv_estimate_accuracy(spark):
+    """KMV(k=64) must land within ~4 sigma (sigma ~ 1/sqrt(k-2) ~ 13%)
+    of the exact distinct count on every day window."""
+    from tweetaggregates_spark.plans.events import kmv_users_daily
+
+    rows = kmv_users_daily(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        exact, est = r["n_users_exact"], r["n_users_kmv"]
+        assert abs(est - exact) <= max(0.5 * exact, 5), (exact, est)

@@ -315,6 +315,52 @@ def approx_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 64
+
+
+def kmv_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 extension: KMV (k-minimum-values) distinct sketch per day —
+    the DETERMINISTIC approximate-distinct: estimate = (k-1) * H /
+    h_(k), where h_(k) is the k-th smallest 60-bit hash of the distinct
+    keys and H the hash range (Bar-Yossef et al., "Counting distinct
+    elements in a data stream", RANDOM'02). Unlike HLL
+    (approx_users_daily — sketch bytes are engine-internal, rows-only
+    check), KMV over the portable hash64 is a pure function of the key
+    set, so the DuckDB oracle reproduces the ESTIMATE bit-for-bit —
+    sketch accuracy itself becomes hash-gate-checkable.
+
+    Scale note: this formulation carries the distinct hash set per
+    group through the shuffle (collect_set), so state is O(distinct) —
+    fine for per-day user counts; the O(k)-state mergeable variant
+    (keep only the k smallest on every partial merge) is what a custom
+    Aggregator would do JVM-side, and HLL remains the O(1)-state
+    production path. The VALUE this query adds is the deterministic
+    cross-engine accuracy pin, not the state bound."""
+    ev = _events(spark, sf_dir)
+    from tweetaggregates_spark.functions.hashing import hash64
+
+    h = hash64(F.col("user_id").cast("string"))
+    per_day = (
+        ev.select(F.window("ts", "1 day").alias("window"), h.alias("h"))
+        .groupBy(F.col("window.end").alias("window_time"))
+        .agg(
+            F.slice(F.array_sort(F.collect_set("h")), 1, KMV_K).alias("mink"),
+            F.countDistinct("h").alias("n_exact_hashes"),
+        )
+    )
+    kth = F.element_at("mink", KMV_K)
+    est = F.when(
+        F.size("mink") < KMV_K, F.col("n_exact_hashes")  # fewer than k: exact
+    ).otherwise(
+        F.round(F.lit(KMV_K - 1) * F.lit(float(2**60)) / kth).cast("long")
+    )
+    return per_day.select(
+        "window_time",
+        est.alias("n_users_kmv"),
+        F.col("n_exact_hashes").alias("n_users_exact"),
+    )
+
+
 def clickers_without_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operation (EXCEPT): users who clicked on 2024-01-15 but made
     no purchase that day. Both filters push to the scan; EXCEPT plans as
