@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_order_docs": llm.shuffle_order_docs,
         "pack_sequences_docs": llm.pack_sequences_docs,
         "cosine_near_dups_blocked": llm.cosine_near_dups_blocked,
+        "cosine_near_dups_tiled": llm.cosine_near_dups_tiled,
     }
 
 
@@ -927,6 +928,10 @@ def oracle_sql() -> dict[str, str]:
     # blocked-matmul discovery + exact verify equals the all-pairs plan
     # by construction (margin overgenerates, verify is the same fold)
     sql["cosine_near_dups_blocked"] = sql["cosine_near_dups"]
+    # tiled block-pair matmul (no driver collect) is the same discovery
+    # + exact-verify contract: margin overgenerates, verify restores
+    # bit-identity with the all-pairs plan
+    sql["cosine_near_dups_tiled"] = sql["cosine_near_dups"]
 
     # connected components over the LSH pair graph: the oracle computes
     # the transitive closure with a recursive CTE and labels each node

@@ -118,6 +118,16 @@ def test_blocked_near_dups_equal_allpairs(spark):
     assert ap == bl and len(ap) > 0
 
 
+def test_tiled_near_dups_equal_allpairs(spark):
+    emb = load_table(spark, SF0001, "embeddings")
+    ap = {tuple(r) for r in
+          similarity.cosine_near_dup_pairs(emb, threshold=0.4).collect()}
+    tl = {tuple(r) for r in
+          similarity.cosine_near_dup_pairs_tiled(
+              emb, threshold=0.4, n_blocks=3).collect()}
+    assert ap == tl and len(ap) > 0
+
+
 def test_salted_join_equals_plain_join(spark):
     from tweetaggregates_spark.operators.skew import salted_join
 

@@ -244,6 +244,104 @@ def cosine_near_dup_pairs_blocked(
     )
 
 
+def cosine_near_dup_pairs_tiled(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    margin: float = 1e-4,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """``cosine_near_dup_pairs_blocked`` without the driver-side corpus
+    collect — the 100 TB form of marginal-threshold all-pairs
+    similarity. Vectors hash into ``n_blocks`` blocks; each unordered
+    block pair (i <= j) becomes one shuffle group holding both blocks'
+    rows, and one BLAS matmul per group emits candidates above
+    threshold - margin; exact JVM-fold verify keeps output bit-identical
+    to the all-pairs plan. Nothing ever materializes on the driver.
+
+    Costs: each row replicates ~n_blocks x through the shuffle (a block
+    participates in n_blocks block pairs; rows carry only id + dim
+    floats), flops are the same inherent O(n²·dim) as any all-pairs
+    scheme, and each task's working set is 2 blocks = 2n/n_blocks
+    vectors — pick n_blocks so that fits executor memory. Set
+    n_blocks ~ sqrt(cluster cores) x (n·dim·8 / executor_mem)^0.5 at
+    scale; the broadcast variant stays the faster choice while the
+    whole corpus fits in one task's memory."""
+    import numpy as np
+    import pandas as pd
+
+    cut = threshold - margin
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(n_blocks),
+    )
+    v = _normed(df, id_col, vec_col).withColumnRenamed(id_col, "id")
+    blk = v.withColumn("blk", h.cast("int"))
+    # replicate each row to every block pair it participates in; pair
+    # key (lo, hi) with lo <= hi, side = which member this row is
+    pairs_of = F.array(
+        *[
+            F.struct(
+                F.least(F.col("blk"), F.lit(o)).alias("lo"),
+                F.greatest(F.col("blk"), F.lit(o)).alias("hi"),
+            )
+            for o in range(n_blocks)
+        ]
+    )
+    tagged = (
+        blk.withColumn("pair", F.explode(F.array_distinct(pairs_of)))
+        .select(
+            F.col("pair.lo").alias("lo"),
+            F.col("pair.hi").alias("hi"),
+            "id",
+            "v",
+            F.col("blk").alias("side_blk"),
+        )
+    )
+
+    def _block_pair(key, pdf):
+        lo, hi = key
+        a = pdf[pdf["side_blk"] == lo]
+        b = pdf[pdf["side_blk"] == hi] if hi != lo else a
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        am = np.stack(a["v"].to_numpy()).astype("float64")
+        bm = np.stack(b["v"].to_numpy()).astype("float64")
+        am /= np.linalg.norm(am, axis=1, keepdims=True)
+        bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+        sims = am @ bm.T
+        aids = a["id"].to_numpy()
+        bids = b["id"].to_numpy()
+        hot = sims >= cut
+        # canonical (smaller id, larger id) in BOTH directions: a pair
+        # whose hi-block member has the smaller id still belongs to this
+        # block pair, just with the roles swapped
+        ii, jj = np.nonzero(hot & (aids[:, None] < bids[None, :]))
+        out_a, out_b = aids[ii], bids[jj]
+        if hi != lo:
+            ii2, jj2 = np.nonzero(hot & (aids[:, None] > bids[None, :]))
+            out_a = np.concatenate([out_a, bids[jj2]])
+            out_b = np.concatenate([out_b, aids[ii2]])
+        return pd.DataFrame(
+            {"id_a": out_a.astype("int64"), "id_b": out_b.astype("int64")}
+        )
+
+    cand = tagged.groupBy("lo", "hi").applyInPandas(
+        _block_pair, "id_a long, id_b long"
+    )
+    va = v.withColumnRenamed("id", "id_a").withColumnRenamed("v", "va")
+    vb = v.withColumnRenamed("id", "id_b").withColumnRenamed("v", "vb")
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def _rademacher_planes(n: int, dim: int, seed: int) -> list[list[float]]:
     """Deterministic seeded ±1 hyperplanes (Charikar'02 sign-LSH). ±1
     entries keep the dot a pure add/sub chain in codegen."""

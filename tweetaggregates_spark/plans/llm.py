@@ -272,6 +272,14 @@ def domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.domain_stats(_docs_with_urls(spark, sf_dir))
 
 
+def cosine_near_dups_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-nested-loop matmul near-dups — the no-driver-collect form
+    of cosine_near_dups_blocked (block pairs meet in the shuffle; one
+    BLAS matmul per pair)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs_tiled(emb, threshold=0.4)
+
+
 def normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization pass over the documents table."""
     return text.normalize_text(_docs(spark, sf_dir))
