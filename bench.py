@@ -46,6 +46,7 @@ HEADLINE = [
     "simhash_pairs_banded",
     "cosine_near_dups_banded",
     "cosine_near_dups_blocked",
+    "cosine_near_dups_tiled",
     # round 2: dup-cluster resolution + packing (training-data ops)
     "dedup_clusters_docs",
     "pack_sequences_docs",
