@@ -172,6 +172,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_docs": llm.pack_sequences_docs,
         "cosine_near_dups_blocked": llm.cosine_near_dups_blocked,
         "cosine_near_dups_tiled": llm.cosine_near_dups_tiled,
+        "vocab_docs": llm.vocab_docs,
+        "tfidf_docs": llm.tfidf_docs,
+        "inverted_index_docs": llm.inverted_index_docs,
+        "label_centroids": llm.label_centroids_query,
+        "q4_priority_counts": star.q4_priority_counts,
+        "q16_supplier_counts": star.q16_supplier_counts,
+        "q19_disjunctive_revenue": star.q19_disjunctive_revenue,
+        "latest_events_snapshot": ev.latest_events_snapshot,
     }
 
 
@@ -1029,5 +1037,136 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, start_offset,
                CAST(floor(start_offset / 2048) AS BIGINT) AS chunk_id
         FROM s
+    """
+
+    # text-index family (operators/text.py: vocab / tfidf / inverted
+    # index) — shares the _D_TOKS tokenization contract
+    sql["vocab_docs"] = f"""
+        WITH tok AS (SELECT doc_id, unnest({_D_TOKS}) AS token
+                     FROM documents),
+        agg AS (SELECT token, count(*) AS term_count,
+                       count(DISTINCT doc_id) AS doc_count
+                FROM tok GROUP BY 1),
+        top AS (SELECT * FROM agg
+                ORDER BY term_count DESC, token ASC LIMIT 200)
+        SELECT token, term_count, doc_count,
+               CAST(row_number() OVER (
+                 ORDER BY term_count DESC, token ASC) AS INTEGER) AS rank
+        FROM top
+    """
+    # ranking key is all-integer (tf DESC, doc_freq ASC, token) — the
+    # rounded tfidf is a value column only, so ln() ulp noise can't
+    # reorder rows
+    sql["tfidf_docs"] = f"""
+        WITH tok AS (SELECT doc_id, unnest({_D_TOKS}) AS token
+                     FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+               FROM tok GROUP BY 1, 2 HAVING count(*) >= 2),
+        dft AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf, dft.doc_freq,
+                 round(tf.tf * ln((n.n_docs + 1) / (dft.doc_freq + 1)),
+                       6) AS tfidf
+          FROM tf JOIN dft USING (token) CROSS JOIN n
+        ),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY tf DESC, doc_freq ASC, token ASC) AS term_rank
+              FROM scored)
+        SELECT doc_id, token, tf, doc_freq, tfidf,
+               CAST(term_rank AS INTEGER) AS term_rank
+        FROM r WHERE term_rank <= 3
+    """
+    sql["inverted_index_docs"] = f"""
+        WITH tok AS (SELECT DISTINCT doc_id, unnest({_D_TOKS}) AS token
+                     FROM documents),
+        counts AS (SELECT token, count(*) AS doc_freq FROM tok GROUP BY 1),
+        ranked AS (SELECT token, doc_id, row_number() OVER (
+                     PARTITION BY token ORDER BY doc_id) AS pos FROM tok),
+        postings AS (SELECT token,
+                       array_to_string(list(doc_id ORDER BY doc_id), ',')
+                         AS postings
+                     FROM ranked WHERE pos <= 10 GROUP BY 1)
+        SELECT token, doc_freq, postings
+        FROM counts JOIN postings USING (token)
+        WHERE doc_freq >= 5
+    """
+    # exact per-dimension decimal sum, one cast to double, one IEEE
+    # divide — order-free in both engines (similarity.label_centroids)
+    sql["label_centroids"] = """
+        WITH idx AS (SELECT label, embedding,
+                            unnest(range(1, len(embedding) + 1)) AS i
+                     FROM embeddings),
+        ex AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+                      embedding[CAST(i AS INTEGER)] AS x
+               FROM idx)
+        SELECT label, dim,
+               round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12)))
+                       AS DOUBLE) / count(*), 6) AS centroid,
+               count(*) AS n_vectors
+        FROM ex GROUP BY 1, 2
+    """
+
+    # adapted TPC-H shapes (no commit/receipt dates or partsupp in the
+    # testdata — see plans/star.py docstrings for the mapping)
+    sql["q4_priority_counts"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate
+                                           + INTERVAL 30 DAY)
+        GROUP BY 1
+    """
+    sql["q16_supplier_counts"] = """
+        WITH supply AS (
+          SELECT l.l_suppkey, p.p_brand, p.p_type, p.p_size
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_brand <> 'Brand#45'
+            AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+        ),
+        agg AS (SELECT p_brand, p_type, p_size,
+                       count(DISTINCT l_suppkey) AS supplier_cnt
+                FROM supply GROUP BY 1, 2, 3),
+        top AS (SELECT * FROM agg
+                ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+                LIMIT 20)
+        SELECT p_brand, p_type, p_size, supplier_cnt,
+               CAST(row_number() OVER (
+                 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size)
+                 AS INTEGER) AS rank
+        FROM top
+    """
+    sql["q19_disjunctive_revenue"] = """
+        SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50
+               AND l_quantity BETWEEN 20 AND 30)
+    """
+    # CDC compaction: last write per key wins (unique event_id breaks
+    # ts ties), version count proves the full history was seen
+    sql["latest_events_snapshot"] = """
+        WITH r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn,
+                 count(*) OVER (
+                   PARTITION BY user_id, event_type) AS n_versions
+          FROM events
+        )
+        SELECT user_id, event_type, ts AS last_ts,
+               event_id AS last_event_id, value AS last_value,
+               n_versions
+        FROM r WHERE rn = 1
     """
     return sql

@@ -50,6 +50,12 @@ HEADLINE = [
     # round 2: dup-cluster resolution + packing (training-data ops)
     "dedup_clusters_docs",
     "pack_sequences_docs",
+    # round 2: text-index family + adapted TPC-H shapes + CDC compaction
+    "tfidf_docs",
+    "inverted_index_docs",
+    "q16_supplier_counts",
+    "q19_disjunctive_revenue",
+    "latest_events_snapshot",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

@@ -534,3 +534,34 @@ def knn_ivf(
         rank_name="knn_rank", keep_rank=True,
     )
     return top.select("query_id", "neighbor_id", "cos_sim", "knn_rank")
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-group embedding centroid in long form: (label, dim,
+    centroid, n_vectors) — the class-prototype / cluster-summary pass
+    (quality probes, IVF seeding, per-source drift monitoring).
+
+    Determinism across engines: per-dimension sums run through
+    DECIMAL(28,12) (exact, order-free), the exact sum casts to double
+    once, one IEEE divide by the count, round(6).
+
+    Scale shape: posexplode fans each vector into d rows that partial-
+    aggregate map-side before one shuffle on (label, dim) — state is
+    |labels| x d accumulators regardless of corpus size, and no
+    vector array is ever held whole in aggregation state."""
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("double").cast("decimal(28,12)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

@@ -205,6 +205,133 @@ PHONE_RE = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
 URL_RE = "https?://[^ \\t\\n]+"
 
 
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 200,
+) -> DataFrame:
+    """Corpus vocabulary build: top-N tokens by total occurrences with
+    term and document frequencies — the vocab/stopword-discovery pass
+    that precedes tokenizer training.
+
+    Scale shape: explode -> one groupBy(token) with both counts
+    (countDistinct is one expand, partial-aggregated map-side), then
+    TakeOrderedAndProject for the top-N — no global window over the
+    full vocabulary; the rank is applied to the already-truncated
+    top-N rows only."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    agg = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("term_count"),
+        F.countDistinct("doc_id").alias("doc_count"),
+    )
+    top = agg.orderBy(F.desc("term_count"), F.asc("token")).limit(top_n)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("term_count"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_tf: int = 2,
+) -> DataFrame:
+    """Per-document top-k characteristic terms by TF-IDF.
+
+    tf = in-doc occurrences (>= min_tf to skip noise), df_t = number of
+    docs containing the term, idf = ln((N+1)/(df_t+1)) (smoothed),
+    reported tfidf = round(tf*idf, 6). The top-k ORDER is decided by
+    the integer key (tf DESC, df_t ASC, token ASC) — never by the
+    float — so ranking is bit-identical across engines even if ln()
+    differs in the last ulp.
+
+    Scale shape: tf groupBy shuffles on (doc, token); df_t groupBy on
+    token reuses the token-hashed exchange; the doc-count scalar joins
+    as a broadcast literal; final top-k is a per-doc window (partition
+    by doc — embarrassingly parallel)."""
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= min_tf)
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("doc_freq") + 1)),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("doc_freq"), F.asc("token")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select("doc_id", "token", "tf", "doc_freq", "tfidf", "term_rank")
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 10,
+    min_doc_freq: int = 5,
+) -> DataFrame:
+    """Inverted index over the corpus: token -> (doc_freq, first
+    max_postings doc ids ascending, serialized as a CSV string so the
+    result is hash-portable across engines).
+
+    Scale shape: postings are rank-FILTERED (row_number per token <=
+    max_postings) BEFORE collect_list, so per-token aggregation state
+    is O(max_postings) even for stopword-grade tokens — the unbounded
+    collect-then-slice formulation would hold every posting of a hot
+    token in memory. doc_freq comes from a count aggregate on the same
+    token-hashed exchange; one equi-join reunites them."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("token").orderBy(F.asc("doc_id"))
+    postings = (
+        tok.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= max_postings)
+        .groupBy("token")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col("doc_id")))
+            ).alias("postings")
+        )
+    )
+    return (
+        counts.filter(F.col("doc_freq") >= min_doc_freq)
+        .join(postings, "token")
+        .select("token", "doc_freq", "postings")
+    )
+
+
 def normalize_text(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

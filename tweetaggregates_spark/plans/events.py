@@ -448,3 +448,41 @@ def json_props_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+def latest_events_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: resolve the event log to the LATEST state
+    per (user_id, event_type) key — the keyed-overwrite semantics the
+    reference gets from RocksDB puts (last write wins,
+    RocksDbQueryableStore.cs), expressed as a batch argmax so a parquet
+    log compacts to the same snapshot a key-value store would hold.
+
+    Plan: one window per key ordered by (ts DESC, event_id DESC —
+    unique tiebreaker makes the winner deterministic); rows never leave
+    their key partition, state per key is O(1). At 100 TB this runs as
+    a shuffle on the key, or shuffle-free if the log is bucketed by
+    key as store.py does for aggregates."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_versions",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("user_id", "event_type")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+            "n_versions",
+        )
+    )

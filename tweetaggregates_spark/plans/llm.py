@@ -288,3 +288,26 @@ def normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pii_mask_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII masking pass over the documents table."""
     return text.pii_mask(_docs(spark, sf_dir))
+
+
+def vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 corpus vocabulary with term/doc frequencies."""
+    return text.vocab_stats(_docs(spark, sf_dir), top_n=200)
+
+
+def tfidf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by TF-IDF."""
+    return text.tfidf_top_terms(_docs(spark, sf_dir), k=3, min_tf=2)
+
+
+def inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index (doc_freq >= 5, first 10 postings per token)."""
+    return text.inverted_index(
+        _docs(spark, sf_dir), max_postings=10, min_doc_freq=5
+    )
+
+
+def label_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (long form)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb)

@@ -334,3 +334,95 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "o_custkey", "o_orderkey", "o_totalprice", "order_rank"
     )
+
+
+def q4_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts for orders with at least
+    one LATE lineitem (shipped >30 days after the order date — the
+    testdata has no commit/receipt dates, so the late predicate adapts
+    Q4's "committed < received" to the columns that exist).
+
+    Plan: left-semi join orders->lineitem on (orderkey AND the non-equi
+    lateness condition) — the semi stops probing an order at its first
+    late line, and EXISTS never duplicates orders the way an inner
+    join + distinct would. groupBy on the 5-value priority afterwards
+    is a trivial shuffle."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each
+    (brand, type, size) part family, excluding a supplier blocklist
+    (negative account balance stands in for Q16's complaints filter;
+    there is no partsupp table, so supply relationships come from
+    lineitem).
+
+    Plan: the blocklist is a broadcast anti-join (6 rows); part is a
+    broadcast dim join; the only shuffle is the (brand,type,size)
+    aggregate whose countDistinct(suppkey) expands partial-aggregated
+    map-side. Top-20 via TakeOrderedAndProject, rank stamped on the
+    truncated rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") != "Brand#45"
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    )
+    supply = (
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    )
+    agg = supply.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+    top = agg.orderBy(
+        F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"),
+        F.asc("p_size"),
+    ).limit(20)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"),
+        F.asc("p_size"),
+    )
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from an OR of three conjunctive
+    (brand, size-range, quantity-range) branches — the classic
+    disjunctive-predicate query. Expressed as one boolean expression so
+    Catalyst keeps it a single broadcast-join + scan (no union of three
+    scans) and pushes the common l_quantity bounds to the parquet
+    reader."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b = F.col("p_brand")
+    sz = F.col("p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((b == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#23") & sz.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#34") & sz.between(1, 50) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.sum(_revenue()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
