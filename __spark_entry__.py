@@ -180,6 +180,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_counts": star.q16_supplier_counts,
         "q19_disjunctive_revenue": star.q19_disjunctive_revenue,
         "latest_events_snapshot": ev.latest_events_snapshot,
+        "q7_nation_volume": star.q7_nation_volume,
+        "q8_market_share": star.q8_market_share,
+        "q13_order_count_distribution": star.q13_order_count_distribution,
+        "q15_top_supplier": star.q15_top_supplier,
+        "q17_small_quantity_revenue": star.q17_small_quantity_revenue,
+        "q22_idle_customers": star.q22_idle_customers,
+        "q2_min_cost_supplier": star.q2_min_cost_supplier,
+        "q21_last_shipper": star.q21_last_shipper,
     }
 
 
@@ -1168,5 +1176,157 @@ def oracle_sql() -> dict[str, str]:
                event_id AS last_event_id, value AS last_value,
                n_versions
         FROM r WHERE rn = 1
+    """
+    # round-2 batch: the remaining feasible TPC-H plan shapes (see
+    # plans/star.py docstrings for the no-partsupp/no-commitdate
+    # adaptations)
+    sql["q7_nation_volume"] = """
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+          AND ns.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+          AND nc.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+          AND ns.n_name <> nc.n_name
+        GROUP BY 1, 2, 3
+    """
+    sql["q8_market_share"] = """
+        WITH j AS (
+          SELECT year(o_orderdate) AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(18,6)) AS vol,
+                 ns.n_name AS supp_nation
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+          JOIN region r ON nc.n_regionkey = r.r_regionkey
+          JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+          WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+            AND o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate < TIMESTAMP '1999-01-01'
+        )
+        SELECT CAST(o_year AS BIGINT) AS o_year,
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+                              THEN vol ELSE CAST(0 AS DECIMAL(18,6)) END)
+                       AS DOUBLE)
+                     / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+        FROM j GROUP BY 1
+    """
+    sql["q13_order_count_distribution"] = """
+        WITH per_cust AS (
+          SELECT c.c_custkey,
+                 CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c
+          LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority = '1-URGENT'
+           AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+          GROUP BY 1
+        )
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM per_cust GROUP BY 1
+    """
+    sql["q15_top_supplier"] = """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 sum(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(18,6))) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY 1
+        )
+        SELECT r.l_suppkey AS s_suppkey, s.s_name,
+               CAST(r.total_rev AS DOUBLE) AS total_revenue
+        FROM rev r
+        JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """
+    sql["q17_small_quantity_revenue"] = """
+        WITH brand_lines AS (
+          SELECT l.*
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_brand = 'Brand#1'
+        ),
+        per_part AS (
+          SELECT l_partkey AS agg_partkey,
+                 sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+                 CAST(count(*) AS BIGINT) AS n_lines
+          FROM brand_lines GROUP BY 1
+        )
+        SELECT CAST(sum(CAST(b.l_extendedprice AS DECIMAL(18,6)))
+                 AS DOUBLE) / 7.0 AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_small_lines
+        FROM brand_lines b
+        JOIN per_part a ON b.l_partkey = a.agg_partkey
+        WHERE CAST(b.l_quantity AS DECIMAL(18,6)) * 5 * a.n_lines
+              < a.sum_qty
+    """
+    sql["q22_idle_customers"] = """
+        WITH pos AS (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_pos,
+                 CAST(count(*) AS BIGINT) AS n_pos
+          FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                 AS totacctbal
+        FROM customer c, pos
+        WHERE c.c_acctbal * pos.n_pos > pos.total_pos
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY 1
+    """
+    sql["q2_min_cost_supplier"] = """
+        WITH j AS (
+          SELECT l.l_partkey, l.l_suppkey,
+                 l.l_extendedprice / l.l_quantity AS unit_price
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_brand = 'Brand#2'
+        ),
+        best AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY unit_price ASC, l_suppkey ASC) AS rn
+          FROM j
+        )
+        SELECT b.l_partkey AS p_partkey, b.l_suppkey AS s_suppkey,
+               s.s_name, round(b.unit_price, 6) AS min_unit_price
+        FROM best b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+        WHERE b.rn = 1
+    """
+    sql["q21_last_shipper"] = """
+        WITH marked AS (
+          SELECT l_orderkey, l_suppkey, l_shipdate, l_linenumber,
+                 count(DISTINCT l_suppkey) OVER (
+                   PARTITION BY l_orderkey) AS n_supps,
+                 row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_shipdate DESC, l_suppkey ASC,
+                            l_linenumber ASC) AS rn
+          FROM lineitem
+        ),
+        counts AS (
+          SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+          FROM marked WHERE n_supps >= 2 AND rn = 1
+          GROUP BY 1
+        )
+        SELECT c.l_suppkey AS s_suppkey, s.s_name, c.numwait
+        FROM counts c JOIN supplier s ON c.l_suppkey = s.s_suppkey
+        ORDER BY numwait DESC, s_suppkey ASC
+        LIMIT 10
     """
     return sql

@@ -426,3 +426,287 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_revenue()).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between nation pairs by year —
+    the classic two-dimension-role join (nation joined twice, once for
+    the supplier side and once for the customer side). Both nation
+    copies broadcast; the fact-fact orders<->lineitem join is the only
+    shuffle, and the directed-pair filter lands on the broadcast side so
+    non-qualifying rows die before the group-by."""
+    nations = ("NATION_1", "NATION_2", "NATION_3")
+    n_supp = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*nations))
+        .select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n_cust = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*nations))
+        .select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue for one
+    part type, per order year. The share is a conditional-sum ratio
+    computed in the same single aggregate pass (no second scan, no
+    self-join); every dimension broadcasts. Both engines form the two
+    DECIMAL sums exactly, cast to double, and perform one IEEE divide,
+    so the ratio hash-matches."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation_cust = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    nation_supp = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cr_key") == region.r_regionkey)
+        .join(F.broadcast(nation_supp), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    vol = _revenue()
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(
+            F.lit(0).cast("decimal(18,6)")
+        )).cast("double").alias("nation_volume"),
+        F.sum(vol).cast("double").alias("total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("nation_volume") / F.col("total_volume"), 6).alias(
+            "mkt_share"
+        ),
+    )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer, keeping the
+    zero-order customers — LEFT OUTER join then two cascaded aggregates.
+    The outer join shuffles on custkey; the second aggregate's input is
+    |customers| rows, so its shuffle is negligible. The order-side
+    filter (recent URGENT only) sits on the join's right input, not in
+    a post-join WHERE, which is what preserves the zero-order
+    customers."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    )
+    per_cust = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the global maximum quarter
+    revenue — aggregate, then compare against a one-row global scalar.
+    The scalar max is broadcast (a 1-row cross join), so no second pass
+    over the fact table and no single-partition window over the
+    aggregate. Revenue stays DECIMAL until after the equality test, so
+    the max comparison is exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("total_rev"))
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top), rev.total_rev == top.max_rev)
+        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders of one brand,
+    where "small" is relative to the part's own average quantity — the
+    classic correlated-scalar-subquery decorrelated into an aggregate +
+    join-back. The per-part average never materializes as a double:
+    the predicate is 5 * qty * n < sum_qty (all DECIMAL/integer math),
+    so both engines make the identical exact comparison. The per-part
+    aggregate is computed only over the brand's parts (filter pushed
+    before the agg) and broadcasts back."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_part = brand_lines.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    j = brand_lines.join(
+        F.broadcast(per_part), F.col("l_partkey") == F.col("agg_partkey")
+    ).filter(
+        F.col("l_quantity").cast("decimal(18,6)") * 5 * F.col("n_lines")
+        < F.col("sum_qty")
+    )
+    return j.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            / 7.0
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small_lines"),
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy customers gone quiet (no order since
+    1999) — a global scalar threshold (average positive balance) plus an
+    anti join, grouped by nation. The threshold comparison multiplies
+    through by the count (bal * n > total) so no engine ever divides:
+    the test is IEEE-multiply vs exact-decimal-sum in both engines. The
+    1-row scalar broadcasts; the anti join's right side is pre-filtered
+    to recent orders, so only those custkeys shuffle."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    pos = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_pos"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    wealthy = (
+        customer.join(F.broadcast(pos))
+        .filter(F.col("c_acctbal") * F.col("n_pos") > F.col("total_pos"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return (
+        wealthy.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table in the testdata): for
+    each part of one brand, the supplier shipping it at the lowest
+    observed unit price — the argmin-per-group join-back pattern. The
+    rank runs per-part over the (unit_price, suppkey) order, so ties
+    break deterministically; unit price is one IEEE divide identical in
+    both engines.
+
+    Scale: the window partitions by partkey — the same shuffle the
+    group-by would need, state O(1) per partition via row_number."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("unit_price"), F.asc("l_suppkey")
+    )
+    best = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.round("unit_price", 6).alias("min_unit_price"),
+        )
+    )
+
+
+def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no commit/receipt dates): for orders
+    touched by >=2 distinct suppliers, charge the order's LAST shipment
+    to its supplier and count how often each supplier is that laggard —
+    a per-order argmax plus a multi-supplier qualifier computed in ONE
+    window pass (no groupBy-then-join-back second shuffle). Top 10
+    laggards with deterministic tiebreak."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_orderkey")
+    wr = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_shipdate"), F.asc("l_suppkey"), F.asc("l_linenumber")
+    )
+    marked = li.select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber"
+    ).withColumn(
+        "n_supps", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn("rn", F.row_number().over(wr))
+    laggards = marked.filter((F.col("n_supps") >= 2) & (F.col("rn") == 1))
+    counts = laggards.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+    return (
+        counts.join(F.broadcast(supplier), counts.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"), "s_name", "numwait"
+        )
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(10)
+    )
