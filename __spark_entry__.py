@@ -31,7 +31,7 @@ from tweetaggregates_spark.functions.textstats import (
     LANG_STOPWORDS,
 )
 from tweetaggregates_spark.plans import events as ev
-from tweetaggregates_spark.plans import llm, star
+from tweetaggregates_spark.plans import llm, sequence, star
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -188,6 +188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": star.q22_idle_customers,
         "q2_min_cost_supplier": star.q2_min_cost_supplier,
         "q21_last_shipper": star.q21_last_shipper,
+        "user_event_gaps": sequence.user_event_gaps,
+        "event_type_transitions": sequence.event_type_transitions,
+        "value_ntile_quartiles": sequence.value_ntile_quartiles,
+        "acctbal_rank_percentiles": sequence.acctbal_rank_percentiles,
     }
 
 
@@ -1307,6 +1311,63 @@ def oracle_sql() -> dict[str, str]:
                s.s_name, round(b.unit_price, 6) AS min_unit_price
         FROM best b JOIN supplier s ON b.l_suppkey = s.s_suppkey
         WHERE b.rn = 1
+    """
+    # window-function family (plans/sequence.py) — ordered-sequence
+    # analytics the reference's engine has no surface for
+    sql["user_event_gaps"] = """
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC) AS gap_us
+          FROM events
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(gap_us) AS BIGINT) AS n_gaps,
+               max(gap_us) AS max_gap_us,
+               round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us), 6)
+                 AS avg_gap_us
+        FROM g GROUP BY 1
+    """
+    sql["event_type_transitions"] = """
+        WITH p AS (
+          SELECT lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC) AS from_type,
+                 event_type AS to_type
+          FROM events
+        )
+        SELECT from_type, to_type,
+               CAST(count(*) AS BIGINT) AS n_transitions
+        FROM p WHERE from_type IS NOT NULL
+        GROUP BY 1, 2
+    """
+    sql["value_ntile_quartiles"] = """
+        WITH t AS (
+          SELECT event_type, value,
+                 CAST(ntile(4) OVER (
+                   PARTITION BY event_type
+                   ORDER BY value ASC, event_id ASC) AS INTEGER)
+                   AS quartile
+          FROM events
+        )
+        SELECT event_type, quartile, CAST(count(*) AS BIGINT) AS n,
+               min(value) AS min_value, max(value) AS max_value,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 AS sum_value
+        FROM t GROUP BY 1, 2
+    """
+    sql["acctbal_rank_percentiles"] = """
+        WITH r AS (
+          SELECT c_nationkey, c_custkey, c_acctbal,
+                 CAST(row_number() OVER w AS INTEGER) AS rank,
+                 round(percent_rank() OVER w, 6) AS pct_rank,
+                 round(cume_dist() OVER w, 6) AS cume
+          FROM customer
+          WINDOW w AS (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey ASC)
+        )
+        SELECT * FROM r WHERE rank <= 3
     """
     sql["q21_last_shipper"] = """
         WITH marked AS (

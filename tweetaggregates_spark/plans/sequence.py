@@ -1,0 +1,126 @@
+"""Ordered-sequence analytics over the ``events`` table: lag/lead gaps,
+transition (Markov) counts, ntile distributions, and rank percentiles.
+
+The reference's engine has no window-function surface at all (its only
+ordered operation is the RocksDB reverse scan, RocksDBStore.cs:268-288);
+this module exposes the Spark window-function family as engine queries,
+under the same determinism conventions as plans/events.py:
+
+  * every window ORDER BY carries a unique tiebreaker (event_id /
+    custkey), so rank/ntile/lag are reproducible across engines;
+  * time arithmetic stays in integer microseconds (unix_micros /
+    epoch_us) end-to-end — no float timestamp math;
+  * ratios are one IEEE divide over exactly-aggregated operands, then
+    round(..., 6).
+
+Scale (100 TB): every window here partitions by a high-cardinality key
+(user_id, or event_type+quartile post-agg), so state per partition is
+bounded and the shuffle is the same hash exchange a groupBy would need.
+The one low-cardinality partitioning (ntile by event_type) is documented
+on the function: exact ntile forces each event_type's rows through one
+partition — at 100 TB you'd switch to approx_percentile bucketing
+(value_quantiles_by_type) and keep this as the exact small-domain form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tweetaggregates_spark.sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics via lag(): event count, gap
+    count, max gap, and mean gap in integer microseconds.
+
+    Plan: one hash exchange on user_id serves both the window pass and
+    the final aggregate (Catalyst reuses the partitioning), so the query
+    costs a single shuffle."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gaps = ev.select(
+        "user_id",
+        F.lag("ts").over(w).alias("prev_ts"),
+        "ts",
+    ).select(
+        "user_id",
+        # NTZ-safe integer microseconds (unix_micros rejects
+        # TIMESTAMP_NTZ; timestampdiff is exact integer math)
+        F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").alias("gap_us"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("gap_us").alias("n_gaps"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.round(
+            F.sum("gap_us").cast("double") / F.count("gap_us"), 6
+        ).alias("avg_gap_us"),
+    )
+
+
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix of event types per user session
+    stream: count of (previous type -> type) bigrams across all users.
+    The lag window and the pair count share the user_id exchange; the
+    final (from_type, to_type) aggregate is over a tiny domain."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
+def value_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartile buckets of ``value`` within each event_type
+    (ntile(4) over a fully-tied-broken order), then per-bucket count /
+    min / max / exact-decimal sum.
+
+    Scale note: exact ntile funnels each event_type through a single
+    partition; at 100 TB use the approx_percentile form
+    (events.value_quantiles_by_type) for discovery and keep this as the
+    exact variant for bounded domains."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    tiled = ev.select(
+        "event_type", "value", F.ntile(4).over(w).alias("quartile")
+    )
+    return tiled.groupBy("event_type", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+def acctbal_rank_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per nation by account balance, with their
+    percent_rank and cume_dist within the nation — the rank-percentile
+    window family over a dimension table. Both engines evaluate
+    percent_rank as (rank-1)/(n-1) on the identical total order, one
+    IEEE divide, rounded."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    ranked = cust.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+    return ranked.filter(F.col("rn") <= 3).withColumnRenamed("rn", "rank")
