@@ -148,6 +148,8 @@ def db_summary(
         F.count(F.lit(1)).alias("window_count"),
         F.sum(count_col).alias("number_of_tweets"),
     ).withColumn(
+        # timestampdiff is NTZ-safe (the testdata's timestamp[us]
+        # parquet loads as TIMESTAMP_NTZ, which cast-to-long rejects)
         "duration_seconds",
-        F.col("max_date").cast("long") - F.col("min_date").cast("long"),
+        F.expr("timestampdiff(SECOND, min_date, max_date)"),
     )

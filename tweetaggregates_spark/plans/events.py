@@ -423,7 +423,10 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("matched_click_ts").alias("click_ts"),
         F.col("matched_click_event_id").alias("click_event_id"),
-        (F.unix_micros("ts") - F.unix_micros("matched_click_ts")).alias("gap_us"),
+        # NTZ-safe integer gap (unix_micros rejects TIMESTAMP_NTZ)
+        F.expr("timestampdiff(MICROSECOND, matched_click_ts, ts)").alias(
+            "gap_us"
+        ),
     )
 
 
