@@ -188,6 +188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": star.q22_idle_customers,
         "q2_min_cost_supplier": star.q2_min_cost_supplier,
         "q21_last_shipper": star.q21_last_shipper,
+        "quantized_embeddings": llm.quantized_embeddings_docs,
+        "knn_cosine_quantized": llm.knn_cosine_quantized,
+        "embedding_stats": llm.embedding_stats,
+        "repeated_ngrams_docs": llm.repeated_ngrams_docs,
         "user_event_gaps": sequence.user_event_gaps,
         "event_type_transitions": sequence.event_type_transitions,
         "value_ntile_quartiles": sequence.value_ntile_quartiles,
@@ -1311,6 +1315,97 @@ def oracle_sql() -> dict[str, str]:
                s.s_name, round(b.unit_price, 6) AS min_unit_price
         FROM best b JOIN supplier s ON b.l_suppkey = s.s_suppkey
         WHERE b.rn = 1
+    """
+    # int8 quantization family: all arithmetic is either exact integer
+    # or the same IEEE op sequence ((x*127.0)/scale, floor(..+0.5)), so
+    # every value hash-matches bit-for-bit
+    _d_quant = """
+        v AS (SELECT vec_id, label,
+                     CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT vec_id, label, v,
+                     greatest(list_max(list_transform(v, x -> abs(x))),
+                              1e-12) AS scale
+              FROM v),
+        q AS (SELECT vec_id, label, v, scale,
+                     list_transform(v, x -> CAST(floor(x * 127.0 / scale
+                       + 0.5) AS BIGINT)) AS qvec
+              FROM s)
+    """
+    sql["quantized_embeddings"] = f"""
+        WITH {_d_quant}
+        SELECT vec_id, round(scale, 6) AS scale,
+               CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+               CAST(list_min(qvec) AS BIGINT) AS q_min,
+               CAST(list_max(qvec) AS BIGINT) AS q_max
+        FROM q
+    """
+    sql["knn_cosine_quantized"] = f"""
+        WITH {_d_quant},
+        qq AS (SELECT vec_id AS query_id, qvec AS q_q, v AS qv
+               FROM q WHERE vec_id < 20),
+        cq AS (SELECT vec_id AS neighbor_id, qvec AS c_q, v AS cv FROM q),
+        cand AS (
+          SELECT query_id, neighbor_id, qv, cv,
+                 round(CAST(list_dot_product(q_q, c_q) AS DOUBLE)
+                       / (sqrt(CAST(list_dot_product(q_q, q_q) AS DOUBLE))
+                          * sqrt(CAST(list_dot_product(c_q, c_q)
+                                 AS DOUBLE))), 6) AS q_cos
+          FROM qq JOIN cq ON query_id <> neighbor_id
+        ),
+        short AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY q_cos DESC, neighbor_id ASC) AS crn
+          FROM cand
+        ),
+        resc AS (
+          SELECT query_id, neighbor_id, q_cos,
+                 round(list_dot_product(qv, cv)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+          FROM short WHERE crn <= 15
+        )
+        SELECT query_id, neighbor_id, q_cos, cos_sim,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC)
+                 AS INTEGER) AS knn_rank
+        FROM resc QUALIFY knn_rank <= 5
+    """
+    sql["embedding_stats"] = """
+        WITH v AS (SELECT label,
+                          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        per AS (
+          SELECT label, CAST(len(v) AS INTEGER) AS dim,
+                 CAST(len(list_filter(v, x -> isnan(x))) AS BIGINT)
+                   AS n_nan,
+                 CAST(len(list_filter(v, x -> x = 0.0)) AS BIGINT)
+                   AS n_zero,
+                 round(sqrt(list_dot_product(v, v)), 6) AS l2
+          FROM v
+        )
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+               min(dim) AS min_dim, max(dim) AS max_dim,
+               CAST(sum(n_nan) AS BIGINT) AS total_nan,
+               CAST(sum(n_zero) AS BIGINT) AS total_zero,
+               round(CAST(sum(CAST(l2 AS DECIMAL(28,12))) AS DOUBLE)
+                     / count(*), 6) AS avg_l2_norm
+        FROM per GROUP BY 1
+    """
+    sql["repeated_ngrams_docs"] = f"""
+        WITH toksrc AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+        g AS (SELECT doc_id, unnest({_D_SH4}) AS ngram FROM toksrc),
+        agg AS (SELECT ngram, CAST(count(*) AS BIGINT) AS total_count,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_count
+                FROM g GROUP BY 1),
+        top AS (SELECT * FROM agg WHERE doc_count >= 2
+                ORDER BY doc_count DESC, total_count DESC, ngram ASC
+                LIMIT 20)
+        SELECT ngram, total_count, doc_count,
+               CAST(row_number() OVER (
+                 ORDER BY doc_count DESC, total_count DESC, ngram ASC)
+                 AS INTEGER) AS rank
+        FROM top
     """
     # window-function family (plans/sequence.py) — ordered-sequence
     # analytics the reference's engine has no surface for

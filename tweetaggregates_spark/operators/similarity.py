@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tweetaggregates_spark.functions.vectors import as_double, cosine_sim
+from tweetaggregates_spark.functions.vectors import as_double, cosine_sim, norm
 from tweetaggregates_spark.operators.topk import rank_topk
 
 
@@ -564,4 +564,147 @@ def label_centroids(
             6,
         ).alias("centroid"),
         F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization of an embedding column —
+    the storage/bandwidth compression layer a 100 TB vector corpus
+    needs before anything else touches it (4x smaller than float32,
+    integer SIMD dot products downstream).
+
+    scale = max(|x_i|); q_i = floor(x_i * 127 / scale + 0.5), so
+    q in [-127, 127]. floor(.. + 0.5) is used instead of round() because
+    the two engines disagree on round-half-to-even vs half-up, while
+    floor on identical IEEE doubles is bit-identical. Keeps the
+    quantized vector plus exact-integer summary stats, all
+    reproducible cross-engine. Map-only: no shuffle, no Python."""
+    vv = F.col("v")
+    scale = F.greatest(
+        F.array_max(F.transform(vv, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    qv = F.transform(
+        vv, lambda x: F.floor(x * 127.0 / F.col("q_scale") + 0.5).cast("long")
+    )
+    return (
+        df.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .withColumn("q_scale", scale)
+        .withColumn("qvec", qv)
+        .select(
+            id_col,
+            F.round("q_scale", 6).alias("scale"),
+            "qvec",
+            F.aggregate(
+                "qvec", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("q_sum"),
+            F.array_min("qvec").cast("long").alias("q_min"),
+            F.array_max("qvec").cast("long").alias("q_max"),
+        )
+    )
+
+
+def knn_quantized_rescore(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    candidate_factor: int = 3,
+) -> DataFrame:
+    """Two-stage ANN over int8-quantized vectors: rank candidates by
+    QUANTIZED cosine (integer dot products — exact and identical in
+    every engine), keep candidate_factor*k per query, then rescore the
+    survivors with exact float cosine and emit the final top-k.
+
+    This is the compressed-domain search pattern: the expensive float
+    pass touches only candidate_factor*k rows per query instead of the
+    whole corpus. At 100 TB the candidate stage runs over the int8
+    copy (4x less IO) and composes with IVF bucketing (knn_ivf);
+    correctness of the composition is pinned by the oracle twin
+    recomputing both stages from scratch."""
+    cq = quantize_embeddings(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("c_q")
+    )
+    qq = quantize_embeddings(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("q_q")
+    )
+    qdot = F.aggregate(
+        F.zip_with("q_q", "c_q", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qnorm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+        .cast("double")
+    )
+    cand = (
+        qq.join(cq, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "q_cos",
+            F.round(qdot.cast("double") / (qnorm(F.col("q_q")) * qnorm(F.col("c_q"))), 6),
+        )
+    )
+    shortlist = rank_topk(
+        cand, ["query_id"], "q_cos", ["neighbor_id"], k * candidate_factor,
+        rank_name="cand_rank", keep_rank=False,
+    )
+    c = _normed(corpus, id_col, vec_col).withColumnRenamed(id_col, "neighbor_id")
+    q = _normed(queries, id_col, vec_col).withColumnRenamed(id_col, "query_id")
+    rescored = (
+        shortlist.select("query_id", "neighbor_id", "q_cos")
+        .join(q.withColumnRenamed("v", "qv"), "query_id")
+        .join(c.withColumnRenamed("v", "cv"), "neighbor_id")
+        .withColumn("cos_sim", F.round(cosine_sim(F.col("qv"), F.col("cv")), 6))
+    )
+    top = rank_topk(
+        rescored, ["query_id"], "cos_sim", ["neighbor_id"], k,
+        rank_name="knn_rank", keep_rank=True,
+    )
+    return top.select("query_id", "neighbor_id", "q_cos", "cos_sim", "knn_rank")
+
+
+def embedding_health_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Corpus-health accounting per label: vector counts, dimension,
+    NaN/zero-component counts, and exact-decimal mean L2 norm — the
+    guardrail pass a pipeline runs before trusting an embedding drop.
+    Map-only per row, one tiny aggregate by label."""
+    v = as_double(vec_col)
+    per_vec = df.select(
+        F.col(label_col).alias("label"),
+        F.size(v).alias("dim"),
+        F.aggregate(
+            v,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.when(F.isnan(x), 1).otherwise(0),
+        ).alias("n_nan"),
+        F.aggregate(
+            v,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.when(x == 0.0, 1).otherwise(0),
+        ).alias("n_zero"),
+        # rounded per vector BEFORE the exact-decimal mean so both
+        # engines aggregate identical addends (norm() == sqrt of the
+        # same left-to-right fold DuckDB's list_dot_product performs)
+        F.round(norm(v), 6).alias("l2"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("dim").alias("min_dim"),
+        F.max("dim").alias("max_dim"),
+        F.sum("n_nan").alias("total_nan"),
+        F.sum("n_zero").alias("total_zero"),
+        F.round(
+            F.sum(F.col("l2").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_l2_norm"),
     )

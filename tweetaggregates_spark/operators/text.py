@@ -367,3 +367,46 @@ def pii_mask(
         F.regexp_count(t, F.lit(URL_RE)).alias("n_urls"),
         F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
     )
+
+
+def repeated_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    top_n: int = 20,
+) -> DataFrame:
+    """Memorization-risk scan: the n-grams repeated across the most
+    documents, with total occurrence counts — the phrase-level
+    counterpart of ``vocab_stats`` (token-level) used to find
+    boilerplate and verbatim-duplication hot spots before training.
+
+    Scale shape: explode all (non-distinct) n-gram occurrences, ONE
+    groupBy(ngram) computing both total and distinct-doc counts
+    (countDistinct = one expand, partial-aggregated map-side), then
+    TakeOrderedAndProject truncates to top_n before the rank window
+    touches anything."""
+    from pyspark.sql import Window
+
+    from tweetaggregates_spark.functions.textstats import (
+        tokens,
+        word_shingles,
+    )
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("ngram"),
+    )
+    agg = grams.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.countDistinct("doc_id").alias("doc_count"),
+    )
+    top = (
+        agg.filter(F.col("doc_count") >= 2)
+        .orderBy(F.desc("doc_count"), F.desc("total_count"), F.asc("ngram"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(
+        F.desc("doc_count"), F.desc("total_count"), F.asc("ngram")
+    )
+    return top.withColumn("rank", F.row_number().over(w))

@@ -311,3 +311,31 @@ def label_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (long form)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.label_centroids(emb)
+
+
+def quantized_embeddings_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric quantization of every embedding: scale + exact
+    integer summary stats (the full qvec is checked through q_sum /
+    q_min / q_max, which any drift in the quantized values changes)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings(emb).drop("qvec")
+
+
+def knn_cosine_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage compressed-domain ANN for query vectors vec_id<20:
+    int8-quantized cosine shortlists 3k candidates, exact float cosine
+    rescores the final top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.knn_quantized_rescore(emb, queries, k=5)
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus-health stats over the embedding table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_health_stats(emb)
+
+
+def repeated_ngrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 cross-document repeated 4-grams (memorization scan)."""
+    return text.repeated_ngrams(_docs(spark, sf_dir), n=4, top_n=20)
