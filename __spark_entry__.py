@@ -196,6 +196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_transitions": sequence.event_type_transitions,
         "value_ntile_quartiles": sequence.value_ntile_quartiles,
         "acctbal_rank_percentiles": sequence.acctbal_rank_percentiles,
+        "rolling_user_value_avg": sequence.rolling_user_value_avg,
+        "curation_funnel_docs": llm.curation_funnel_docs,
+        "returnflag_measures_unpivot": star.returnflag_measures_unpivot,
     }
 
 
@@ -1463,6 +1466,62 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY c_acctbal DESC, c_custkey ASC)
         )
         SELECT * FROM r WHERE rank <= 3
+    """
+    sql["rolling_user_value_avg"] = """
+        WITH b AS (
+          SELECT event_id, user_id,
+                 date_diff('second', TIMESTAMP '1970-01-01', ts)
+                   AS epoch_s,
+                 value
+          FROM events
+        )
+        SELECT event_id, user_id, epoch_s,
+               CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w
+                       AS DOUBLE) / count(*) OVER w, 6) AS avg_value_30m
+        FROM b
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                     RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+    """
+    sql["curation_funnel_docs"] = f"""
+        WITH t AS (SELECT doc_id, text, lang, {_D_TOKS} AS toks
+                   FROM documents),
+        f AS (
+          SELECT doc_id, lang = 'en' AS pass_lang,
+                 lang = 'en' AND
+                 round((length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / greatest(length(text), 1)) * 0.5
+                   + least(len(toks) / 100.0, 1.0) * 0.5, 6) >= 0.5
+                   AS pass_quality,
+                 {_D_HASH.format(x="text")} AS text_hash
+          FROM t
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN pass_lang THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_lang,
+               CAST(sum(CASE WHEN pass_quality THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_quality,
+               CAST(count(DISTINCT CASE WHEN pass_quality
+                 THEN text_hash END) AS BIGINT) AS n_unique
+        FROM f
+    """
+    sql["returnflag_measures_unpivot"] = """
+        WITH wide AS (
+          SELECT l_returnflag,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_qty,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                   AS DOUBLE) AS sum_price,
+                 CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_disc
+          FROM lineitem GROUP BY 1
+        )
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS total
+        FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
     """
     sql["q21_last_shipper"] = """
         WITH marked AS (

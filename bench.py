@@ -41,10 +41,14 @@ HEADLINE = [
     "value_quantiles_by_type",
     "simhash_docs",
     "lsh_verified_pairs",
-    # round 2: the banded (non-cartesian) near-dup paths; blocked matmul
-    # is the marginal-threshold fast path (banded kept for the contrast)
+    # round 2: the banded (non-cartesian) near-dup paths. The dataset's
+    # only meaningful cosine threshold (0.4) is marginal, where sign-LSH
+    # banding cannot prune (see cosine_near_dup_pairs_banded docstring) —
+    # so the HEADLINE carries the matmul paths that are the right plan
+    # there; the banded variant stays oracle-checked in CORRECTNESS but
+    # is not a plan we'd ship at that threshold (11.9 s vs 1.3/1.7 s at
+    # sf0.1 — measured, see SCALE.md).
     "simhash_pairs_banded",
-    "cosine_near_dups_banded",
     "cosine_near_dups_blocked",
     "cosine_near_dups_tiled",
     # round 2: dup-cluster resolution + packing (training-data ops)
@@ -56,6 +60,13 @@ HEADLINE = [
     "q16_supplier_counts",
     "q19_disjunctive_revenue",
     "latest_events_snapshot",
+    # round 2 batch 2: remaining TPC-H shapes, window family,
+    # compressed-domain ANN
+    "q7_nation_volume",
+    "q13_order_count_distribution",
+    "user_event_gaps",
+    "knn_cosine_quantized",
+    "repeated_ngrams_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

@@ -47,10 +47,15 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 
 def quality_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Quality heuristics: length, token stats, punctuation/alpha ratios,
-    and a fixed-formula score. Map-only, deterministic."""
+    and a fixed-formula score. Map-only, deterministic. ``keep_cols``
+    pass through untouched (lets a downstream funnel stay single-scan
+    instead of joining the scores back)."""
     t = F.col(text_col)
     toks = tokens(t)
     n_chars = F.length(t)
@@ -71,6 +76,7 @@ def quality_score(
     )
     return df.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         mean_tok_len.alias("mean_token_len"),

@@ -339,3 +339,38 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repeated_ngrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 cross-document repeated 4-grams (memorization scan)."""
     return text.repeated_ngrams(_docs(spark, sf_dir), n=4, top_n=20)
+
+
+def curation_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation funnel in ONE scan + one tiny aggregate:
+    how many documents survive each stage of the standard pre-training
+    filter chain (language keep -> quality floor -> exact dedup).
+
+    Per-doc stage flags are plain column expressions over a single
+    pass (quality_score with lang/text passthrough); the only
+    non-map-side work is the final global aggregate and one distinct
+    count over the surviving docs' text hashes. At 100 TB this is a
+    scan + two partial-aggregated reductions — no joins, no windows."""
+    from tweetaggregates_spark.functions.hashing import hash64
+
+    docs = _docs(spark, sf_dir)
+    scored = text.quality_score(docs, keep_cols=("lang", "text"))
+    flagged = scored.select(
+        "doc_id",
+        "quality_score",
+        (F.col("lang") == "en").alias("pass_lang"),
+        ((F.col("lang") == "en") & (F.col("quality_score") >= 0.5)).alias(
+            "pass_quality"
+        ),
+        hash64(F.col("text")).alias("text_hash"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("pass_lang"), 1).otherwise(0)).alias("n_lang"),
+        F.sum(F.when(F.col("pass_quality"), 1).otherwise(0)).alias(
+            "n_quality"
+        ),
+        F.countDistinct(
+            F.when(F.col("pass_quality"), F.col("text_hash"))
+        ).alias("n_unique"),
+    )

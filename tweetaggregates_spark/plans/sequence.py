@@ -124,3 +124,38 @@ def acctbal_rank_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
     return ranked.filter(F.col("rn") <= 3).withColumnRenamed("rn", "rank")
+
+
+def rolling_user_value_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-minute per-user moving aggregate via a RANGE window
+    frame — the time-based sliding computation hopping windows can only
+    approximate (a hop emits per bucket; this emits per EVENT, each
+    looking back exactly 30 minutes).
+
+    The frame orders by integer epoch seconds (NTZ-safe timestampdiff),
+    so both engines agree on frame membership including peers; the sum
+    is exact decimal, one IEEE divide at the end. Scale: partitions by
+    user_id — per-user state only, the same exchange a groupBy needs."""
+    ev = _events(spark, sf_dir)
+    epoch_s = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    base = ev.select(
+        "event_id", "user_id", epoch_s.alias("epoch_s"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-1800, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "epoch_s",
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("avg_value_30m"),
+    )

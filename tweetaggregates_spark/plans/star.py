@@ -710,3 +710,28 @@ def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
         .limit(10)
     )
+
+
+def returnflag_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) shape: aggregate three measures per returnflag,
+    then rotate the wide row into (measure, total) long form — the
+    inverse of order_status_pivot. The unpivot runs AFTER the aggregate,
+    so it rotates |groups| x 3 rows, never the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "measure",
+        "total",
+    )
