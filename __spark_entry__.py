@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_ntile_quartiles": sequence.value_ntile_quartiles,
         "acctbal_rank_percentiles": sequence.acctbal_rank_percentiles,
         "rolling_user_value_avg": sequence.rolling_user_value_avg,
+        "value_bucket_histogram": sequence.value_bucket_histogram,
         "curation_funnel_docs": llm.curation_funnel_docs,
         "returnflag_measures_unpivot": star.returnflag_measures_unpivot,
     }
@@ -1482,6 +1483,31 @@ def oracle_sql() -> dict[str, str]:
         FROM b
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
                      RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+    """
+    sql["value_bucket_histogram"] = """
+        WITH b AS (
+          SELECT event_type,
+                 [CAST('-infinity' AS DOUBLE),
+                  round(quantile_cont(value, 0.25), 6),
+                  round(quantile_cont(value, 0.5), 6),
+                  round(quantile_cont(value, 0.75), 6),
+                  CAST('infinity' AS DOUBLE)] AS bounds
+          FROM events GROUP BY 1
+        ),
+        iv AS (
+          SELECT event_type, CAST(i AS INTEGER) AS bucket,
+                 bounds[CAST(i AS INTEGER)] AS lo,
+                 bounds[CAST(i + 1 AS INTEGER)] AS hi
+          FROM b CROSS JOIN (SELECT unnest(range(1, 5)) AS i)
+        )
+        SELECT e.event_type, iv.bucket, iv.lo, iv.hi,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+                 AS sum_value
+        FROM events e
+        JOIN iv ON e.event_type = iv.event_type
+               AND e.value >= iv.lo AND e.value < iv.hi
+        GROUP BY 1, 2, 3, 4
     """
     sql["curation_funnel_docs"] = f"""
         WITH t AS (SELECT doc_id, text, lang, {_D_TOKS} AS toks

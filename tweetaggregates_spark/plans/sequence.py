@@ -159,3 +159,30 @@ def rolling_user_value_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_value_30m"),
     )
+
+
+def value_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular-boundary histogram via RANGE JOIN: per event_type,
+    exact quartile cut points become an interval table (broadcast),
+    each event range-joins to its bucket on (type equi-key + lo <=
+    value < hi), and the result is counted per bucket.
+
+    Plan contract (pinned by test): BroadcastHashJoin on event_type
+    with the range as residual — the fact scan never shuffles for the
+    join; the only exchange belongs to the final group-by."""
+    from tweetaggregates_spark.operators.rangejoin import (
+        point_in_interval_join,
+        quantile_intervals,
+    )
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    iv = quantile_intervals(ev, "value", "event_type")
+    j = point_in_interval_join(
+        ev, iv, "value", equi_keys=["event_type"]
+    )
+    return j.groupBy("event_type", "bucket", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
