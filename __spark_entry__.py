@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": star.q22_idle_customers,
         "q2_min_cost_supplier": star.q2_min_cost_supplier,
         "q21_last_shipper": star.q21_last_shipper,
+        "q9_profit_by_nation": star.q9_profit_by_nation,
+        "q11_part_revenue_share": star.q11_part_revenue_share,
+        "q20_heavy_suppliers": star.q20_heavy_suppliers,
         "quantized_embeddings": llm.quantized_embeddings_docs,
         "knn_cosine_quantized": llm.knn_cosine_quantized,
         "embedding_stats": llm.embedding_stats,
@@ -1467,6 +1470,57 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY c_acctbal DESC, c_custkey ASC)
         )
         SELECT * FROM r WHERE rank <= 3
+    """
+    sql["q9_profit_by_nation"] = """
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        - p.p_retailprice * 0.1 * l.l_quantity
+                        AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY 1, 2
+    """
+    sql["q11_part_revenue_share"] = """
+        WITH per_part AS (
+          SELECT l_partkey,
+                 sum(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(18,6))) AS part_rev
+          FROM lineitem GROUP BY 1
+        ),
+        tot AS (SELECT sum(part_rev) AS total_rev,
+                       CAST(count(*) AS BIGINT) AS n_parts
+                FROM per_part)
+        SELECT p.l_partkey,
+               CAST(p.part_rev AS DOUBLE) AS part_revenue
+        FROM per_part p, tot
+        WHERE p.part_rev * tot.n_parts * 2 > tot.total_rev * 3
+    """
+    sql["q20_heavy_suppliers"] = """
+        WITH shipped AS (
+          SELECT l.l_suppkey, l.l_quantity
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_name LIKE '%bolt%'
+            AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        ),
+        per_supp AS (
+          SELECT l_suppkey,
+                 sum(CAST(l_quantity AS DECIMAL(18,6))) AS supp_qty
+          FROM shipped GROUP BY 1
+        ),
+        tot AS (SELECT sum(supp_qty) AS total_qty,
+                       CAST(count(*) AS BIGINT) AS n_supp
+                FROM per_supp)
+        SELECT h.l_suppkey AS s_suppkey, s.s_name,
+               CAST(h.supp_qty AS DOUBLE) AS shipped_qty
+        FROM per_supp h, tot
+        JOIN supplier s ON h.l_suppkey = s.s_suppkey
+        WHERE h.supp_qty * 2 * tot.n_supp > tot.total_qty
     """
     sql["rolling_user_value_avg"] = """
         WITH b AS (

@@ -735,3 +735,107 @@ def returnflag_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "total",
     )
+
+
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp, so unit cost proxies as
+    10% of p_retailprice): profit per supplier nation per year for one
+    part-name family — the many-dimension join + derived-measure
+    aggregate. part/supplier/nation broadcast; orders joins lineitem on
+    the order key (the only fact-fact shuffle); profit stays DECIMAL to
+    the end."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * 0.1 * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+def q11_part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: lineitem revenue stands in for
+    partsupp stock value): parts whose revenue share is more than twice
+    the average per-part share — per-group aggregate HAVING against a
+    global scalar, with a scale-free threshold (Q11's own fraction
+    scales by 1/SF for the same reason; 1.5x the average per-part
+    share keeps a selective-but-nonempty result at every SF). Both
+    aggregates come from ONE scan (the global is a second reduction of
+    the per-part partials); the 1-row scalar broadcasts, and the
+    threshold test multiplies through (2 * rev * n_parts > 3 * total)
+    so it is exact decimal on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_revenue()).alias("part_rev")
+    )
+    total = per_part.agg(
+        F.sum("part_rev").alias("total_rev"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("part_rev") * F.col("n_parts") * 2
+            > F.col("total_rev") * 3
+        )
+        .select(
+            "l_partkey",
+            F.col("part_rev").cast("double").alias("part_revenue"),
+        )
+    )
+
+
+def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: shipped quantity stands in for excess
+    stock): suppliers who shipped more than half the corpus-wide
+    average per-supplier quantity of one part family in one year — an
+    aggregate-vs-aggregate semi chain. The per-supplier aggregate is
+    tiny (|suppliers| rows); the global average is a 1-row broadcast;
+    the threshold multiplies through so no engine divides."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_supp = shipped.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("supp_qty")
+    )
+    tot = per_supp.agg(
+        F.sum("supp_qty").alias("total_qty"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    heavy = (
+        per_supp.join(F.broadcast(tot))
+        .filter(
+            F.col("supp_qty") * 2 * F.col("n_supp") > F.col("total_qty")
+        )
+    )
+    return (
+        heavy.join(F.broadcast(supplier), heavy.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.col("supp_qty").cast("double").alias("shipped_qty"),
+        )
+    )
