@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_docs": llm.simhash_pairs_docs,
         "simhash_pairs_banded": llm.simhash_pairs_banded_docs,
         "clickers_who_purchased": ev.clickers_who_purchased,
+        "viewers_never_erroring": ev.viewers_never_erroring,
+        "revenue_grouping_sets": ev.revenue_grouping_sets,
         "value_quantiles_by_type": ev.value_quantiles_by_type,
         "purchase_asof_click": ev.purchase_asof_click,
         "lsh_verified_pairs": llm.lsh_verified_pairs,
@@ -722,6 +724,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id FROM events
             WHERE event_type = 'purchase'
               AND ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+        """,
+        "viewers_never_erroring": """
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'view'
+              AND ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'error'
+              AND ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+        """,
+        "revenue_grouping_sets": """
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     AS sum_value,
+                   CAST(GROUPING(event_type, day) AS INTEGER) AS gid
+            FROM events
+            GROUP BY GROUPING SETS ((event_type, day), (event_type))
         """,
         "value_quantiles_by_type": """
             SELECT event_type,

@@ -489,3 +489,42 @@ def latest_events_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_versions",
         )
     )
+
+
+def viewers_never_erroring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (EXCEPT / set difference, completing the
+    INTERSECT sibling above): users who viewed on 2024-01-15 but never
+    hit an error that day. Spark plans EXCEPT DISTINCT as a left-anti
+    join after per-side dedup — the same shuffle an anti join costs."""
+    ev = _events(spark, sf_dir).filter(
+        (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    )
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id")
+    return viewers.subtract(erroring)
+
+
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id: per-(type,day) detail
+    plus per-type totals ONLY (no grand total, no per-day slice — the
+    asymmetric set ROLLUP/CUBE cannot express). grouping_id
+    disambiguates real NULLs from subtotal rows, matching DuckDB's
+    GROUPING() semantics bit-for-bit."""
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return (
+        ev.select("event_type", day, "value")
+        .groupingSets(
+            [["event_type", "day"], ["event_type"]],
+            "event_type",
+            "day",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
