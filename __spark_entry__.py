@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_quantized": llm.knn_cosine_quantized,
         "embedding_stats": llm.embedding_stats,
         "repeated_ngrams_docs": llm.repeated_ngrams_docs,
+        "chunk_docs": llm.chunk_docs,
         "user_event_gaps": sequence.user_event_gaps,
         "event_type_transitions": sequence.event_type_transitions,
         "value_ntile_quartiles": sequence.value_ntile_quartiles,
@@ -1419,6 +1420,24 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(sum(CAST(l2 AS DECIMAL(28,12))) AS DOUBLE)
                      / count(*), 6) AS avg_l2_norm
         FROM per GROUP BY 1
+    """
+    sql["chunk_docs"] = f"""
+        WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+        c AS (SELECT doc_id, toks,
+                     1 + CAST(ceil(greatest(len(toks) - 16, 0) / 8.0)
+                       AS INTEGER) AS n_chunks
+              FROM t),
+        e AS (SELECT doc_id, toks,
+                     unnest(range(n_chunks)) AS chunk_id
+              FROM c)
+        SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+               CAST(chunk_id * 8 AS INTEGER) AS tok_start,
+               CAST(len(toks[(chunk_id*8+1):(chunk_id*8+16)])
+                 AS INTEGER) AS n_tokens,
+               array_to_string(toks[(chunk_id*8+1):(chunk_id*8+16)], ' ')
+                 AS chunk_text
+        FROM e
+        WHERE len(toks[(chunk_id*8+1):(chunk_id*8+16)]) > 0
     """
     sql["repeated_ngrams_docs"] = f"""
         WITH toksrc AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),

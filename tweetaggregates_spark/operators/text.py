@@ -416,3 +416,48 @@ def repeated_ngrams(
         F.desc("doc_count"), F.desc("total_count"), F.asc("ngram")
     )
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token chunks (size
+    ``chunk_tokens``, step ``stride``) — the sharding pass that turns a
+    cleaned corpus into training-window rows. Emits (doc_id, chunk_id,
+    first token index, token count, chunk text); the final partial
+    window is kept iff it adds tokens beyond the previous chunk.
+
+    Map-only: tokenize + one ``transform(sequence(...))`` + explode per
+    document — no shuffle at any scale; chunk_id is deterministic so
+    downstream splits/packing stay leak-proof under re-runs."""
+    from tweetaggregates_spark.functions.textstats import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(n - chunk_tokens, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            (i * stride).alias("tok_start"),
+            F.slice(toks, i * stride + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    out = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.tok_start").alias("tok_start"),
+        F.size("c.toks").alias("n_tokens"),
+        F.concat_ws(" ", "c.toks").alias("chunk_text"),
+    )
+    # drop a trailing empty/duplicate window (when n <= tok_start)
+    return out.filter(F.col("n_tokens") > 0)

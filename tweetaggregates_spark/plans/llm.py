@@ -374,3 +374,11 @@ def curation_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("pass_quality"), F.col("text_hash"))
         ).alias("n_unique"),
     )
+
+
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents sharded into 16-token chunks with stride 8 (50%
+    overlap) — training-window rows."""
+    return text.chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=16, stride=8
+    )
