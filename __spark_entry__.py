@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickers_who_purchased": ev.clickers_who_purchased,
         "viewers_never_erroring": ev.viewers_never_erroring,
         "revenue_grouping_sets": ev.revenue_grouping_sets,
+        "events_profile": ev.events_profile,
         "value_quantiles_by_type": ev.value_quantiles_by_type,
         "purchase_asof_click": ev.purchase_asof_click,
         "lsh_verified_pairs": llm.lsh_verified_pairs,
@@ -744,6 +745,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(event_type, day) AS INTEGER) AS gid
             FROM events
             GROUP BY GROUPING SETS ((event_type, day), (event_type))
+        """,
+        "events_profile": """
+            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows
+                       FROM events)
+            SELECT 'event_id' AS column, 'bigint' AS dtype, n.n_rows,
+                   CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                   min(CAST(event_id AS DOUBLE)) AS min_num,
+                   max(CAST(event_id AS DOUBLE)) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str
+            FROM events, n GROUP BY n.n_rows
+            UNION ALL
+            SELECT 'ts', 'timestamp_ntz', n.n_rows,
+                   CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT),
+                   CAST(count(DISTINCT ts) AS BIGINT),
+                   min(CAST(date_diff('second', TIMESTAMP '1970-01-01',
+                     ts) AS DOUBLE)),
+                   max(CAST(date_diff('second', TIMESTAMP '1970-01-01',
+                     ts) AS DOUBLE)),
+                   NULL, NULL
+            FROM events, n GROUP BY n.n_rows
+            UNION ALL
+            SELECT 'user_id', 'bigint', n.n_rows,
+                   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT),
+                   CAST(count(DISTINCT user_id) AS BIGINT),
+                   min(CAST(user_id AS DOUBLE)),
+                   max(CAST(user_id AS DOUBLE)), NULL, NULL
+            FROM events, n GROUP BY n.n_rows
+            UNION ALL
+            SELECT 'event_type', 'string', n.n_rows,
+                   CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0
+                     END) AS BIGINT),
+                   CAST(count(DISTINCT event_type) AS BIGINT),
+                   NULL, NULL, min(event_type), max(event_type)
+            FROM events, n GROUP BY n.n_rows
+            UNION ALL
+            SELECT 'value', 'double', n.n_rows,
+                   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT),
+                   CAST(count(DISTINCT value) AS BIGINT),
+                   min(value), max(value), NULL, NULL
+            FROM events, n GROUP BY n.n_rows
+            UNION ALL
+            SELECT 'props', 'string', n.n_rows,
+                   CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT),
+                   CAST(count(DISTINCT props) AS BIGINT),
+                   NULL, NULL, min(props), max(props)
+            FROM events, n GROUP BY n.n_rows
         """,
         "value_quantiles_by_type": """
             SELECT event_type,

@@ -528,3 +528,11 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping_id().cast("int").alias("gid"),
         )
     )
+
+
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of the events table (operators/profile.py):
+    one pass, long-form output."""
+    from tweetaggregates_spark.operators.profile import profile_table
+
+    return profile_table(_events(spark, sf_dir))
