@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewers_never_erroring": ev.viewers_never_erroring,
         "revenue_grouping_sets": ev.revenue_grouping_sets,
         "events_profile": ev.events_profile,
+        "dense_tumbling_counts": ev.dense_tumbling_counts,
+        "daily_count_anomalies": ev.daily_count_anomalies,
         "value_quantiles_by_type": ev.value_quantiles_by_type,
         "purchase_asof_click": ev.purchase_asof_click,
         "lsh_verified_pairs": llm.lsh_verified_pairs,
@@ -745,6 +747,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(event_type, day) AS INTEGER) AS gid
             FROM events
             GROUP BY GROUPING SETS ((event_type, day), (event_type))
+        """,
+        "dense_tumbling_counts": """
+            WITH counts AS (
+              SELECT time_bucket(INTERVAL '10 minutes', ts)
+                       + INTERVAL '10 minutes' AS window_time,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1
+            ),
+            b AS (SELECT min(window_time) AS lo, max(window_time) AS hi
+                  FROM counts),
+            grid AS (
+              SELECT unnest(generate_series(b.lo, b.hi,
+                       INTERVAL '10 minutes')) AS window_time
+              FROM b
+            )
+            SELECT g.window_time,
+                   coalesce(c.cnt, 0) AS cnt,
+                   c.cnt IS NULL AS gap_filled
+            FROM grid g LEFT OUTER JOIN counts c
+              ON g.window_time = c.window_time
+        """,
+        "daily_count_anomalies": """
+            WITH daily AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2
+            ),
+            m AS (
+              SELECT event_type AS m_type,
+                     CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+                     CAST(sum(cnt * cnt) AS BIGINT) AS sumsq_cnt
+              FROM daily GROUP BY 1
+            )
+            SELECT event_type, day, cnt, mean_cnt, z_score,
+                   abs(z_score) >= 2.0 AS is_anomaly
+            FROM (
+              SELECT d.event_type, d.day, d.cnt,
+                     round(CAST(m.sum_cnt AS DOUBLE) / m.n_days, 6)
+                       AS mean_cnt,
+                     round((d.cnt - CAST(m.sum_cnt AS DOUBLE) / m.n_days)
+                           / sqrt(CAST(m.sumsq_cnt AS DOUBLE) / m.n_days
+                                  - (CAST(m.sum_cnt AS DOUBLE)
+                                     / m.n_days)
+                                    * (CAST(m.sum_cnt AS DOUBLE)
+                                       / m.n_days)), 6) AS z_score
+              FROM daily d JOIN m ON d.event_type = m.m_type
+            )
         """,
         "events_profile": """
             WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows

@@ -536,3 +536,71 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweetaggregates_spark.operators.profile import profile_table
 
     return profile_table(_events(spark, sf_dir))
+
+
+def dense_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled (dense) timeline: every 10-minute window between the
+    corpus min and max, zero-filled where no events landed — the
+    resampling pass charting/anomaly jobs need, since a groupBy only
+    emits windows that HAVE data.
+
+    Plan: the window grid generates from a 1-row min/max aggregate via
+    sequence+explode (|windows| rows, trivial), then LEFT joins the
+    sparse counts. At 100 TB the grid is still tiny (one row per
+    window, not per event) — the expensive side is the same tumbling
+    aggregate as before; the join broadcasts the sparse counts only if
+    small, else shuffles |windows| rows, never raw events."""
+    counts = tumbling_counts(spark, sf_dir)
+    bounds = counts.agg(
+        F.min("window_time").alias("lo"), F.max("window_time").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 10 MINUTES"))
+        ).alias("window_time")
+    )
+    return (
+        grid.join(counts, "window_time", "left_outer")
+        .select(
+            "window_time",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            F.col("cnt").isNull().alias("gap_filled"),
+        )
+    )
+
+
+def daily_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly scoring: per (event_type, day) counts z-scored against
+    that event_type's own mean/std, flagging |z| >= 2. The moment
+    statistics come from exact integer sums (count, count^2), so both
+    engines build variance from identical operands with the identical
+    IEEE expression sequence; z rounds to 6.
+
+    Plan: two cascaded aggregates (day counts, then per-type moments),
+    the |types|-row moment table broadcasts back — no window, no
+    second scan of raw events."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    moments = daily.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cnt").alias("sum_cnt"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq_cnt"),
+    )
+    j = daily.join(
+        F.broadcast(moments), daily.event_type == moments.m_type
+    )
+    mean = F.col("sum_cnt").cast("double") / F.col("n_days")
+    var = (
+        F.col("sumsq_cnt").cast("double") / F.col("n_days") - mean * mean
+    )
+    z = F.round((F.col("cnt") - mean) / F.sqrt(var), 6)
+    return j.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.round(mean, 6).alias("mean_cnt"),
+        z.alias("z_score"),
+        (F.abs(z) >= 2.0).alias("is_anomaly"),
+    )
