@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_rank_percentiles": sequence.acctbal_rank_percentiles,
         "rolling_user_value_avg": sequence.rolling_user_value_avg,
         "value_bucket_histogram": sequence.value_bucket_histogram,
+        "conversion_funnel": sequence.conversion_funnel,
+        "retention_cohorts": sequence.retention_cohorts,
         "curation_funnel_docs": llm.curation_funnel_docs,
         "returnflag_measures_unpivot": star.returnflag_measures_unpivot,
     }
@@ -1682,6 +1684,50 @@ def oracle_sql() -> dict[str, str]:
         FROM b
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
                      RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+    """
+    sql["conversion_funnel"] = """
+        WITH per_user AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN ts END)
+                   AS t_signup,
+                 min(CASE WHEN event_type = 'view' THEN ts END)
+                   AS t_view,
+                 min(CASE WHEN event_type = 'click' THEN ts END)
+                   AS t_click,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS t_purchase
+          FROM events GROUP BY 1
+        ),
+        r1 AS (SELECT *, t_signup AS r_signup FROM per_user),
+        r2 AS (SELECT *, CASE WHEN t_view >= r_signup THEN t_view END
+                           AS r_view FROM r1),
+        r3 AS (SELECT *, CASE WHEN t_click >= r_view THEN t_click END
+                           AS r_click FROM r2),
+        r4 AS (SELECT *, CASE WHEN t_purchase >= r_click
+                              THEN t_purchase END AS r_purchase FROM r3)
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(count(r_signup) AS BIGINT) AS n_signup,
+               CAST(count(r_view) AS BIGINT) AS n_view,
+               CAST(count(r_click) AS BIGINT) AS n_click,
+               CAST(count(r_purchase) AS BIGINT) AS n_purchase
+        FROM r4
+    """
+    sql["retention_cohorts"] = """
+        WITH active AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+          FROM events
+        ),
+        first_seen AS (
+          SELECT user_id AS u, min(day) AS cohort_day
+          FROM active GROUP BY 1
+        )
+        SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day, a.day) AS INTEGER)
+                 AS day_offset,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+        FROM active a JOIN first_seen f ON a.user_id = f.u
+        GROUP BY 1, 2
     """
     sql["value_bucket_histogram"] = """
         WITH b AS (

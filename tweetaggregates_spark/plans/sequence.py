@@ -186,3 +186,68 @@ def value_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> view -> click -> purchase:
+    how many users reach each stage IN ORDER (a later stage counts only
+    if it happens after the user's earliest qualifying previous stage).
+
+    One conditional-min aggregate per user (no joins, no windows over
+    raw events): stage k's timestamp is min(ts where type=stage_k and
+    ts >= stage_{k-1}_ts) — expressed as cascaded conditional mins over
+    the per-user event set, then one tiny count aggregate. Per-user
+    state is 4 timestamps; the only shuffle is the user_id exchange."""
+    ev = _events(spark, sf_dir)
+    stages = ["signup", "view", "click", "purchase"]
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(
+                f"t_{s}"
+            )
+            for s in stages
+        ]
+    )
+    # ordered reach: stage k requires its earliest occurrence AFTER the
+    # ordered-reach time of stage k-1 (cascaded, engine-portable)
+    reach = per_user
+    prev = None
+    for s in stages:
+        col = F.col(f"t_{s}")
+        ordered = col if prev is None else F.when(
+            col >= prev, col
+        ).otherwise(F.lit(None))
+        reach = reach.withColumn(f"r_{s}", ordered)
+        prev = F.col(f"r_{s}")
+    return reach.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        *[
+            F.count(f"r_{s}").alias(f"n_{s}")
+            for s in stages
+        ],
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix: users grouped by first-seen day (cohort), and
+    for each later day-offset, how many of that cohort were active —
+    the product-analytics staple. Two aggregates plus one broadcast
+    join of the |users|-row first-seen table back onto per-(user, day)
+    activity; day math is exact integer datediff."""
+    ev = _events(spark, sf_dir)
+    active = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    first_seen = active.groupBy(F.col("user_id").alias("u")).agg(
+        F.min("day").alias("cohort_day")
+    )
+    j = active.join(F.broadcast(first_seen), active.user_id == F.col("u"))
+    return (
+        j.groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
