@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_docs": llm.dedup_clusters_docs,
         "canonical_docs": llm.canonical_docs_query,
         "stratified_sample_docs": llm.stratified_sample_docs,
+        "weighted_sample_docs": llm.weighted_sample_docs,
+        "mixture_plan_docs": llm.mixture_plan_docs,
         "split_docs": llm.split_docs,
         "shuffle_order_docs": llm.shuffle_order_docs,
         "pack_sequences_docs": llm.pack_sequences_docs,
@@ -1153,6 +1155,39 @@ def oracle_sql() -> dict[str, str]:
           CASE WHEN lang = 'en' THEN 500000
                WHEN lang = 'zh' THEN 250000
                ELSE 100000 END
+    """
+    sql["weighted_sample_docs"] = f"""
+        WITH t AS (SELECT doc_id, text, {_D_TOKS} AS toks FROM documents),
+        q AS (
+          SELECT doc_id,
+                 round((length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / greatest(length(text), 1)) * 0.5
+                   + least(len(toks) / 100.0, 1.0) * 0.5, 6)
+                   AS quality_score
+          FROM t
+        )
+        SELECT doc_id, quality_score FROM q
+        WHERE CAST({_dbucket("wsample")} AS DOUBLE)
+              < quality_score * 0.8 * 1000000
+    """
+    sql["mixture_plan_docs"] = """
+        WITH per AS (
+          SELECT source,
+                 CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE)
+                   AS stratum_size
+          FROM documents GROUP BY 1
+        ),
+        s AS (SELECT CAST(sum(CAST(stratum_size AS DECIMAL(18,0)))
+                       AS DOUBLE) AS total_size,
+                     CAST(count(*) AS BIGINT) AS n_strata
+              FROM per)
+        SELECT per.source, per.stratum_size,
+               round(least(1.0, s.total_size * 0.5 / s.n_strata
+                             / per.stratum_size), 6) AS planned_rate,
+               round(round(least(1.0, s.total_size * 0.5 / s.n_strata
+                                   / per.stratum_size), 6)
+                     * per.stratum_size, 6) AS expected_size
+        FROM per, s
     """
     sql["split_docs"] = f"""
         SELECT doc_id,

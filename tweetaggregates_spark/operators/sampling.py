@@ -196,3 +196,66 @@ def pack_sequences(
         )
         .drop("_h", "_bucket", "_local_cum", "_offset", "_tok")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    base_rate: float = 1.0,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Importance sampling: keep each row with probability
+    weight * base_rate, where the weight is a per-ROW column (e.g. a
+    quality score) — the up/down-weighting op of data curation, as
+    opposed to ``stratified_sample``'s fixed per-stratum table.
+
+    Still deterministic and map-only: the keep decision compares the
+    key's uniform hash bucket against the row's own threshold, so the
+    same doc is kept or dropped identically across runs, engines and
+    partitionings, and re-scoring only changes membership where the
+    weight actually crossed the row's bucket."""
+    return df.filter(
+        sample_bucket(F.col(key_col), salt).cast("double")
+        < F.col(weight_col) * base_rate * BUCKETS
+    )
+
+
+def mixture_plan(
+    df: DataFrame,
+    strata_col: str,
+    size_col: str,
+    budget_fraction: float = 0.5,
+) -> DataFrame:
+    """Mixture planning: given per-stratum sizes (tokens/chars), compute
+    the per-stratum sampling rate that fills ``budget_fraction`` of the
+    corpus with an EQUAL share per stratum — the arithmetic a domain-
+    reweighting pass runs before the actual (weighted_sample /
+    stratified_sample) pass executes the plan.
+
+    rate_d = min(1, budget_share / size_d): strata smaller than their
+    share keep everything (rate 1) and the remainder under-fills
+    rather than silently rebalancing — the plan reports expected_size
+    so the caller sees exactly that. Two tiny aggregates; the 1-row
+    budget scalar broadcasts."""
+    per = df.groupBy(strata_col).agg(
+        F.sum(F.col(size_col).cast("decimal(18,0)"))
+        .cast("double")
+        .alias("stratum_size")
+    )
+    scalar = per.agg(
+        F.sum(F.col("stratum_size").cast("decimal(18,0)"))
+        .cast("double")
+        .alias("total_size"),
+        F.count(F.lit(1)).alias("n_strata"),
+    )
+    share = (
+        F.col("total_size") * budget_fraction / F.col("n_strata")
+    )
+    rate = F.round(F.least(F.lit(1.0), share / F.col("stratum_size")), 6)
+    return per.join(F.broadcast(scalar)).select(
+        strata_col,
+        "stratum_size",
+        rate.alias("planned_rate"),
+        F.round(rate * F.col("stratum_size"), 6).alias("expected_size"),
+    )

@@ -382,3 +382,25 @@ def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(
         _docs(spark, sf_dir), chunk_tokens=16, stride=8
     )
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by quality: each doc kept with probability
+    0.8 * its own quality score (deterministic hash threshold)."""
+    from tweetaggregates_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir)
+    scored = text.quality_score(docs)
+    return weighted_sample(
+        scored, "doc_id", "quality_score", base_rate=0.8
+    ).select("doc_id", "quality_score")
+
+
+def mixture_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture plan: per-source sampling rates filling half the
+    corpus chars with an equal share per source."""
+    from tweetaggregates_spark.operators.sampling import mixture_plan
+
+    return mixture_plan(
+        _docs(spark, sf_dir), "source", "n_chars", budget_fraction=0.5
+    )
