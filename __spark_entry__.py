@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_bucket_histogram": sequence.value_bucket_histogram,
         "conversion_funnel": sequence.conversion_funnel,
         "retention_cohorts": sequence.retention_cohorts,
+        "event_type_pagerank": sequence.event_type_pagerank,
         "curation_funnel_docs": llm.curation_funnel_docs,
         "returnflag_measures_unpivot": star.returnflag_measures_unpivot,
     }
@@ -1720,6 +1721,47 @@ def oracle_sql() -> dict[str, str]:
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
                      RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
     """
+    # PageRank: the oracle unrolls the same 10 power iterations the
+    # Spark operator runs (decimal-exact per-node sums each round)
+    _pr = ["""
+        WITH p AS (
+          SELECT lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC) AS from_type,
+                 event_type AS to_type
+          FROM events
+        ),
+        t AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+              FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        e AS (SELECT from_type AS src, to_type AS dst,
+                     CAST(n AS DOUBLE)
+                     / CAST(sum(n) OVER (PARTITION BY from_type)
+                            AS DOUBLE) AS weight
+              FROM t),
+        nodes AS (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM e
+                   UNION SELECT dst FROM e)),
+        ns AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+        r0 AS (SELECT node, 1.0 / ns.n_nodes AS rank
+               FROM nodes CROSS JOIN ns)"""]
+    for _i in range(1, 11):
+        _pr.append(f""",
+        c{_i} AS (
+          SELECT e.dst AS node,
+                 CAST(sum(CAST(r{_i - 1}.rank * e.weight
+                   AS DECIMAL(28,15))) AS DOUBLE) AS s
+          FROM e JOIN r{_i - 1} ON e.src = r{_i - 1}.node GROUP BY 1
+        ),
+        r{_i} AS (
+          SELECT nodes.node,
+                 (1.0 - 0.85) / ns.n_nodes
+                   + 0.85 * coalesce(c{_i}.s, 0.0) AS rank
+          FROM nodes LEFT JOIN c{_i} ON nodes.node = c{_i}.node
+          CROSS JOIN ns
+        )""")
+    _pr.append("""
+        SELECT node, round(rank, 6) AS pagerank FROM r10""")
+    sql["event_type_pagerank"] = "".join(_pr)
     sql["conversion_funnel"] = """
         WITH per_user AS (
           SELECT user_id,

@@ -251,3 +251,25 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph: edge weight =
+    observed transition probability (row-normalized bigram counts from
+    the lag pass), 10 power iterations, damping 0.85. The graph is tiny
+    (|event types| nodes) but the operator (operators/cluster.pagerank)
+    is the general join-per-iteration form; its oracle twin unrolls the
+    same 10 iterations in SQL, so every rank value is cross-checked."""
+    from tweetaggregates_spark.operators.cluster import pagerank
+
+    trans = event_type_transitions(spark, sf_dir)
+    w = Window.partitionBy("from_type")
+    edges = trans.select(
+        F.col("from_type").alias("src"),
+        F.col("to_type").alias("dst"),
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w).cast("double")
+        ).alias("weight"),
+    )
+    return pagerank(edges, damping=0.85, iterations=10)
