@@ -67,6 +67,12 @@ HEADLINE = [
     "user_event_gaps",
     "knn_cosine_quantized",
     "repeated_ngrams_docs",
+    # round 2 batch 3: product analytics, profiling, iterative graph
+    "conversion_funnel",
+    "retention_cohorts",
+    "events_profile",
+    "event_type_pagerank",
+    "chunk_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size
