@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_daily": ev.distinct_users_daily,
         "approx_users_daily": ev.approx_users_daily,  # rows-only: HLL sketch
         "kmv_users_daily": ev.kmv_users_daily,
+        "kmv_users_monthly_rollup": ev.kmv_users_monthly_rollup,
+        "winsorized_value_stats": ev.winsorized_value_stats,
         "clickers_without_purchase": ev.clickers_without_purchase,
         "cosine_near_dups": llm.cosine_near_dups,
         "cosine_near_dups_banded": llm.cosine_near_dups_banded,
@@ -938,6 +940,54 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) END AS n_users_kmv,
                n_exact AS n_users_exact
         FROM g
+    """
+    sql["kmv_users_monthly_rollup"] = f"""
+        WITH h AS (
+          SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+                   AS day_end,
+                 {_kmv_h} AS h
+          FROM events
+        ),
+        daily AS (
+          SELECT day_end,
+                 (list_sort(list_distinct(list(h))))[1:64] AS mink
+          FROM h GROUP BY 1
+        ),
+        x AS (
+          SELECT CAST(date_trunc('month', day_end - INTERVAL 1 SECOND)
+                   AS TIMESTAMP) AS month,
+                 unnest(mink) AS h
+          FROM daily
+        ),
+        m AS (
+          SELECT month,
+                 (list_sort(list_distinct(list(h))))[1:64] AS mink,
+                 CAST(count(DISTINCT h) AS BIGINT) AS n_merged
+          FROM x GROUP BY 1
+        )
+        SELECT month,
+               CASE WHEN len(mink) < 64 THEN n_merged
+                    ELSE CAST(round(63 * 1152921504606846976.0 / mink[64])
+                              AS BIGINT) END AS n_users_kmv,
+               CAST(len(mink) AS INTEGER) AS sketch_size
+        FROM m
+    """
+    sql["winsorized_value_stats"] = """
+        WITH b AS (
+          SELECT event_type AS b_type,
+                 round(quantile_cont(value, 0.05), 6) AS p05,
+                 round(quantile_cont(value, 0.95), 6) AS p95
+          FROM events GROUP BY 1
+        )
+        SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS mean_raw,
+               round(CAST(sum(CAST(least(greatest(e.value, b.p05), b.p95)
+                     AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+                 AS mean_winsorized,
+               min(b.p05) AS p05, min(b.p95) AS p95
+        FROM events e JOIN b ON e.event_type = b.b_type
+        GROUP BY 1
     """
     # the Arrow-side decode is a deterministic envelope parse (first 8
     # payload bytes -> 60-bit checksum -> fake dims); DuckDB reproduces

@@ -604,3 +604,81 @@ def daily_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_score"),
         (F.abs(z) >= 2.0).alias("is_anomaly"),
     )
+
+
+def kmv_users_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch REAGGREGATION (the hypertable-rollup pattern): monthly
+    distinct-user estimates built by MERGING the per-day KMV sketches —
+    the raw events are scanned once for the daily pass and never again;
+    the monthly answer comes from |days| x k hash values.
+
+    KMV merges exactly: union the per-day k-minimum sets, keep the k
+    smallest, re-apply the estimator. Because the sketch is a pure
+    function of the key set (portable hash64), the DuckDB oracle
+    reproduces the merged ESTIMATE bit-for-bit — unlike HLL, whose
+    sketch bytes are engine-internal (approx_users_daily stays
+    rows-only for exactly that reason)."""
+    ev = _events(spark, sf_dir)
+    from tweetaggregates_spark.functions.hashing import hash64
+
+    h = hash64(F.col("user_id").cast("string"))
+    per_day = (
+        ev.select(
+            F.window("ts", "1 day").alias("window"), h.alias("h")
+        )
+        .groupBy(F.col("window.end").alias("day_end"))
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, KMV_K).alias("mink"))
+    )
+    monthly = (
+        per_day.select(
+            F.date_trunc("month", F.col("day_end") - F.expr("INTERVAL 1 SECOND"))
+            .alias("month"),
+            F.explode("mink").alias("h"),
+        )
+        .groupBy("month")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("h")), 1, KMV_K).alias("mink"),
+            F.countDistinct("h").alias("n_merged_hashes"),
+        )
+    )
+    kth = F.element_at("mink", KMV_K)
+    est = F.when(
+        F.size("mink") < KMV_K, F.col("n_merged_hashes")
+    ).otherwise(
+        F.round(F.lit(KMV_K - 1) * F.lit(float(2**60)) / kth).cast("long")
+    )
+    return monthly.select(
+        "month", est.alias("n_users_kmv"), F.size("mink").alias("sketch_size")
+    )
+
+
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics via winsorization: per event_type, clip value
+    at the exact [p05, p95] percentiles and report raw vs clipped means
+    — the outlier-tamed aggregate a metrics pipeline prefers. The
+    percentile boundaries come from the same exact-interpolation both
+    engines share (value_quantiles_by_type proves the match), rounded
+    before clipping so both engines clip against identical bounds; the
+    clipped mean runs through exact decimal."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.groupBy(F.col("event_type").alias("b_type")).agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+    j = ev.join(F.broadcast(bounds), ev.event_type == F.col("b_type"))
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_raw"),
+        F.round(
+            F.sum(clipped.cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_winsorized"),
+        F.min("p05").alias("p05"),
+        F.min("p95").alias("p95"),
+    )
