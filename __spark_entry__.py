@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_funnel": sequence.conversion_funnel,
         "retention_cohorts": sequence.retention_cohorts,
         "event_type_pagerank": sequence.event_type_pagerank,
+        "time_weighted_value_daily": sequence.time_weighted_value_daily,
         "curation_funnel_docs": llm.curation_funnel_docs,
         "returnflag_measures_unpivot": star.returnflag_measures_unpivot,
     }
@@ -1812,6 +1813,29 @@ def oracle_sql() -> dict[str, str]:
     _pr.append("""
         SELECT node, round(rank, 6) AS pagerank FROM r10""")
     sql["event_type_pagerank"] = "".join(_pr)
+    sql["time_weighted_value_daily"] = """
+        WITH base AS (
+          SELECT user_id,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 value, ts, event_id
+          FROM events
+        ),
+        wt AS (
+          SELECT user_id, day, value,
+                 date_diff('microsecond', ts,
+                   coalesce(lead(ts) OVER (
+                              PARTITION BY user_id, day
+                              ORDER BY ts ASC, event_id ASC),
+                            day + INTERVAL 1 DAY)) AS w_us
+          FROM base
+        )
+        SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(w_us) AS BIGINT) AS total_us,
+               round(CAST(sum(CAST(value * w_us AS DECIMAL(28,6)))
+                       AS DOUBLE) / CAST(sum(w_us) AS DOUBLE), 6)
+                 AS twa_value
+        FROM wt GROUP BY 1, 2
+    """
     sql["conversion_funnel"] = """
         WITH per_user AS (
           SELECT user_id,

@@ -273,3 +273,48 @@ def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weight"),
     )
     return pagerank(edges, damping=0.85, iterations=10)
+
+
+def time_weighted_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (user, day) — the
+    irregular-sampling aggregate (each observation holds until the next
+    one): weight = microseconds until the user's next event that day,
+    the last event weighted to midnight. A plain avg over-counts
+    bursts; the TWA is burst-invariant.
+
+    One lead() window and one aggregate sharing the (user_id, day)
+    exchange; all weights are exact integer microseconds, the weighted
+    sum is decimal-exact, one IEEE divide at the end."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "day").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    nxt_ts = F.coalesce(
+        F.lead("ts").over(w), F.col("day") + F.expr("INTERVAL 1 DAY")
+    )
+    weighted = base.select(
+        "user_id", "day", "value", "ts", nxt_ts.alias("nxt_ts")
+    ).select(
+        "user_id",
+        "day",
+        "value",
+        F.expr("timestampdiff(MICROSECOND, ts, nxt_ts)").alias("w_us"),
+    )
+    return weighted.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("w_us").alias("total_us"),
+        F.round(
+            F.sum(
+                (F.col("value") * F.col("w_us")).cast("decimal(28,6)")
+            ).cast("double")
+            / F.sum("w_us"),
+            6,
+        ).alias("twa_value"),
+    )
