@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": sequence.retention_cohorts,
         "event_type_pagerank": sequence.event_type_pagerank,
         "time_weighted_value_daily": sequence.time_weighted_value_daily,
+        "daily_growth_by_type": sequence.daily_growth_by_type,
         "curation_funnel_docs": llm.curation_funnel_docs,
         "returnflag_measures_unpivot": star.returnflag_measures_unpivot,
     }
@@ -1813,6 +1814,21 @@ def oracle_sql() -> dict[str, str]:
     _pr.append("""
         SELECT node, round(rank, 6) AS pagerank FROM r10""")
     sql["event_type_pagerank"] = "".join(_pr)
+    sql["daily_growth_by_type"] = """
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day, cnt,
+               lag(cnt) OVER w AS prev_cnt,
+               round(CAST(cnt AS DOUBLE)
+                     / CAST(lag(cnt) OVER w AS DOUBLE), 6)
+                 AS growth_ratio
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)
+    """
     sql["time_weighted_value_daily"] = """
         WITH base AS (
           SELECT user_id,

@@ -318,3 +318,26 @@ def time_weighted_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twa_value"),
     )
+
+
+def daily_growth_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period: per event_type, each day's count next to the
+    previous day's (lag over the aggregated series) with the growth
+    ratio — the day-over-day trend readout. The window runs over the
+    already-aggregated |types| x |days| table, so its cost is nil; the
+    ratio is one IEEE divide over exact integers, rounded."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.asc("day"))
+    prev = F.lag("cnt").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        prev.alias("prev_cnt"),
+        F.round(
+            F.col("cnt").cast("double") / prev.cast("double"), 6
+        ).alias("growth_ratio"),
+    )
