@@ -160,20 +160,27 @@ def pagerank(
     (localCheckpoint; use checkpoint on a cluster). Dangling nodes
     (no out-edges) are assumed absent — normalize the edge list first
     (a transition graph has none by construction)."""
+    # edges and nodes are referenced by EVERY iteration's join; truncate
+    # their lineage once so the upstream (e.g. a raw-event window pass)
+    # is not re-evaluated per iteration at scale. (At tiny SFs runtime
+    # is dominated by per-iteration stage scheduling — ~0.5 s/round on
+    # local[32] regardless of data size — which is exactly why a real
+    # deployment batches more graph per round, not more rounds.)
+    e = edges.select(
+        F.col(src).alias("e_src"),
+        F.col(dst).alias("e_dst"),
+        F.col(weight).alias("e_w"),
+    ).localCheckpoint(eager=False)
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        e.select(F.col("e_src").alias("node"))
+        .union(e.select(F.col("e_dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     nsc = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     teleport = 1.0 - damping
     ranks = nodes.crossJoin(F.broadcast(nsc)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
-    )
-    e = edges.select(
-        F.col(src).alias("e_src"),
-        F.col(dst).alias("e_dst"),
-        F.col(weight).alias("e_w"),
     )
     for i in range(iterations):
         contrib = e.join(ranks, e.e_src == ranks.node).select(
