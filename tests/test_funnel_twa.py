@@ -1,0 +1,84 @@
+"""Semantics pins for conversion funnel and time-weighted average
+(plans/sequence.py) on crafted rows — the oracle twins prove
+cross-engine equality; these prove the SEMANTICS are the intended
+ones."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+
+def _write_single_file(df, tmp_path) -> str:
+    """load_table expects one parquet FILE per table (the testdata
+    layout), so write through pyarrow, not Spark's directory writer."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    table = pa.Table.from_pandas(df.toPandas())
+    pq.write_table(table, os.path.join(sf_dir, "events.parquet"))
+    return sf_dir
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 15, h, m), uid, et, 1.0, "{}")
+            for i, (uid, et, h, m) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_funnel_requires_order(spark, tmp_path):
+    """A purchase BEFORE the user's click must not count as a funnel
+    purchase; in-order users count at every stage."""
+    from tweetaggregates_spark.plans import sequence
+
+    rows = [
+        # user 1: fully ordered funnel
+        (1, "signup", 1, 0), (1, "view", 2, 0), (1, "click", 3, 0),
+        (1, "purchase", 4, 0),
+        # user 2: purchase before click -> purchase must NOT count
+        (2, "signup", 1, 0), (2, "view", 2, 0), (2, "purchase", 2, 30),
+        (2, "click", 3, 0),
+        # user 3: no signup -> counts at no stage
+        (3, "view", 1, 0), (3, "click", 2, 0),
+    ]
+    df = _ev(spark, rows)
+    sf_dir = _write_single_file(df, tmp_path)
+    out = sequence.conversion_funnel(spark, sf_dir).collect()[0]
+    assert out["n_users"] == 3
+    assert out["n_signup"] == 2
+    assert out["n_view"] == 2
+    assert out["n_click"] == 2
+    # user 2's early purchase is rejected; only user 1 converts fully
+    assert out["n_purchase"] == 1
+
+
+def test_twa_is_burst_invariant(spark, tmp_path):
+    """Ten events in one minute at value 100 followed by value 0 held
+    all day must produce a tiny TWA, while the plain mean is ~91."""
+    from tweetaggregates_spark.plans import sequence
+
+    rows = []
+    for i in range(10):  # burst: 00:00..00:09, value 100
+        rows.append((1, "view", 0, i))
+    base = _ev(spark, rows)
+    from pyspark.sql import functions as F
+
+    burst = base.withColumn("value", F.lit(100.0))
+    # one event at 00:10 with value 0, held until midnight
+    quiet = _ev(spark, [(1, "view", 0, 10)]).withColumn(
+        "value", F.lit(0.0)
+    ).withColumn("event_id", F.col("event_id") + 100)
+    df = burst.union(quiet)
+    sf_dir = _write_single_file(df, tmp_path)
+    out = sequence.time_weighted_value_daily(spark, sf_dir).collect()[0]
+    assert out["n_events"] == 11
+    # 10 minutes of 100 vs 23h50m of 0 => TWA ~ 100 * 10/1440 ~ 0.69
+    assert out["twa_value"] < 1.0, out["twa_value"]
