@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_asof_click": ev.purchase_asof_click,
         "lsh_verified_pairs": llm.lsh_verified_pairs,
         "dedup_clusters_docs": llm.dedup_clusters_docs,
+        "dup_cluster_size_histogram": llm.dup_cluster_size_histogram,
         "canonical_docs": llm.canonical_docs_query,
         "stratified_sample_docs": llm.stratified_sample_docs,
         "weighted_sample_docs": llm.weighted_sample_docs,
@@ -1193,6 +1194,20 @@ def oracle_sql() -> dict[str, str]:
                min(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
                CAST(count(*) AS BIGINT) AS n_members
         FROM r GROUP BY 1
+    """
+
+    sql["dup_cluster_size_histogram"] = f"""
+        WITH RECURSIVE {_lsh_cc_cte},
+        cl AS (
+          SELECT coalesce(l.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN labels l USING (doc_id)
+        ),
+        s AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+                       AS cluster_size
+              FROM cl GROUP BY 1)
+        SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+        FROM s GROUP BY 1
     """
 
     # deterministic hash sampling / split / shuffle / packing

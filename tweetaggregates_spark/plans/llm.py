@@ -404,3 +404,19 @@ def mixture_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_plan(
         _docs(spark, sf_dir), "source", "n_chars", budget_fraction=0.5
     )
+
+
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-duplication readout that closes the dedup story: the
+    distribution of near-dup cluster sizes (size 1 = unique docs), with
+    doc counts per size — "what fraction of the corpus is duplicated,
+    and how big are the families". Two cascaded tiny aggregates on top
+    of the cluster assignment; no new scan of anything."""
+    clusters = dedup_clusters_docs(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"),
+    )
