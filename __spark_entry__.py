@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pagerank": sequence.event_type_pagerank,
         "time_weighted_value_daily": sequence.time_weighted_value_daily,
         "daily_growth_by_type": sequence.daily_growth_by_type,
+        "user_value_skyline": sequence.user_value_skyline,
         "curation_funnel_docs": llm.curation_funnel_docs,
         "returnflag_measures_unpivot": star.returnflag_measures_unpivot,
     }
@@ -1829,6 +1830,21 @@ def oracle_sql() -> dict[str, str]:
     _pr.append("""
         SELECT node, round(rank, 6) AS pagerank FROM r10""")
     sql["event_type_pagerank"] = "".join(_pr)
+    sql["user_value_skyline"] = """
+        WITH per AS (
+          SELECT user_id,
+                 sum(CAST(value AS DECIMAL(18,6))) AS val,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1
+        )
+        SELECT a.user_id, CAST(a.val AS DOUBLE) AS total_value, a.cnt
+        FROM per a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM per b
+          WHERE b.val >= a.val AND b.cnt >= a.cnt
+            AND (b.val > a.val OR b.cnt > a.cnt)
+        )
+    """
     sql["daily_growth_by_type"] = """
         WITH daily AS (
           SELECT event_type,

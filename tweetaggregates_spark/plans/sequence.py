@@ -341,3 +341,37 @@ def daily_growth_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("double") / prev.cast("double"), 6
         ).alias("growth_ratio"),
     )
+
+
+def user_value_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) over per-user (total value, event
+    count): users not dominated on both metrics by any other user —
+    the multi-criteria top-set a single ORDER BY cannot express.
+
+    Expressed as a non-equi LEFT ANTI self-join over the AGGREGATED
+    per-user table (|users| rows, not raw events), so the quadratic
+    candidate comparison happens on reduced data; domination compares
+    exact decimals so no float tie ambiguity exists. At 100 TB with
+    billions of users you'd pre-prune with a coarse grid (only cells
+    on the grid's own frontier can contain skyline points) and run
+    this same anti-join within surviving cells."""
+    ev = _events(spark, sf_dir)
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("val"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    a, b = per.alias("a"), per.alias("b")
+    dominates = (
+        (F.col("b.val") >= F.col("a.val"))
+        & (F.col("b.cnt") >= F.col("a.cnt"))
+        & (
+            (F.col("b.val") > F.col("a.val"))
+            | (F.col("b.cnt") > F.col("a.cnt"))
+        )
+    )
+    sky = a.join(b, dominates, "left_anti")
+    return sky.select(
+        "user_id",
+        F.col("val").cast("double").alias("total_value"),
+        "cnt",
+    )
