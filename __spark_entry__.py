@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_value_daily": sequence.time_weighted_value_daily,
         "daily_growth_by_type": sequence.daily_growth_by_type,
         "user_value_skyline": sequence.user_value_skyline,
+        "click_purchase_correlation": sequence.click_purchase_correlation,
+        "cumulative_new_users": sequence.cumulative_new_users,
         "curation_funnel_docs": llm.curation_funnel_docs,
         "returnflag_measures_unpivot": star.returnflag_measures_unpivot,
     }
@@ -1830,6 +1832,50 @@ def oracle_sql() -> dict[str, str]:
     _pr.append("""
         SELECT node, round(rank, 6) AS pagerank FROM r10""")
     sql["event_type_pagerank"] = "".join(_pr)
+    sql["click_purchase_correlation"] = """
+        WITH daily AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                          ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END) AS BIGINT) AS y
+          FROM events GROUP BY 1
+        ),
+        mo AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM daily
+        )
+        SELECT n, sx, sy,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                 AS pearson_r
+        FROM mo
+    """
+    sql["cumulative_new_users"] = """
+        WITH first_seen AS (
+          SELECT user_id,
+                 min(CAST(date_trunc('day', ts) AS TIMESTAMP))
+                   AS first_day
+          FROM events GROUP BY 1
+        ),
+        new_per_day AS (
+          SELECT first_day AS day,
+                 CAST(count(*) AS BIGINT) AS n_new_users
+          FROM first_seen GROUP BY 1
+        )
+        SELECT day, n_new_users,
+               CAST(sum(n_new_users) OVER (
+                 ORDER BY day ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cumulative_users
+        FROM new_per_day
+    """
     sql["user_value_skyline"] = """
         WITH per AS (
           SELECT user_id,

@@ -375,3 +375,67 @@ def user_value_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("val").cast("double").alias("total_value"),
         "cnt",
     )
+
+
+def click_purchase_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics: Pearson correlation between daily click
+    and purchase counts, built from EXACT integer moments (n, sx, sy,
+    sxy, sxx, syy) so both engines evaluate the same closed-form
+    expression over identical operands — no streaming covariance
+    accumulator whose float order could differ.
+
+    Plan: one conditional aggregate per day (pivot shape), one global
+    moment aggregate over the |days|-row table. Raw events are scanned
+    once."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "x"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    mo = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = F.sqrt((n * F.col("sxx") - sx * sx).cast("double")) * F.sqrt(
+        (n * F.col("syy") - sy * sy).cast("double")
+    )
+    return mo.select(
+        "n",
+        "sx",
+        "sy",
+        F.round(num / den, 6).alias("pearson_r"),
+    )
+
+
+def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time — the 'total users to date'
+    curve. A naive per-day countDistinct over growing prefixes rescans
+    everything per day; instead each user contributes once at their
+    FIRST-seen day, and a running sum over the |days|-row new-user
+    table yields the cumulative distinct count exactly. The only
+    window is over days (tiny); raw events are scanned once."""
+    ev = _events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
+    )
+    new_per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = Window.orderBy(F.asc("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return new_per_day.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("cumulative_users"),
+    )
