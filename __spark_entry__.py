@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_profit_by_nation": star.q9_profit_by_nation,
         "q11_part_revenue_share": star.q11_part_revenue_share,
         "q20_heavy_suppliers": star.q20_heavy_suppliers,
+        "order_latency_distribution": star.order_latency_distribution,
         "quantized_embeddings": llm.quantized_embeddings_docs,
         "knn_cosine_quantized": llm.knn_cosine_quantized,
         "embedding_stats": llm.embedding_stats,
@@ -1774,6 +1775,18 @@ def oracle_sql() -> dict[str, str]:
         FROM per_supp h, tot
         JOIN supplier s ON h.l_suppkey = s.s_suppkey
         WHERE h.supp_qty * 2 * tot.n_supp > tot.total_qty
+    """
+    sql["order_latency_distribution"] = """
+        WITH per_order AS (
+          SELECT l.l_orderkey, o.o_orderdate,
+                 max(l.l_shipdate) AS last_ship
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2
+        )
+        SELECT CAST(floor(date_diff('day', o_orderdate, last_ship)
+                 / 7) AS INTEGER) AS latency_weeks,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM per_order GROUP BY 1
     """
     sql["rolling_user_value_avg"] = """
         WITH b AS (

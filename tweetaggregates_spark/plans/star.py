@@ -839,3 +839,26 @@ def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("supp_qty").cast("double").alias("shipped_qty"),
         )
     )
+
+
+def order_latency_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-duration distribution: days from order placement to the
+    order's LAST shipment, bucketed by week — the fulfillment-latency
+    readout over the fact-fact join. One orderkey shuffle (join +
+    per-order max fused on the same exchange), then a tiny bucket
+    count; all duration math is exact integer days."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    lat_days = F.datediff(F.col("last_ship"), F.col("o_orderdate"))
+    return (
+        per_order.select(
+            F.floor(lat_days / 7).cast("int").alias("latency_weeks")
+        )
+        .groupBy("latency_weeks")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
