@@ -802,12 +802,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT d.event_type, d.day, d.cnt,
                      round(CAST(m.sum_cnt AS DOUBLE) / m.n_days, 6)
                        AS mean_cnt,
+                     CASE WHEN CAST(m.sumsq_cnt AS DOUBLE) / m.n_days
+                               - (CAST(m.sum_cnt AS DOUBLE) / m.n_days)
+                                 * (CAST(m.sum_cnt AS DOUBLE) / m.n_days)
+                               > 0
+                     THEN
                      round((d.cnt - CAST(m.sum_cnt AS DOUBLE) / m.n_days)
                            / sqrt(CAST(m.sumsq_cnt AS DOUBLE) / m.n_days
                                   - (CAST(m.sum_cnt AS DOUBLE)
                                      / m.n_days)
                                     * (CAST(m.sum_cnt AS DOUBLE)
-                                       / m.n_days)), 6) AS z_score
+                                       / m.n_days)), 6)
+                     END AS z_score
               FROM daily d JOIN m ON d.event_type = m.m_type
             )
         """,
@@ -1590,9 +1596,10 @@ def oracle_sql() -> dict[str, str]:
         cand AS (
           SELECT query_id, neighbor_id, qv, cv,
                  round(CAST(list_dot_product(q_q, c_q) AS DOUBLE)
-                       / (sqrt(CAST(list_dot_product(q_q, q_q) AS DOUBLE))
-                          * sqrt(CAST(list_dot_product(c_q, c_q)
-                                 AS DOUBLE))), 6) AS q_cos
+                       / greatest(
+                           sqrt(CAST(list_dot_product(q_q, q_q) AS DOUBLE))
+                           * sqrt(CAST(list_dot_product(c_q, c_q)
+                                  AS DOUBLE)), 1e-12), 6) AS q_cos
           FROM qq JOIN cq ON query_id <> neighbor_id
         ),
         short AS (
@@ -1772,7 +1779,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM per_supp)
         SELECT h.l_suppkey AS s_suppkey, s.s_name,
                CAST(h.supp_qty AS DOUBLE) AS shipped_qty
-        FROM per_supp h, tot
+        FROM per_supp h
+        CROSS JOIN tot
         JOIN supplier s ON h.l_suppkey = s.s_suppkey
         WHERE h.supp_qty * 2 * tot.n_supp > tot.total_qty
     """
@@ -1943,31 +1951,32 @@ def oracle_sql() -> dict[str, str]:
         FROM wt GROUP BY 1, 2
     """
     sql["conversion_funnel"] = """
-        WITH per_user AS (
-          SELECT user_id,
-                 min(CASE WHEN event_type = 'signup' THEN ts END)
-                   AS t_signup,
-                 min(CASE WHEN event_type = 'view' THEN ts END)
-                   AS t_view,
-                 min(CASE WHEN event_type = 'click' THEN ts END)
-                   AS t_click,
-                 min(CASE WHEN event_type = 'purchase' THEN ts END)
-                   AS t_purchase
-          FROM events GROUP BY 1
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS r1 FROM events
+          WHERE event_type = 'signup' GROUP BY 1
         ),
-        r1 AS (SELECT *, t_signup AS r_signup FROM per_user),
-        r2 AS (SELECT *, CASE WHEN t_view >= r_signup THEN t_view END
-                           AS r_view FROM r1),
-        r3 AS (SELECT *, CASE WHEN t_click >= r_view THEN t_click END
-                           AS r_click FROM r2),
-        r4 AS (SELECT *, CASE WHEN t_purchase >= r_click
-                              THEN t_purchase END AS r_purchase FROM r3)
-        SELECT CAST(count(*) AS BIGINT) AS n_users,
-               CAST(count(r_signup) AS BIGINT) AS n_signup,
-               CAST(count(r_view) AS BIGINT) AS n_view,
-               CAST(count(r_click) AS BIGINT) AS n_click,
-               CAST(count(r_purchase) AS BIGINT) AS n_purchase
-        FROM r4
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS r2
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'view' AND e.ts >= s1.r1 GROUP BY 1
+        ),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS r3
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'click' AND e.ts >= s2.r2 GROUP BY 1
+        ),
+        s4 AS (
+          SELECT e.user_id, min(e.ts) AS r4
+          FROM events e JOIN s3 ON e.user_id = s3.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= s3.r3 GROUP BY 1
+        )
+        SELECT
+          (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+            AS n_users,
+          (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+          (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_view,
+          (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_click,
+          (SELECT CAST(count(*) AS BIGINT) FROM s4) AS n_purchase
     """
     sql["retention_cohorts"] = """
         WITH active AS (

@@ -48,13 +48,17 @@ def test_funnel_requires_order(spark, tmp_path):
         (2, "click", 3, 0),
         # user 3: no signup -> counts at no stage
         (3, "view", 1, 0), (3, "click", 2, 0),
+        # user 4: views BEFORE signup and again AFTER — the later view
+        # must still count (sequential re-aggregation, not global-min)
+        (4, "view", 1, 0), (4, "signup", 2, 0), (4, "view", 3, 0),
     ]
     df = _ev(spark, rows)
     sf_dir = _write_single_file(df, tmp_path)
     out = sequence.conversion_funnel(spark, sf_dir).collect()[0]
-    assert out["n_users"] == 3
-    assert out["n_signup"] == 2
-    assert out["n_view"] == 2
+    assert out["n_users"] == 4
+    assert out["n_signup"] == 3
+    # users 1, 2, and 4 (via the post-signup view) reach n_view
+    assert out["n_view"] == 3
     assert out["n_click"] == 2
     # user 2's early purchase is rejected; only user 1 converts fully
     assert out["n_purchase"] == 1

@@ -33,6 +33,29 @@ def test_pagerank_orders_by_in_link_mass(spark):
     assert pr["a"] > pr["b"] > pr["c"]
 
 
+def test_pagerank_normalize_matches_prenormalized(spark):
+    """normalize=True on RAW (unnormalized) weights must reproduce the
+    ranks of the caller-normalized edge list — misuse-proofing for the
+    row-stochastic weight contract."""
+    raw = spark.createDataFrame(
+        [
+            ("a", "b", 6.0),
+            ("b", "c", 2.0),
+            ("b", "a", 2.0),
+            ("c", "a", 9.0),
+        ],
+        "src string, dst string, weight double",
+    )
+    got = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(raw, normalize=True).collect()
+    }
+    want = {
+        r["node"]: r["pagerank"] for r in pagerank(_edges(spark)).collect()
+    }
+    assert got == want
+
+
 def test_pagerank_event_graph_matches_unrolled(spark):
     """The engine query over the real transition graph emits exactly
     one rank per event type, all positive."""

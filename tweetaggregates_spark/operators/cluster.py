@@ -141,6 +141,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     checkpoint_every: int = 4,
+    normalize: bool = False,
 ) -> DataFrame:
     """Weighted PageRank by fixed-iteration power method — the second
     iterative graph algorithm next to connected_components, and the
@@ -159,7 +160,15 @@ def pagerank(
     broadcast; lineage is truncated every ``checkpoint_every`` rounds
     (localCheckpoint; use checkpoint on a cluster). Dangling nodes
     (no out-edges) are assumed absent — normalize the edge list first
-    (a transition graph has none by construction)."""
+    (a transition graph has none by construction).
+
+    Weight contract: per-src weights must sum to 1 (a transition
+    matrix); otherwise the ranks are not a probability distribution
+    and the iteration can diverge. Pass ``normalize=True`` to have the
+    operator row-normalize raw edge weights itself (one groupBy(src) +
+    equi-join — same node-id shuffle the iterations already pay);
+    leave False when the caller already supplies a stochastic matrix,
+    so pre-normalized weights are used bit-for-bit as given."""
     # edges and nodes are referenced by EVERY iteration's join; truncate
     # their lineage once so the upstream (e.g. a raw-event window pass)
     # is not re-evaluated per iteration at scale. (At tiny SFs runtime
@@ -170,7 +179,22 @@ def pagerank(
         F.col(src).alias("e_src"),
         F.col(dst).alias("e_dst"),
         F.col(weight).alias("e_w"),
-    ).localCheckpoint(eager=False)
+    )
+    if normalize:
+        out_w = e.groupBy(F.col("e_src").alias("n_src")).agg(
+            F.sum(F.col("e_w").cast("decimal(28,15)"))
+            .cast("double")
+            .alias("out_w")
+        )
+        e = (
+            e.join(out_w, e.e_src == out_w.n_src)
+            .select(
+                "e_src",
+                "e_dst",
+                (F.col("e_w") / F.col("out_w")).alias("e_w"),
+            )
+        )
+    e = e.localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("e_src").alias("node"))
         .union(e.select(F.col("e_dst").alias("node")))

@@ -645,7 +645,17 @@ def knn_quantized_rescore(
         qq.join(cq, F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "q_cos",
-            F.round(qdot.cast("double") / (qnorm(F.col("q_q")) * qnorm(F.col("c_q"))), 6),
+            # greatest(.., eps): an all-zero embedding quantizes to an
+            # all-zero qvec (norm 0) — clamp so both engines yield 0.0
+            # instead of Spark-NULL vs DuckDB-NaN on the divide
+            F.round(
+                qdot.cast("double")
+                / F.greatest(
+                    qnorm(F.col("q_q")) * qnorm(F.col("c_q")),
+                    F.lit(1e-12),
+                ),
+                6,
+            ),
         )
     )
     shortlist = rank_topk(

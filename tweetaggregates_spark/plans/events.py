@@ -595,7 +595,11 @@ def daily_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (
         F.col("sumsq_cnt").cast("double") / F.col("n_days") - mean * mean
     )
-    z = F.round((F.col("cnt") - mean) / F.sqrt(var), 6)
+    # zero-variance guard: constant daily counts (or a single day) have
+    # no z-score; both engines return NULL rather than inf/NaN drift
+    z = F.when(
+        var > 0.0, F.round((F.col("cnt") - mean) / F.sqrt(var), 6)
+    ).otherwise(F.lit(None).cast("double"))
     return j.select(
         "event_type",
         "day",

@@ -193,39 +193,44 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many users reach each stage IN ORDER (a later stage counts only
     if it happens after the user's earliest qualifying previous stage).
 
-    One conditional-min aggregate per user (no joins, no windows over
-    raw events): stage k's timestamp is min(ts where type=stage_k and
-    ts >= stage_{k-1}_ts) — expressed as cascaded conditional mins over
-    the per-user event set, then one tiny count aggregate. Per-user
-    state is 4 timestamps; the only shuffle is the user_id exchange."""
+    Sequential re-aggregation (one pass per stage): r_signup is the
+    user's earliest signup; r_k for each later stage is
+    min(ts where type=stage_k AND ts >= r_{k-1}) — computed by joining
+    the previous stage's reach table back onto that stage's events and
+    taking a conditional min. A user who views before signup and again
+    after still reaches n_view via the later view. Per-stage state is
+    one timestamp per user; each pass is a user_id equi-join against a
+    type-filtered (hence small) slice of events, so the plan is k
+    bounded-state shuffles, never a per-user event array."""
     ev = _events(spark, sf_dir)
     stages = ["signup", "view", "click", "purchase"]
-    per_user = ev.groupBy("user_id").agg(
-        *[
-            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(
-                f"t_{s}"
+    stage_ev = ev.filter(F.col("event_type").isin(stages)).select(
+        "user_id", "event_type", "ts"
+    )
+    reach = (
+        stage_ev.filter(F.col("event_type") == stages[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias(f"r_{stages[0]}"))
+    )
+    counts = ev.agg(
+        F.countDistinct("user_id").alias("n_users")
+    ).crossJoin(reach.agg(F.count(F.lit(1)).alias(f"n_{stages[0]}")))
+    prev = reach
+    for k, s in enumerate(stages[1:], start=1):
+        nxt = (
+            stage_ev.filter(F.col("event_type") == s)
+            .join(
+                prev.select("user_id", f"r_{stages[k - 1]}"), "user_id"
             )
-            for s in stages
-        ]
-    )
-    # ordered reach: stage k requires its earliest occurrence AFTER the
-    # ordered-reach time of stage k-1 (cascaded, engine-portable)
-    reach = per_user
-    prev = None
-    for s in stages:
-        col = F.col(f"t_{s}")
-        ordered = col if prev is None else F.when(
-            col >= prev, col
-        ).otherwise(F.lit(None))
-        reach = reach.withColumn(f"r_{s}", ordered)
-        prev = F.col(f"r_{s}")
-    return reach.agg(
-        F.count(F.lit(1)).alias("n_users"),
-        *[
-            F.count(f"r_{s}").alias(f"n_{s}")
-            for s in stages
-        ],
-    )
+            .filter(F.col("ts") >= F.col(f"r_{stages[k - 1]}"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"r_{s}"))
+        )
+        counts = counts.crossJoin(
+            nxt.agg(F.count(F.lit(1)).alias(f"n_{s}"))
+        )
+        prev = nxt
+    return counts
 
 
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
