@@ -105,63 +105,97 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is deliberate: the driver's correctness gate samples the
+    # FIRST 50 entries, so the first block below is curated to span
+    # every query family — events/windows, store surface, TPC-H rounds
+    # 1+2, rollup/cube/pivot/unpivot, dedup + connected components,
+    # ANN/similarity (incl. the tiled scale path), text curation,
+    # sampling, iterative graph, mergeable sketches, and the
+    # sequence/window-function module. All 50 are hash-checkable
+    # (rows-only entries like the HLL sketch come after position 50).
     return {
+        # -- windows / streaming-parity aggregations (plans/events) --
         "tumbling_counts": ev.tumbling_counts,
         "hopping_counts": ev.hopping_counts,
         "top_users_hopping": ev.top_users_hopping,
         "top_event_types_tumbling": ev.top_event_types_tumbling,
         "top_users_with_examples": ev.top_users_with_examples,
+        "top_retweets_shape": ev.top_retweets_shape,
+        "session_windows": ev.session_windows,
+        "throughput_5min": ev.throughput_5min,
+        # -- store / REPL query surface --
         "events_summary": ev.events_summary,
         "counts_range": ev.counts_range,
         "top_users_for_entity": ev.top_users_for_entity,
         "recent_counts": ev.recent_counts,
         "running_total_counts": ev.running_total_counts,
         "daily_rollup_counts": ev.daily_rollup_counts,
-        "top_retweets_shape": ev.top_retweets_shape,
         "json_props_daily": ev.json_props_daily,
+        # -- TPC-H round 1 --
         "q1_pricing_summary": star.q1_pricing_summary,
         "q3_shipping_priority": star.q3_shipping_priority,
         "q5_region_revenue": star.q5_region_revenue,
         "q6_revenue_change": star.q6_revenue_change,
         "q10_returned_items": star.q10_returned_items,
-        "q14_promo_revenue": star.q14_promo_revenue,
         "q18_large_orders": star.q18_large_orders,
+        # -- TPC-H round 2 shapes --
+        "q9_profit_by_nation": star.q9_profit_by_nation,
+        "q13_order_count_distribution": star.q13_order_count_distribution,
+        "q20_heavy_suppliers": star.q20_heavy_suppliers,
+        "q21_last_shipper": star.q21_last_shipper,
+        "order_latency_distribution": star.order_latency_distribution,
+        # -- rollup / cube / pivot / unpivot --
         "revenue_rollup": star.revenue_rollup,
         "revenue_cube": star.revenue_cube,
-        "customers_without_orders": star.customers_without_orders,
-        "customers_with_orders_semi": star.customers_with_orders_semi,
-        "brand_supplier_stats": star.brand_supplier_stats,
         "order_status_pivot": star.order_status_pivot,
-        "top_orders_per_customer": star.top_orders_per_customer,
+        "returnflag_measures_unpivot": star.returnflag_measures_unpivot,
+        # -- dedup + dup-cluster resolution (operators/cluster) --
         "exact_dedup_docs": llm.exact_dedup_docs,
         "minhash_lsh_docs": llm.minhash_lsh_docs,
-        "minhash_lsh_capped": llm.minhash_lsh_capped_docs,
+        "simhash_pairs_banded": llm.simhash_pairs_banded_docs,
         "ngram_jaccard_docs": llm.ngram_jaccard_docs,
-        "simhash_docs": llm.simhash_docs,
+        "lsh_verified_pairs": llm.lsh_verified_pairs,
+        "dedup_clusters_docs": llm.dedup_clusters_docs,
+        "canonical_docs": llm.canonical_docs_query,
+        # -- ANN / similarity (incl. tiled 100 TB path) --
         "knn_cosine": llm.knn_cosine,
         "knn_cosine_bucketed": llm.knn_cosine_bucketed,
+        "knn_cosine_quantized": llm.knn_cosine_quantized,
+        "cosine_near_dups_tiled": llm.cosine_near_dups_tiled,
+        # -- text curation --
         "lang_id_docs": llm.lang_id_docs,
         "quality_docs": llm.quality_docs,
         "token_counts_docs": llm.token_counts_docs,
+        "pii_mask_docs": llm.pii_mask_docs,
+        # -- sampling + iterative graph --
+        "stratified_sample_docs": llm.stratified_sample_docs,
+        "event_type_pagerank": sequence.event_type_pagerank,
+        # -- mergeable sketches --
+        "kmv_users_daily": ev.kmv_users_daily,
+        "kmv_users_monthly_rollup": ev.kmv_users_monthly_rollup,
+        # -- sequence / window-function module --
+        "conversion_funnel": sequence.conversion_funnel,
+        # ---- entries 51+ (full surface, original ordering) ----
+        "q14_promo_revenue": star.q14_promo_revenue,
+        "customers_without_orders": star.customers_without_orders,
+        "customers_with_orders_semi": star.customers_with_orders_semi,
+        "brand_supplier_stats": star.brand_supplier_stats,
+        "top_orders_per_customer": star.top_orders_per_customer,
+        "minhash_lsh_capped": llm.minhash_lsh_capped_docs,
+        "simhash_docs": llm.simhash_docs,
         "normalize_docs": llm.normalize_docs,
         "repetition_docs": llm.repetition_docs,
         "contamination_docs": llm.contamination_docs,
         "domain_stats_docs": llm.domain_stats_docs,
-        "pii_mask_docs": llm.pii_mask_docs,
         "fingerprint_docs": llm.fingerprint_docs,
         "media_meta_docs": llm.media_meta_docs,
-        "session_windows": ev.session_windows,
-        "throughput_5min": ev.throughput_5min,
         "distinct_users_daily": ev.distinct_users_daily,
         "approx_users_daily": ev.approx_users_daily,  # rows-only: HLL sketch
-        "kmv_users_daily": ev.kmv_users_daily,
-        "kmv_users_monthly_rollup": ev.kmv_users_monthly_rollup,
         "winsorized_value_stats": ev.winsorized_value_stats,
         "clickers_without_purchase": ev.clickers_without_purchase,
         "cosine_near_dups": llm.cosine_near_dups,
         "cosine_near_dups_banded": llm.cosine_near_dups_banded,
         "simhash_pairs_docs": llm.simhash_pairs_docs,
-        "simhash_pairs_banded": llm.simhash_pairs_banded_docs,
         "clickers_who_purchased": ev.clickers_who_purchased,
         "viewers_never_erroring": ev.viewers_never_erroring,
         "revenue_grouping_sets": ev.revenue_grouping_sets,
@@ -170,18 +204,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_count_anomalies": ev.daily_count_anomalies,
         "value_quantiles_by_type": ev.value_quantiles_by_type,
         "purchase_asof_click": ev.purchase_asof_click,
-        "lsh_verified_pairs": llm.lsh_verified_pairs,
-        "dedup_clusters_docs": llm.dedup_clusters_docs,
         "dup_cluster_size_histogram": llm.dup_cluster_size_histogram,
-        "canonical_docs": llm.canonical_docs_query,
-        "stratified_sample_docs": llm.stratified_sample_docs,
         "weighted_sample_docs": llm.weighted_sample_docs,
         "mixture_plan_docs": llm.mixture_plan_docs,
         "split_docs": llm.split_docs,
         "shuffle_order_docs": llm.shuffle_order_docs,
         "pack_sequences_docs": llm.pack_sequences_docs,
         "cosine_near_dups_blocked": llm.cosine_near_dups_blocked,
-        "cosine_near_dups_tiled": llm.cosine_near_dups_tiled,
         "vocab_docs": llm.vocab_docs,
         "tfidf_docs": llm.tfidf_docs,
         "inverted_index_docs": llm.inverted_index_docs,
@@ -192,18 +221,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_events_snapshot": ev.latest_events_snapshot,
         "q7_nation_volume": star.q7_nation_volume,
         "q8_market_share": star.q8_market_share,
-        "q13_order_count_distribution": star.q13_order_count_distribution,
         "q15_top_supplier": star.q15_top_supplier,
         "q17_small_quantity_revenue": star.q17_small_quantity_revenue,
         "q22_idle_customers": star.q22_idle_customers,
         "q2_min_cost_supplier": star.q2_min_cost_supplier,
-        "q21_last_shipper": star.q21_last_shipper,
-        "q9_profit_by_nation": star.q9_profit_by_nation,
         "q11_part_revenue_share": star.q11_part_revenue_share,
-        "q20_heavy_suppliers": star.q20_heavy_suppliers,
-        "order_latency_distribution": star.order_latency_distribution,
         "quantized_embeddings": llm.quantized_embeddings_docs,
-        "knn_cosine_quantized": llm.knn_cosine_quantized,
         "embedding_stats": llm.embedding_stats,
         "repeated_ngrams_docs": llm.repeated_ngrams_docs,
         "chunk_docs": llm.chunk_docs,
@@ -213,16 +236,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_rank_percentiles": sequence.acctbal_rank_percentiles,
         "rolling_user_value_avg": sequence.rolling_user_value_avg,
         "value_bucket_histogram": sequence.value_bucket_histogram,
-        "conversion_funnel": sequence.conversion_funnel,
         "retention_cohorts": sequence.retention_cohorts,
-        "event_type_pagerank": sequence.event_type_pagerank,
         "time_weighted_value_daily": sequence.time_weighted_value_daily,
         "daily_growth_by_type": sequence.daily_growth_by_type,
         "user_value_skyline": sequence.user_value_skyline,
         "click_purchase_correlation": sequence.click_purchase_correlation,
         "cumulative_new_users": sequence.cumulative_new_users,
         "curation_funnel_docs": llm.curation_funnel_docs,
-        "returnflag_measures_unpivot": star.returnflag_measures_unpivot,
     }
 
 
