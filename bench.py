@@ -104,6 +104,9 @@ def bench_streaming_drain(spark) -> float:
             os.path.join(root, "store"),
             os.path.join(root, "ckpt"),
             available_now=True,
+            # ~9k state rows for 20k tweets: one RocksDB instance per
+            # core is pure overhead at this batch size
+            state_shuffle_partitions=8,
         )
         return time.perf_counter() - t0
     finally:

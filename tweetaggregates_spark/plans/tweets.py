@@ -162,3 +162,173 @@ def tweet_aggregates(flat: DataFrame) -> dict[str, DataFrame]:
         "hashtags": top_entities(flat, "hashtags", "hashtag"),
         "retweets": top_retweets(flat),
     }
+
+
+# -- native-streaming decomposition ------------------------------------------
+#
+# The five families above each start with a per-(window x key) grouped
+# aggregate over the SAME flattened stream (the reference Multicasts one
+# upstream, Query.cs:42,55). Spark allows only ONE streaming aggregation
+# per query, so to keep the read-once property AND native watermark state
+# the five stage-1 aggregations are unified into a single keyed stream:
+# every tweet explodes into (family, entity) rows and ONE windowed
+# groupBy aggregates them all. Stage 2 (cross-entity rank, array dedupe,
+# shaping) runs batch-side on the FINALIZED windows foreachBatch receives
+# in append mode — exactly the two-stage split of SURVEY §4.3.
+
+FAMILY_COUNT = "count"
+FAMILY_MENTION = "mention"
+FAMILY_HASHTAG = "hashtag"
+FAMILY_RETWEET = "retweet"
+
+
+def unified_entity_rows(flat: DataFrame) -> DataFrame:
+    """Explode one flat tweet into the per-family keyed rows the unified
+    stage-1 aggregation consumes:
+
+    * one ``count`` row (entity '', weight 0) — counts both count
+      families (tumbling windows are the epoch-aligned subset of the
+      10/1 hopping windows);
+    * one ``mention``/``hashtag`` row per array element, carrying the
+      example payload struct (same field order as topk_payloads, so the
+      desc struct sort ranks identically to the batch plan);
+    * one ``retweet`` row when the tweet is a retweet (entity = original
+      tweet id as string; the representative text rides in ``text`` for
+      the stage-1 max, matching Query.cs:127).
+
+    Pure Column expressions — one projection + one explode, no shuffle.
+    """
+    payload = F.struct(
+        F.col("follower_count").alias("w"),
+        *_tweet_payload(),
+    )
+    null_payload = F.lit(None).cast(
+        "struct<w:bigint,id:bigint,text:string,"
+        "screen_name:string,original_tweet_id:bigint>"
+    )
+    null_str = F.lit(None).cast("string")
+    elem = lambda fam, ent, w, txt, pl: F.struct(  # noqa: E731
+        F.lit(fam).alias("family"),
+        ent.alias("entity"),
+        w.cast("long").alias("w"),
+        txt.alias("text"),
+        pl.alias("payload"),
+    )
+    rows = F.concat(
+        F.array(
+            elem(
+                FAMILY_COUNT, F.lit(""), F.lit(0), null_str, null_payload
+            )
+        ),
+        F.transform(
+            "mentions",
+            lambda m: elem(
+                FAMILY_MENTION, m, F.col("follower_count"), null_str, payload
+            ),
+        ),
+        F.transform(
+            "hashtags",
+            lambda h: elem(
+                FAMILY_HASHTAG, h, F.col("follower_count"), null_str, payload
+            ),
+        ),
+        F.when(
+            F.col("original_tweet_id") != RETWEET_SENTINEL,
+            F.array(
+                elem(
+                    FAMILY_RETWEET,
+                    F.col("original_tweet_id").cast("string"),
+                    F.col("follower_count"),
+                    F.col("text"),
+                    payload,
+                )
+            ),
+        ).otherwise(F.array()),
+    )
+    return flat.select(F.col("ts"), F.explode(rows).alias("e")).select(
+        "ts", "e.family", "e.entity", "e.w", "e.text", "e.payload"
+    )
+
+
+def unified_stage1(unified: DataFrame) -> DataFrame:
+    """The ONE grouped aggregation over the unified keyed stream: per
+    (hopping window x family x entity) count, weight sum, representative
+    text (retweets only), and the collected example payloads. In
+    streaming this is the single native watermarked aggregation whose
+    state the state store (RocksDB) maintains incrementally; collect_list
+    skips the NULL payloads of ``count`` rows, so count-family state is
+    O(1) per window."""
+    return unified.groupBy(
+        F.window("ts", WINDOW_SIZE, HOP_SIZE).alias("window"),
+        "family",
+        "entity",
+    ).agg(
+        F.count(F.lit(1)).alias("tweet_count"),
+        F.sum("w").alias("follower_count_sum"),
+        F.max("text").alias("max_text"),
+        F.collect_list("payload").alias("payloads"),
+    )
+
+
+def families_from_stage1(stage1: DataFrame) -> dict[str, DataFrame]:
+    """Stage 2 over FINALIZED stage-1 rows: split back into the five
+    families and apply the batch operators (rank_topk A6, dedupe D3,
+    output shaping) — input cardinality is #(window x entity), tiny vs
+    raw events, so everything here is cheap batch work."""
+    tumble_aligned = (
+        F.unix_timestamp(F.col("window.start")) % 600 == 0
+    )
+    counts_rows = stage1.filter(F.col("family") == FAMILY_COUNT).select(
+        "window", F.col("tweet_count").alias("cnt")
+    )
+
+    def _entity_family(fam: str, entity_name: str) -> DataFrame:
+        s1 = stage1.filter(F.col("family") == fam).select(
+            "window",
+            "entity",
+            "tweet_count",
+            "follower_count_sum",
+            F.slice(
+                F.sort_array("payloads", asc=False), 1, NUMBER_OF_EXAMPLES
+            ).alias("top_payloads"),
+        )
+        top = top_entities_per_window(
+            s1, k=NUMBER_OF_AGGREGATES_PER_WINDOW, tiebreak="entity"
+        ).drop("rank")
+        return _dedupe_and_shape(top, entity_name)
+
+    rt = stage1.filter(F.col("family") == FAMILY_RETWEET).select(
+        "window",
+        # rank ties break on the NUMERIC id, matching top_retweets
+        F.col("entity").cast("long").alias("entity"),
+        F.col("max_text").alias("text"),
+        "tweet_count",
+        "follower_count_sum",
+        F.slice(
+            F.sort_array("payloads", asc=False), 1, NUMBER_OF_EXAMPLES
+        ).alias("top_user_payloads"),
+    )
+    rt_top = top_entities_per_window(
+        rt, k=NUMBER_OF_AGGREGATES_PER_WINDOW, tiebreak="entity"
+    ).drop("rank")
+    retweets = rt_top.select(
+        "window_time",
+        F.col("entity").alias("id"),
+        "text",
+        "tweet_count",
+        "follower_count_sum",
+        F.transform("top_user_payloads", lambda x: x["screen_name"]).alias(
+            "top_users"
+        ),
+    )
+    return {
+        "counts": counts_rows.filter(tumble_aligned).select(
+            F.col("window.end").alias("window_time"), "cnt"
+        ),
+        "hopping_counts": counts_rows.select(
+            F.col("window.end").alias("window_time"), "cnt"
+        ),
+        "mentions": _entity_family(FAMILY_MENTION, "screen_name"),
+        "hashtags": _entity_family(FAMILY_HASHTAG, "hashtag"),
+        "retweets": retweets,
+    }
