@@ -181,6 +181,7 @@ def cosine_near_dup_pairs_blocked(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     margin: float = 1e-4,
+    broadcast_limit: int = 1_000_000,
 ) -> DataFrame:
     """All-pairs cosine near-dup via BLOCK MATMUL discovery + exact
     verify — the right engine for MARGINAL thresholds (cos ~0.4-0.6)
@@ -201,11 +202,19 @@ def cosine_near_dup_pairs_blocked(
     DuckDB oracle.
 
     Scale: broadcast holds n x dim doubles — fine to ~1e6 x 64. Beyond
-    that, tile: assign vectors to B sorted blocks, equi-join block pairs
-    (i <= j), one matmul per block pair; flops unchanged, broadcast
-    replaced by an O(n/B)-sized build side per task."""
+    ``broadcast_limit`` rows this function DELEGATES to
+    ``cosine_near_dup_pairs_tiled`` (identical results — both verify
+    candidates with the same exact JVM fold), so no caller can reach the
+    driver-side collect on a corpus that doesn't fit: the one count()
+    probe is the price of making the scale hazard unreachable by
+    name."""
     import numpy as np
     import pandas as pd
+
+    if df.count() > broadcast_limit:
+        return cosine_near_dup_pairs_tiled(
+            df, id_col, vec_col, threshold, margin
+        )
 
     spark = df.sparkSession
     pdf = df.select(id_col, vec_col).toPandas()
