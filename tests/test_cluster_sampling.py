@@ -10,6 +10,7 @@ from tweetaggregates_spark.operators.cluster import (
     assign_clusters,
     canonical_docs,
     connected_components,
+    connected_components_two_phase,
 )
 from tweetaggregates_spark.sources.tables import load_table
 
@@ -34,6 +35,59 @@ def test_connected_components_chain_converges(spark):
     )
     got = {r["node"]: r["cluster_id"] for r in labels.collect()}
     assert got == {n: 1 for n in range(1, 7)}
+
+
+def test_two_phase_matches_hash_min_on_small_graphs(spark):
+    for rows in (
+        [(1, 2), (2, 3), (5, 6)],
+        [(5, 6), (4, 5), (3, 4), (2, 3), (1, 2)],
+        [(10, 20), (20, 10), (7, 7)],  # dup edges + self loop
+    ):
+        want = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(_pairs(spark, rows)).collect()
+        }
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components_two_phase(
+                _pairs(spark, rows)
+            ).collect()
+        }
+        assert got == want, rows
+
+
+def test_two_phase_chain_10k_converges_in_log_rounds(spark):
+    """The adversarial case hash-min can't do: a 10k-node path has
+    diameter 10k, but large-star/small-star must close it within
+    O(log n) rounds — max_rounds=20 caps the loop, so correct labels
+    PROVE convergence inside the bound (~2*log2(10k) ~ 27 halvings
+    happen across the paired phases)."""
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    labels = connected_components_two_phase(pairs, max_rounds=20)
+    assert labels.count() == n
+    assert (
+        labels.filter(F.col("cluster_id") != 0).count() == 0
+    ), "chain did not fully contract to the component min"
+
+
+def test_two_phase_matches_hash_min_on_real_pair_graph(spark):
+    """dedup_clusters_docs parity: on the documents' MinHash-LSH pair
+    graph both algorithms must produce identical cluster labels."""
+    from tweetaggregates_spark.operators import dedup
+
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    want = {
+        tuple(r) for r in connected_components(pairs).collect()
+    }
+    got = {
+        tuple(r)
+        for r in connected_components_two_phase(pairs).collect()
+    }
+    assert got == want
 
 
 def test_assign_clusters_includes_singletons(spark):

@@ -84,6 +84,121 @@ def connected_components(
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
+def connected_components_two_phase(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same contract as ``connected_components`` (input edge
+    list, output (node, cluster_id) = component-min labels), but
+    converging in O(log n) rounds on ADVERSARIAL long-chain graphs
+    where hash-min label propagation needs diameter rounds.
+
+    Per round (both phases are one groupBy-min + one equi-join on node
+    id, the same shuffle shape as a hash-min round):
+
+    * large-star: every node u links each LARGER neighbor to
+      m(u) = min(neighbors(u) ∪ {u}) — halves the depth of tall
+      subtrees;
+    * small-star: on the (larger -> smaller) oriented edges, u links
+      each smaller-or-equal neighbor and itself to m(u) — flattens the
+      remaining chains into stars.
+
+    The edge set monotonically contracts toward the star graph
+    (node -> component min); convergence = the canonical edge set is
+    stable (one left_anti probe per round). Use this over hash-min when
+    dup chains are long (transcluded/boilerplate text where a~b~c~...
+    without a~c edges); hash-min stays the default because near-dup
+    clusters from LSH are quasi-cliques that close in 2-4 cheaper
+    rounds."""
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    # canonical orientation: u > v
+    canon = (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        sym = canon.union(
+            canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.min("v").alias("_mn")
+        ).select("u", F.least("_mn", F.col("u")).alias("m"))
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"),
+                F.least("a", "b").alias("v"),
+            )
+            .distinct()
+        )
+        s_mins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(s_mins, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("p")
+            )
+            .select("p.a", "p.b")
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"),
+                F.least("a", "b").alias("v"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = small.join(canon, ["u", "v"], "left_anti").count()
+        same_size = changed == 0 and small.count() == canon.count()
+        canon = small
+        if same_size:
+            break
+    sym = canon.union(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("_mn"))
+        .select(
+            "node",
+            F.least("_mn", F.col("node")).alias("cluster_id"),
+        )
+    )
+    # same node set as hash-min: nodes appearing ONLY in self-loops
+    # dropped out with the u != v filter — restore them as singletons
+    nodes = (
+        e.select("u")
+        .union(e.select(F.col("v").alias("u")))
+        .union(
+            pairs.filter(F.col(src) == F.col(dst)).select(
+                F.col(src).alias("u")
+            )
+        )
+        .distinct()
+    )
+    return nodes.join(
+        labels, nodes.u == labels.node, "left"
+    ).select(
+        F.col("u").alias("node"),
+        F.coalesce("cluster_id", F.col("u")).alias("cluster_id"),
+    )
+
+
 def assign_clusters(
     docs: DataFrame,
     pairs: DataFrame,
