@@ -138,6 +138,24 @@ def main() -> int:
 
     timings["streaming_drain_20k"] = round(bench_streaming_drain(spark), 3)
 
+    # production-width simhash (bits=64, ~21-bit bands): the scale
+    # configuration the bits=16 oracle-economy entry stands in for —
+    # measured so the claimed banding behavior has a number
+    # (test_simhash64_candidates_bounded_and_recall_one pins recall/
+    # candidate bounds at sf0.001)
+    from tweetaggregates_spark.operators.dedup import simhash_pairs_banded
+    from tweetaggregates_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        simhash_pairs_banded(docs, bits=64, max_hamming=2).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    timings["simhash64_pairs_banded"] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

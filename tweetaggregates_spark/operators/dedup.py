@@ -239,9 +239,16 @@ def simhash(
     sums = tok.groupBy("doc_id").agg(*bit_sums)
     fingerprint = None
     for i in range(bits):
-        bit = F.when(F.col(f"s{i}") >= 0, F.lit(2**i)).otherwise(F.lit(0))
-        fingerprint = bit if fingerprint is None else fingerprint + bit
-    return sums.select("doc_id", fingerprint.cast("long").alias("simhash"))
+        # shiftleft + OR (not 2**i + add): bit 63 is the long sign bit,
+        # so the full production width bits=64 stays well-defined
+        bit = F.when(
+            F.col(f"s{i}") >= 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = (
+            bit if fingerprint is None else fingerprint.bitwiseOR(bit)
+        )
+    return sums.select("doc_id", fingerprint.alias("simhash"))
 
 
 def simhash_pairs(
