@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta_docs": llm.media_meta_docs,
         "distinct_users_daily": ev.distinct_users_daily,
         "approx_users_daily": ev.approx_users_daily,  # rows-only: HLL sketch
+        "value_quantile_sketch_daily": ev.value_quantile_sketch_daily,
+        "value_quantile_sketch_monthly": ev.value_quantile_sketch_monthly,
         "winsorized_value_stats": ev.winsorized_value_stats,
         "clickers_without_purchase": ev.clickers_without_purchase,
         "cosine_near_dups": llm.cosine_near_dups,
@@ -1004,6 +1006,83 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) END AS n_users_kmv,
                CAST(len(mink) AS INTEGER) AS sketch_size
         FROM m
+    """
+    _rs_h = _D_HASH.format(x="CAST(event_id AS VARCHAR)")
+    sql["value_quantile_sketch_daily"] = f"""
+        WITH h AS (
+          SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+                   AS window_time,
+                 {_rs_h} AS h, value
+          FROM events
+        ),
+        r AS (
+          SELECT window_time, h, value,
+                 row_number() OVER (
+                   PARTITION BY window_time ORDER BY h ASC, value ASC
+                 ) AS rn
+          FROM h
+        ),
+        g AS (
+          SELECT window_time, list(value ORDER BY value ASC) AS vals
+          FROM r WHERE rn <= 256 GROUP BY 1
+        ),
+        n AS (
+          SELECT window_time, CAST(count(*) AS BIGINT) AS n_events
+          FROM h GROUP BY 1
+        )
+        SELECT g.window_time, n.n_events,
+               CAST(len(vals) AS INTEGER) AS sketch_size,
+               round(vals[greatest(1,
+                 CAST(ceil(0.5 * len(vals)) AS INTEGER))], 6) AS p50_est,
+               round(vals[greatest(1,
+                 CAST(ceil(0.9 * len(vals)) AS INTEGER))], 6) AS p90_est
+        FROM g JOIN n ON g.window_time = n.window_time
+    """
+    sql["value_quantile_sketch_monthly"] = f"""
+        WITH h AS (
+          SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+                   AS day_end,
+                 {_rs_h} AS h, value
+          FROM events
+        ),
+        r AS (
+          SELECT day_end, h, value,
+                 row_number() OVER (
+                   PARTITION BY day_end ORDER BY h ASC, value ASC
+                 ) AS rn
+          FROM h
+        ),
+        x AS (
+          SELECT CAST(date_trunc('month', day_end - INTERVAL 1 SECOND)
+                   AS TIMESTAMP) AS month,
+                 h, value
+          FROM r WHERE rn <= 256
+        ),
+        r2 AS (
+          SELECT month, h, value,
+                 row_number() OVER (
+                   PARTITION BY month ORDER BY h ASC, value ASC
+                 ) AS rn
+          FROM x
+        ),
+        g AS (
+          SELECT month, list(value ORDER BY value ASC) AS vals
+          FROM r2 WHERE rn <= 256 GROUP BY 1
+        ),
+        n AS (
+          SELECT CAST(date_trunc('month',
+                   time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+                   - INTERVAL 1 SECOND) AS TIMESTAMP) AS month,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1
+        )
+        SELECT g.month, n.n_events,
+               CAST(len(vals) AS INTEGER) AS sketch_size,
+               round(vals[greatest(1,
+                 CAST(ceil(0.5 * len(vals)) AS INTEGER))], 6) AS p50_est,
+               round(vals[greatest(1,
+                 CAST(ceil(0.9 * len(vals)) AS INTEGER))], 6) AS p90_est
+        FROM g JOIN n ON g.month = n.month
     """
     sql["winsorized_value_stats"] = """
         WITH b AS (

@@ -122,3 +122,110 @@ def test_kmv_estimate_accuracy(spark):
     for r in rows:
         exact, est = r["n_users_exact"], r["n_users_kmv"]
         assert abs(est - exact) <= max(0.5 * exact, 5), (exact, est)
+
+
+def test_quantile_sketch_accuracy(spark):
+    """Bottom-k row sample (k=256): the estimated p50/p90 must land
+    within the exact p40-p60 / p85-p95 rank windows on every day —
+    rank error ~ 1/sqrt(k) ~ 6%."""
+    from pyspark.sql import functions as F
+
+    from tweetaggregates_spark.plans.events import (
+        value_quantile_sketch_daily,
+    )
+    from tweetaggregates_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    est = {
+        r["window_time"]: (r["p50_est"], r["p90_est"])
+        for r in value_quantile_sketch_daily(spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    bounds = {
+        r["window_time"]: r
+        for r in ev.groupBy(
+            F.window("ts", "1 day").alias("w")
+        )
+        .agg(
+            *[
+                F.expr(f"percentile(value, {q})").alias(f"q{int(q*100)}")
+                for q in (0.40, 0.60, 0.85, 0.95)
+            ]
+        )
+        .select(F.col("w.end").alias("window_time"), "q40", "q60", "q85", "q95")
+        .collect()
+    }
+    assert est
+    for wt, (p50, p90) in est.items():
+        b = bounds[wt]
+        assert b["q40"] <= p50 <= b["q60"], (wt, p50, b["q40"], b["q60"])
+        assert b["q85"] <= p90 <= b["q95"], (wt, p90, b["q85"], b["q95"])
+
+
+def test_quantile_sketch_merges_exactly(spark):
+    """The defining property: the monthly rollup of per-day bottom-k
+    sketches must equal the bottom-k sketch built DIRECTLY from the
+    month's raw rows — merging loses nothing (unlike kll/t-digest)."""
+    from pyspark.sql import functions as F
+
+    from tweetaggregates_spark.functions.hashing import hash64
+    from tweetaggregates_spark.plans.events import (
+        RANK_SKETCH_K,
+        value_quantile_sketch_monthly,
+    )
+    from tweetaggregates_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rolled = value_quantile_sketch_monthly(spark, sf).collect()
+    ev = load_table(spark, sf, "events")
+    direct = (
+        ev.select(
+            F.date_trunc(
+                "month",
+                F.window("ts", "1 day")["end"]
+                - F.expr("INTERVAL 1 SECOND"),
+            ).alias("month"),
+            hash64(F.col("event_id").cast("string")).alias("h"),
+            "value",
+        )
+        .groupBy("month")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("h", "value"))),
+                1,
+                RANK_SKETCH_K,
+            ).alias("sk"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "month",
+            "n_events",
+            F.size("sk").alias("sketch_size"),
+            F.round(
+                F.element_at(
+                    F.array_sort(
+                        F.transform("sk", lambda x: x["value"])
+                    ),
+                    F.greatest(
+                        F.lit(1),
+                        F.ceil(F.lit(0.5) * F.size("sk")).cast("int"),
+                    ),
+                ),
+                6,
+            ).alias("p50_est"),
+            F.round(
+                F.element_at(
+                    F.array_sort(
+                        F.transform("sk", lambda x: x["value"])
+                    ),
+                    F.greatest(
+                        F.lit(1),
+                        F.ceil(F.lit(0.9) * F.size("sk")).cast("int"),
+                    ),
+                ),
+                6,
+            ).alias("p90_est"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, rolled)) == sorted(map(tuple, direct))
