@@ -123,9 +123,11 @@ def shuffle_order(
             "_offset",
             F.coalesce(
                 F.sum("_n").over(
-                    Window.orderBy("_bucket").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
+                    # constant-but-unfoldable partition key: |buckets|
+                    # rows, the single-partition prefix sum is intended
+                    Window.partitionBy(F.pmod(F.col("_bucket"), F.lit(1)))
+                    .orderBy("_bucket")
+                    .rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),
@@ -176,9 +178,9 @@ def pack_sequences(
             "_offset",
             F.coalesce(
                 F.sum("_tok").over(
-                    Window.orderBy("_bucket").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
+                    Window.partitionBy(F.pmod(F.col("_bucket"), F.lit(1)))
+                    .orderBy("_bucket")
+                    .rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),

@@ -237,7 +237,12 @@ def vocab_stats(
     top = agg.orderBy(F.desc("term_count"), F.asc("token")).limit(top_n)
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("term_count"), F.asc("token"))
+    # constant-but-unfoldable partition key (pmod(x,1) == 0): input is
+    # post-limit (<= top_n rows), the single-partition sort is
+    # intentional — and the plan says so instead of warning
+    w = Window.partitionBy(F.pmod(F.col("term_count"), F.lit(1))).orderBy(
+        F.desc("term_count"), F.asc("token")
+    )
     return top.withColumn("rank", F.row_number().over(w))
 
 
@@ -412,7 +417,7 @@ def repeated_ngrams(
         .orderBy(F.desc("doc_count"), F.desc("total_count"), F.asc("ngram"))
         .limit(top_n)
     )
-    w = Window.orderBy(
+    w = Window.partitionBy(F.pmod(F.col("doc_count"), F.lit(1))).orderBy(
         F.desc("doc_count"), F.desc("total_count"), F.asc("ngram")
     )
     return top.withColumn("rank", F.row_number().over(w))

@@ -436,8 +436,13 @@ def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
         F.count(F.lit(1)).alias("n_new_users")
     )
-    w = Window.orderBy(F.asc("day")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # constant-but-unfoldable partition key (pmod(x,1) == 0): the day
+    # table is tiny (one row per day); the single-partition running
+    # sum is intentional
+    w = (
+        Window.partitionBy(F.pmod(F.col("n_new_users"), F.lit(1)))
+        .orderBy(F.asc("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return new_per_day.select(
         "day",

