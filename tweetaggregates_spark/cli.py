@@ -144,8 +144,10 @@ def repl(store_dir: str) -> None:
     any command to write the result to a file instead of the console."""
     spark = get_spark("repl")
     store = AggregateStore(spark, store_dir)
-    fam_by_cmd = {"topmentions": "mentions", "tophashtags": "hashtags",
-                  "topretweets": "retweets"}
+    # keyed by what remains of `gettop<family>string` after the prefix/
+    # suffix strip below — i.e. the bare family word
+    fam_by_cmd = {"mentions": "mentions", "hashtags": "hashtags",
+                  "retweets": "retweets"}
     print("commands: getsummary | getcounts s e | gettop{mentions,hashtags,"
           "retweets}string s e [entity] | getrecent<family>string n | exit"
           " (append '> file' to redirect)")
@@ -166,7 +168,11 @@ def repl(store_dir: str) -> None:
             elif cmd == "getcounts":
                 df = store.get_counts(parts[1], parts[2])
             elif cmd.startswith("gettop") and cmd.endswith("string"):
-                fam = fam_by_cmd[cmd[len("gettop"):-len("string")]]
+                fam = fam_by_cmd.get(cmd[len("gettop"):-len("string")])
+                if fam is None:
+                    print(f"unknown family in {cmd}: expected gettop"
+                          f"{{{','.join(fam_by_cmd)}}}string s e [entity]")
+                    continue
                 entity = parts[3] if len(parts) > 3 else None
                 df = store.get_top(fam, parts[1], parts[2], entity)
             elif cmd.startswith("getrecent"):
