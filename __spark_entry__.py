@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": star.q15_top_supplier,
         "q17_small_quantity_revenue": star.q17_small_quantity_revenue,
         "q22_idle_customers": star.q22_idle_customers,
+        "q12_late_priority_counts": star.q12_late_priority_counts,
         "q2_min_cost_supplier": star.q2_min_cost_supplier,
         "q11_part_revenue_share": star.q11_part_revenue_share,
         "quantized_embeddings": llm.quantized_embeddings_docs,
@@ -1474,6 +1475,22 @@ def oracle_sql() -> dict[str, str]:
 
     # adapted TPC-H shapes (no commit/receipt dates or partsupp in the
     # testdata — see plans/star.py docstrings for the mapping)
+    sql["q12_late_priority_counts"] = """
+        SELECT l.l_returnflag,
+               CAST(sum(CASE WHEN o.o_orderpriority IN
+                               ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority IN
+                               ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                 AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        GROUP BY 1
+    """
     sql["q4_priority_counts"] = """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders o

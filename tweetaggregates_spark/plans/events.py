@@ -656,6 +656,154 @@ def kmv_users_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- deterministic cross-engine HyperLogLog ---------------------------------
+#
+# approx_users_daily (native approx_count_distinct) is rows-only in the
+# oracle gate because HLL sketch internals are engine-specific. This
+# from-scratch HLL over the portable hash64 is a pure function of the
+# key set, so the DuckDB oracle reproduces the ESTIMATE bit-for-bit:
+# every float step is either an exact integer expression, a Python-
+# precomputed literal shared by both engines, or ONE IEEE divide on
+# identical operands.
+
+HLL_B = 9  # 2^9 = 512 registers; sigma ~ 1.04/sqrt(512) ~ 4.6%
+HLL_M = 1 << HLL_B
+# alpha_m * m^2 * 2^52: one Python-precomputed constant (same literal
+# in the SQL twin), so raw_est = CONST / exact_integer_sum is a single
+# portable divide
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_NUMER = HLL_ALPHA * HLL_M * HLL_M * float(1 << 52)
+# linear-counting correction table: round(m * ln(m / V), 6) for
+# V = 1..m zero registers, precomputed in Python so neither engine
+# evaluates ln() at query time (libm last-ulp differences would break
+# the hash gate)
+import math as _math
+
+HLL_LC = [round(HLL_M * _math.log(HLL_M / v), 6) for v in range(1, HLL_M + 1)]
+
+
+def _hll_rho() -> Column:
+    """rho(w) = leading-zero count of the 51-bit suffix + 1, as a pure
+    integer CASE chain (no log2 — floor(log2) of a power of two is a
+    last-ulp portability trap)."""
+    expr = None
+    for k in range(1, 52):  # w >= 2^(51-k)  =>  rho = k; w == 0 => 52
+        cond = F.col("w") >= F.lit(1 << (51 - k))
+        expr = (
+            F.when(cond, k) if expr is None else expr.when(cond, k)
+        )
+    return expr.otherwise(F.lit(52))
+
+
+def _hll_registers(df: DataFrame, key: Column, day_col: Column) -> DataFrame:
+    """(day, bucket, reg) rows: bucket = low HLL_B bits of hash64(key),
+    w = remaining 51 bits, reg = max rho per (day, bucket)."""
+    from tweetaggregates_spark.functions.hashing import hash64
+
+    h = hash64(key)
+    return (
+        df.select(day_col.alias("day_end"), h.alias("h"))
+        .select(
+            "day_end",
+            F.pmod(F.col("h"), F.lit(HLL_M)).alias("bucket"),
+            # integer DIV, not float /: h has 60 bits, beyond double's
+            # 53-bit exact range
+            F.expr(f"h DIV {HLL_M}").alias("w"),
+        )
+        .withColumn("rho", _hll_rho())
+        .groupBy("day_end", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def _hll_estimate(regs: DataFrame, group_col: str) -> DataFrame:
+    """Registers -> estimate: exact integer sum of 2^(52-reg) (absent
+    buckets contribute 2^52), one portable divide, linear-counting
+    correction below 2.5m via the precomputed table."""
+    agg = regs.groupBy(group_col).agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 52 - reg)")).alias(
+            "sum_present"
+        ),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    v_zero = F.lit(HLL_M) - F.col("n_buckets")
+    total = F.col("sum_present") + v_zero * F.lit(1 << 52)
+    raw = F.lit(HLL_NUMER) / total.cast("double")
+    lc = F.element_at(
+        F.array(*[F.lit(x) for x in HLL_LC]),
+        F.greatest(v_zero, F.lit(1)).cast("int"),
+    )
+    est = F.when(
+        (v_zero > 0) & (raw <= F.lit(2.5 * HLL_M)), lc
+    ).otherwise(F.round(raw, 6))
+    return agg.select(group_col, est.alias("n_users_hll"))
+
+
+def hll_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 extension: per-day approximate distinct users via the
+    deterministic HLL above — unlike approx_users_daily, the estimate
+    itself is hash-gate-checked against the DuckDB oracle. Shuffle
+    state is <= 512 registers per day regardless of cardinality (the
+    production property KMV's collect_set lacks); the exact count rides
+    along to make the accuracy visible."""
+    ev = _events(spark, sf_dir)
+    # day bucketing matches distinct_users_daily: the window END stamp
+    regs = _hll_registers(
+        ev,
+        F.col("user_id").cast("string"),
+        F.window("ts", "1 day")["end"],
+    )
+    exact = (
+        ev.groupBy(F.window("ts", "1 day")["end"].alias("day_end"))
+        .agg(F.countDistinct("user_id").alias("n_users_exact"))
+    )
+    est = _hll_estimate(regs, "day_end")
+    return (
+        est.join(exact, "day_end")
+        .select(
+            F.col("day_end").alias("window_time"),
+            "n_users_hll",
+            "n_users_exact",
+        )
+    )
+
+
+def hll_users_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL REAGGREGATION: monthly estimate by merging the per-day
+    registers with max() — the canonical mergeable-sketch rollup (max
+    is commutative/associative/idempotent, so any merge tree gives the
+    same registers). Raw events are scanned once for the daily pass;
+    the month reads |days| x <=512 register rows."""
+    ev = _events(spark, sf_dir)
+    regs = _hll_registers(
+        ev,
+        F.col("user_id").cast("string"),
+        F.window("ts", "1 day")["end"],
+    )
+    monthly_regs = (
+        regs.select(
+            F.date_trunc(
+                "month", F.col("day_end") - F.expr("INTERVAL 1 SECOND")
+            ).alias("month"),
+            "bucket",
+            "reg",
+        )
+        .groupBy("month", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    exact = ev.select(
+        F.date_trunc(
+            "month",
+            F.window("ts", "1 day")["end"] - F.expr("INTERVAL 1 SECOND"),
+        ).alias("month"),
+        "user_id",
+    ).groupBy("month").agg(F.countDistinct("user_id").alias("n_users_exact"))
+    est = _hll_estimate(monthly_regs, "month")
+    return est.join(exact, "month").select(
+        "month", "n_users_hll", "n_users_exact"
+    )
+
+
 RANK_SKETCH_K = 256
 
 

@@ -365,6 +365,39 @@ def q4_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q12_late_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (the last missing number: 1-22 now all covered):
+    for LATE lines shipped in 1996 (>60 days after the order date — the
+    testdata has no commit/receipt dates, so lateness adapts as in Q4),
+    count high-priority (1-URGENT/2-HIGH) vs low-priority orders per
+    l_returnflag (stand-in for the absent l_shipmode). Q12's signature
+    is the conditional CASE aggregation over the joined priorities.
+
+    Plan: both filters (date range on lineitem, none on orders) push to
+    the scans; one shuffle join on orderkey; the conditional sums fuse
+    into a single hash aggregate over 3 groups."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: how many distinct suppliers ship each
     (brand, type, size) part family, excluding a supplier blocklist
