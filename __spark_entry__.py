@@ -193,6 +193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_users_daily": ev.approx_users_daily,  # rows-only: HLL sketch
         "value_quantile_sketch_daily": ev.value_quantile_sketch_daily,
         "value_quantile_sketch_monthly": ev.value_quantile_sketch_monthly,
+        "hll_users_daily": ev.hll_users_daily,
+        "hll_users_monthly_rollup": ev.hll_users_monthly_rollup,
         "winsorized_value_stats": ev.winsorized_value_stats,
         "clickers_without_purchase": ev.clickers_without_purchase,
         "cosine_near_dups": llm.cosine_near_dups,
@@ -1008,6 +1010,79 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(mink) AS INTEGER) AS sketch_size
         FROM m
     """
+    # deterministic HLL twins: every constant (alpha numerator, the
+    # linear-counting table) comes from plans.events so both engines
+    # share literally the same floats; rho is an integer CASE chain
+    _rho_sql = "CASE " + " ".join(
+        f"WHEN w >= {1 << (51 - k)} THEN {k}" for k in range(1, 52)
+    ) + " ELSE 52 END"
+    _lc_sql = "[" + ", ".join(repr(x) for x in ev.HLL_LC) + "]"
+    _hll_m = ev.HLL_M
+    _hll_numer = repr(ev.HLL_NUMER)
+
+    def _hll_twin(day_expr: str, month: bool) -> str:
+        grp = (
+            "CAST(date_trunc('month', day_end - INTERVAL 1 SECOND) "
+            "AS TIMESTAMP)"
+            if month
+            else "day_end"
+        )
+        out_time = "month" if month else "window_time"
+        return f"""
+        WITH h AS (
+          SELECT {day_expr} AS day_end,
+                 {_kmv_h} AS h, user_id
+          FROM events
+        ),
+        b AS (
+          SELECT day_end, h % {_hll_m} AS bucket,
+                 h // {_hll_m} AS w
+          FROM h
+        ),
+        r AS (
+          SELECT day_end, bucket, max({_rho_sql}) AS reg
+          FROM b GROUP BY 1, 2
+        ),
+        rg AS (
+          SELECT {grp} AS g, bucket, max(reg) AS reg
+          FROM r GROUP BY 1, 2
+        ),
+        a AS (
+          SELECT g,
+                 CAST(sum(1::BIGINT << (52 - reg)) AS BIGINT)
+                   AS sum_present,
+                 CAST(count(*) AS BIGINT) AS n_buckets
+          FROM rg GROUP BY 1
+        ),
+        e AS (
+          SELECT g, {_hll_m} - n_buckets AS v_zero,
+                 {_hll_numer}
+                   / CAST(sum_present
+                          + ({_hll_m} - n_buckets) * (1::BIGINT << 52)
+                       AS DOUBLE) AS raw
+          FROM a
+        ),
+        x AS (
+          SELECT g,
+                 CASE WHEN v_zero > 0 AND raw <= {2.5 * _hll_m!r}
+                      THEN ({_lc_sql})[greatest(v_zero, 1)]
+                      ELSE round(raw, 6) END AS n_users_hll
+          FROM e
+        ),
+        ex AS (
+          SELECT {grp.replace("day_end", day_expr)
+                  if month else day_expr} AS g,
+                 CAST(count(DISTINCT user_id) AS BIGINT)
+                   AS n_users_exact
+          FROM events GROUP BY 1
+        )
+        SELECT x.g AS {out_time}, x.n_users_hll, ex.n_users_exact
+        FROM x JOIN ex ON x.g = ex.g
+        """
+
+    _day_end = "time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'"
+    sql["hll_users_daily"] = _hll_twin(_day_end, month=False)
+    sql["hll_users_monthly_rollup"] = _hll_twin(_day_end, month=True)
     _rs_h = _D_HASH.format(x="CAST(event_id AS VARCHAR)")
     sql["value_quantile_sketch_daily"] = f"""
         WITH h AS (

