@@ -101,6 +101,11 @@ def test_source_read_once(stream_outputs):
     raw_lines = spark.read.text(in_dir).count()
     total_input = sum(p.numInputRows for q in queries for p in q.recentProgress)
     assert total_input == raw_lines
+    # and ONE stateful operator serves all five families — the unified
+    # stage-1 aggregation, not five parallel state stores
+    for q in queries:
+        for p in q.recentProgress:
+            assert len(p.stateOperators) == 1
 
 
 @pytest.fixture(scope="module")
