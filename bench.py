@@ -92,6 +92,23 @@ def bench_streaming_drain(spark) -> float:
 
     root = tempfile.mkdtemp(prefix="bench_stream_")
     try:
+        # untimed warmup drain (same policy as the query warmups):
+        # initializes the streaming/state-store/codegen paths so the
+        # timed run measures the pipeline, not first-use JIT
+        warm_dir = os.path.join(root, "warm_in")
+        os.makedirs(warm_dir)
+        write_tweets_file(
+            os.path.join(warm_dir, "tweets.ndjson"), 2_000, seed=9
+        )
+        run_streaming_aggregates(
+            spark,
+            warm_dir,
+            os.path.join(root, "warm_store"),
+            os.path.join(root, "warm_ckpt"),
+            available_now=True,
+            state_shuffle_partitions=8,
+        )
+
         in_dir = os.path.join(root, "in")
         os.makedirs(in_dir)
         write_tweets_file(
