@@ -197,7 +197,11 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's earliest signup; r_k for each later stage is
     min(ts where type=stage_k AND ts >= r_{k-1}) — computed by joining
     the previous stage's reach table back onto that stage's events and
-    taking a conditional min. A user who views before signup and again
+    taking a conditional min. (Round 3 replaced the round-2
+    cascaded-global-min approximation, which dropped users whose
+    earliest stage-k event preceded r_{k-1} even when a later
+    qualifying one existed — ADVICE r2; the extra per-stage passes are
+    the cost of the correct semantics.) A user who views before signup and again
     after still reaches n_view via the later view. Per-stage state is
     one timestamp per user; each pass is a user_id equi-join against a
     type-filtered (hence small) slice of events, so the plan is k
