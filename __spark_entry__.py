@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantile_sketch_monthly": ev.value_quantile_sketch_monthly,
         "hll_users_daily": ev.hll_users_daily,
         "hll_users_monthly_rollup": ev.hll_users_monthly_rollup,
+        "cms_heavy_hitters_daily": ev.cms_heavy_hitters_daily,
+        "cms_heavy_hitters_monthly_rollup": ev.cms_heavy_hitters_monthly_rollup,
         "winsorized_value_stats": ev.winsorized_value_stats,
         "clickers_without_purchase": ev.clickers_without_purchase,
         "cosine_near_dups": llm.cosine_near_dups,
@@ -1159,6 +1161,83 @@ def oracle_sql() -> dict[str, str]:
                round(vals[greatest(1,
                  CAST(ceil(0.9 * len(vals)) AS INTEGER))], 6) AS p90_est
         FROM g JOIN n ON g.month = n.month
+    """
+    # Count-Min Sketch twins: counters and the min-over-rows estimate
+    # are pure integer functions of the portable seeded hash, so the
+    # heavy-hitter ESTIMATES hash-match across engines (like KMV/HLL)
+    _cms_c = (
+        "(('0x' || substr(md5(concat(CAST(1000 + t.r AS VARCHAR), ':', "
+        "CAST(user_id AS VARCHAR))), 1, 15))::BIGINT) % 512"
+    )
+    sql["cms_heavy_hitters_daily"] = f"""
+        WITH cells AS (
+          SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+                   AS window_time,
+                 user_id, t.r, {_cms_c} AS c
+          FROM events CROSS JOIN (VALUES (0), (1), (2)) AS t(r)
+        ),
+        counters AS (
+          SELECT window_time, r, c, CAST(count(*) AS BIGINT) AS cnt
+          FROM cells GROUP BY 1, 2, 3
+        ),
+        exact AS (
+          SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+                   AS window_time,
+                 user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM events GROUP BY 1, 2
+        ),
+        cand AS (SELECT DISTINCT window_time, user_id, r, c FROM cells),
+        est AS (
+          SELECT window_time, user_id, min(cnt) AS est_cnt
+          FROM cand JOIN counters USING (window_time, r, c)
+          GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT e.window_time, e.user_id, est_cnt, exact_cnt,
+                 CAST(row_number() OVER (
+                   PARTITION BY e.window_time
+                   ORDER BY est_cnt DESC, e.user_id ASC
+                 ) AS INTEGER) AS rnk
+          FROM exact e JOIN est USING (window_time, user_id)
+        )
+        SELECT window_time, user_id, est_cnt, exact_cnt, rnk
+        FROM ranked WHERE rnk <= 5
+    """
+    sql["cms_heavy_hitters_monthly_rollup"] = f"""
+        WITH cells AS (
+          SELECT CAST(date_trunc('month',
+                   time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+                   - INTERVAL 1 SECOND) AS TIMESTAMP) AS month,
+                 user_id, t.r, {_cms_c} AS c
+          FROM events CROSS JOIN (VALUES (0), (1), (2)) AS t(r)
+        ),
+        counters AS (
+          SELECT month, r, c, CAST(count(*) AS BIGINT) AS cnt
+          FROM cells GROUP BY 1, 2, 3
+        ),
+        exact AS (
+          SELECT CAST(date_trunc('month',
+                   time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+                   - INTERVAL 1 SECOND) AS TIMESTAMP) AS month,
+                 user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM events GROUP BY 1, 2
+        ),
+        cand AS (SELECT DISTINCT month, user_id, r, c FROM cells),
+        est AS (
+          SELECT month, user_id, min(cnt) AS est_cnt
+          FROM cand JOIN counters USING (month, r, c)
+          GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT e.month, e.user_id, est_cnt, exact_cnt,
+                 CAST(row_number() OVER (
+                   PARTITION BY e.month
+                   ORDER BY est_cnt DESC, e.user_id ASC
+                 ) AS INTEGER) AS rnk
+          FROM exact e JOIN est USING (month, user_id)
+        )
+        SELECT month, user_id, est_cnt, exact_cnt, rnk
+        FROM ranked WHERE rnk <= 10
     """
     sql["winsorized_value_stats"] = """
         WITH b AS (

@@ -13,6 +13,7 @@ Determinism rules (SURVEY §7):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from tweetaggregates_spark.operators.aggregate import (
@@ -969,4 +970,134 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_winsorized"),
         F.min("p05").alias("p05"),
         F.min("p95").alias("p95"),
+    )
+
+
+# -- Count-Min Sketch frequency family --------------------------------------
+#
+# The sketch suite so far covers distincts (KMV, deterministic HLL) and
+# quantiles (bottom-k rank sketch). Count-Min (Cormode & Muthukrishnan,
+# J.Alg'05) is the remaining classic: a FREQUENCY sketch — d x w integer
+# counters, point estimate = min over the d rows — whose merge is plain
+# element-wise addition, making daily->monthly rollups exact in the
+# "merge the sketches, never rescan the events" hypertable pattern.
+# Like KMV/HLL here, it runs on the portable hash64 so the DuckDB
+# oracle reproduces every ESTIMATE bit-for-bit: the approximation error
+# itself is under the cross-engine hash gate.
+
+CMS_D = 3  # depth: independent seeded hash rows
+CMS_W = 512  # width: counters per row; eps ~ e/w ~ 0.5% of stream length
+
+
+def _cms_cells(key: Column) -> Column:
+    """array<struct<r,c>> of the d (row, column) cells key hashes to."""
+    from tweetaggregates_spark.functions.hashing import seeded_hash64
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(seeded_hash64(key, 1000 + r), F.lit(CMS_W)).alias("c"),
+            )
+            for r in range(CMS_D)
+        ]
+    )
+
+
+def _cms_counters(ev: DataFrame, bucket: Column) -> DataFrame:
+    """Long-form CMS counters (bucket, r, c, cnt): one count-shuffle whose
+    key space is at most |buckets| x d x w rows — a few KB per bucket
+    regardless of stream length, the whole point of sketching 100 TB."""
+    return (
+        ev.select(
+            bucket.alias("bucket"),
+            F.explode(_cms_cells(F.col("user_id").cast("string"))).alias("cell"),
+        )
+        .groupBy("bucket", "cell.r", "cell.c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _cms_estimate(
+    candidates: DataFrame, counters: DataFrame, bucket_col: str
+) -> DataFrame:
+    """CMS point estimate per (bucket, user_id): min over the d row
+    counters each key hashes to. Counters are tiny (d*w rows/bucket) —
+    broadcast them; the candidate side never shuffles."""
+    cells = candidates.select(
+        F.col(bucket_col),
+        "user_id",
+        F.explode(_cms_cells(F.col("user_id").cast("string"))).alias("cell"),
+    )
+    return (
+        cells.join(
+            F.broadcast(counters),
+            (cells["cell.r"] == counters["r"])
+            & (cells["cell.c"] == counters["c"])
+            & (cells[bucket_col] == counters["bucket"]),
+        )
+        .groupBy(bucket_col, "user_id")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+
+
+def cms_heavy_hitters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day top-5 users by Count-Min-estimated event count, with the
+    exact count alongside — the heavy-hitters dashboard a 100 TB
+    deployment answers from d*w counters per day instead of a
+    per-user shuffle over the raw stream. est_cnt >= exact_cnt always
+    (CMS errs one-sided, by overestimate); tests pin that invariant.
+
+    At scale the candidate set comes from a space-saving pass or the
+    previous day's hitters, not a full distinct — here it is the full
+    per-day user set so the oracle can check every estimate."""
+    ev = _events(spark, sf_dir)
+    day = F.window("ts", "1 day")["end"]
+    counters = _cms_counters(ev, day)
+    exact = ev.groupBy(
+        day.alias("window_time"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = _cms_estimate(
+        exact.select("window_time", "user_id"), counters, "window_time"
+    )
+    ranked = exact.join(est, ["window_time", "user_id"]).withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("window_time").orderBy(
+                F.desc("est_cnt"), F.asc("user_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= 5).select(
+        "window_time", "user_id", "est_cnt", "exact_cnt", "rnk"
+    )
+
+
+def cms_heavy_hitters_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly heavy hitters from MERGED daily CMS counters — the
+    rollup never rescans events: merge = element-wise counter addition
+    (trivially exact, pinned equal to a from-scratch monthly sketch in
+    tests), then the same min-over-rows estimator. Output: top-10 users
+    of the month by merged-sketch estimate, exact count alongside."""
+    ev = _events(spark, sf_dir)
+    day = F.window("ts", "1 day")["end"]
+    month_of = lambda c: F.date_trunc("month", c - F.expr("INTERVAL 1 SECOND"))
+    daily = _cms_counters(ev, day)
+    merged = (
+        daily.select(month_of(F.col("bucket")).alias("bucket"), "r", "c", "cnt")
+        .groupBy("bucket", "r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    exact = ev.groupBy(
+        month_of(day).alias("month"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = _cms_estimate(exact.select("month", "user_id"), merged, "month")
+    ranked = exact.join(est, ["month", "user_id"]).withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("month").orderBy(F.desc("est_cnt"), F.asc("user_id"))
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= 10).select(
+        "month", "user_id", "est_cnt", "exact_cnt", "rnk"
     )
