@@ -941,7 +941,7 @@ def oracle_sql() -> dict[str, str]:
                  'g'))) AS INTEGER) AS n_chars_norm
         FROM documents
     """
-    _email = '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'
+    _email = r'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'
     _url = 'https?://[^ \t\n]+'
     _phone = '\\+?[0-9][0-9()\\- ]{6,}[0-9]'
     sql["pii_mask_docs"] = f"""
