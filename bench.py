@@ -73,6 +73,9 @@ HEADLINE = [
     "events_profile",
     "event_type_pagerank",
     "chunk_docs",
+    # round 3 batch 2: the frequency sketch (counters + broadcast
+    # estimation join; the rollup shares the daily counter plan)
+    "cms_heavy_hitters_daily",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size
