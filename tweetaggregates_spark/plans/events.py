@@ -1048,9 +1048,11 @@ def cms_heavy_hitters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user shuffle over the raw stream. est_cnt >= exact_cnt always
     (CMS errs one-sided, by overestimate); tests pin that invariant.
 
-    At scale the candidate set comes from a space-saving pass or the
-    previous day's hitters, not a full distinct — here it is the full
-    per-day user set so the oracle can check every estimate."""
+    At scale the candidate set comes from a bounded-state discovery
+    pass (operators/heavyhitters.heavy_hitter_candidates — Misra-Gries,
+    k counters per partition) or the previous day's hitters, not a full
+    distinct — here it is the full per-day user set so the oracle can
+    check every estimate."""
     ev = _events(spark, sf_dir)
     day = F.window("ts", "1 day")["end"]
     counters = _cms_counters(ev, day)
