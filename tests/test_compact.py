@@ -1,0 +1,67 @@
+"""Store compaction: batch-accumulated trees fold into the canonical
+layout with identical rows, fewer files, and a working read surface.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.fixtures import make_tweets
+from tweetaggregates_spark.plans import tweets as tp
+from tweetaggregates_spark.store import AggregateStore
+
+
+@pytest.fixture(scope="module")
+def batchy_store(spark, tmp_path_factory):
+    """A store fed through the STREAMING sink path: three micro-batch
+    writes => three batch_id trees per family."""
+    p = tmp_path_factory.mktemp("compact")
+    lines = make_tweets(900, seed=21)
+    st = AggregateStore(spark, str(p / "agg"))
+    for batch_id in range(3):
+        chunk = lines[batch_id * 300 : (batch_id + 1) * 300]
+        f = p / f"in_{batch_id}.ndjson"
+        f.write_text("\n".join(chunk) + "\n")
+        flat = tp.parse_tweets(spark.read.text(str(f)))
+        st.write_batch("counts", tp.tumbling_counts(flat), batch_id)
+        st.write_batch(
+            "mentions",
+            tp.top_entities(flat, "mentions", "screen_name"),
+            batch_id,
+        )
+    return st
+
+
+def _n_files(root: str, family: str) -> int:
+    return len(glob.glob(f"{root}/{family}/**/*.parquet", recursive=True))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_compact_preserves_rows_and_reduces_files(batchy_store):
+    st = batchy_store
+    for family in ("counts", "mentions"):
+        before_rows = _rows(st.read(family))
+        before_files = _n_files(st.root, family)
+        st.compact(family)
+        after_files = _n_files(st.root, family)
+        assert _rows(st.read(family)) == before_rows
+        assert after_files < before_files
+        # batch_id partition dirs are gone — canonical layout only
+        assert not glob.glob(f"{st.root}/{family}/batch_id=*")
+
+
+def test_read_surface_works_after_compact(batchy_store):
+    st = batchy_store  # already compacted by the previous test order,
+    st.compact("counts")  # but compaction must also be idempotent
+    summary = st.get_summary().collect()[0]
+    assert summary.number_of_tweets > 0
+    recent = st.get_recent("counts", 3).collect()
+    assert len(recent) == 3
+    times = [r.window_time for r in recent]
+    assert times == sorted(times, reverse=True)

@@ -70,6 +70,53 @@ class AggregateStore:
             .parquet(os.path.join(self._path(family), f"batch_id={batch_id}"))
         )
 
+    def compact(self, family: str, verify: bool = True) -> None:
+        """Maintenance: rewrite a family into the canonical layout of
+        `write()` — date-partitioned, one sorted run per partition.
+
+        The streaming sink (`write_batch`) accumulates one directory
+        tree PER MICRO-BATCH — idempotent and correct, but the file
+        count grows with batch count: the classic streaming small-file
+        problem. Compaction folds them back into one file set per date,
+        sorted by (window_time, entity) so parquet min/max stats stay
+        tight for the range-scan surface; `read()` output is unchanged
+        row-for-row.
+
+        The swap is two-phase: write the full new tree to a temp dir
+        (the write materializes every row BEFORE the old tree moves),
+        optionally verify row counts, then two renames. At 100 TB the
+        same shape runs as write-new + catalog/metastore pointer swap
+        (rename is not atomic on object stores); per-family compaction
+        parallelizes since family tables are independent."""
+        import shutil
+
+        df = self.read(family)
+        sort_cols = ["window_time"] + (
+            [ENTITY_COL[family]] if family in ENTITY_COL else []
+        )
+        path = self._path(family)
+        tmp, old = path + ".__compact_tmp", path + ".__compact_old"
+        (
+            df.withColumn("window_date", F.to_date("window_time"))
+            .repartition("window_date")
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .partitionBy("window_date")
+            .parquet(tmp)
+        )
+        if verify:
+            n_old = df.count()
+            n_new = self.spark.read.parquet(tmp).count()
+            if n_old != n_new:
+                shutil.rmtree(tmp)
+                raise RuntimeError(
+                    f"compact({family}): row count changed {n_old}->{n_new}; "
+                    "aborted, original left in place"
+                )
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+
     # -- read surface -------------------------------------------------------
 
     def read(self, family: str) -> DataFrame:
