@@ -45,6 +45,51 @@ def test_mg_guarantees_hold(spark):
         assert cand.count() <= K * n_parts
 
 
+def test_mg_partial_properties_hypothesis():
+    """The per-partition MG summary is a pure function — drive it with
+    hypothesis directly (no Spark): for ANY stream and ANY batch split,
+    (a) counters hold <= k keys, (b) cnt(key) <= true(key) <=
+    cnt(key) + err for surviving keys and true(key) <= err for dropped
+    keys, (c) err <= n/(k+1)."""
+    import pandas as pd
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tweetaggregates_spark.operators.heavyhitters import _mg_partial
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        stream=st.lists(st.integers(min_value=0, max_value=30), max_size=300),
+        k=st.integers(min_value=1, max_value=8),
+        cut=st.integers(min_value=0, max_value=300),
+    )
+    def run(stream, k, cut):
+        cut = min(cut, len(stream))
+        batches = [
+            pd.DataFrame({"user_id": part})
+            for part in (stream[:cut], stream[cut:])
+            if part
+        ]
+        out = pd.concat(list(_mg_partial("user_id", k)(iter(batches))))
+        err = int(out[out["user_id"].isna()]["err"].iloc[0])
+        counters = {
+            int(r["user_id"]): int(r["cnt"])
+            for _, r in out[out["user_id"].notna()].iterrows()
+        }
+        true = Counter(stream)
+        assert len(counters) <= k
+        assert err <= len(stream) // (k + 1)
+        for key, cnt in counters.items():
+            assert cnt <= true[key] <= cnt + err
+        for key, t in true.items():
+            if key not in counters:
+                assert t <= err
+
+    run()
+
+
 def test_mg_bounded_output_and_exactness_when_under_k(spark):
     """Fewer distinct keys than k: MG never decrements, so est_low is
     the EXACT count and est_high == est_low (err_total = 0)."""
