@@ -56,6 +56,15 @@ def test_compact_preserves_rows_and_reduces_files(batchy_store):
         assert not glob.glob(f"{st.root}/{family}/batch_id=*")
 
 
+def test_cli_compact_all_families(batchy_store, capsys):
+    from tweetaggregates_spark import cli
+
+    cli.compact(batchy_store.root)
+    out = capsys.readouterr().out
+    assert "compacted counts" in out and "compacted mentions" in out
+    assert not glob.glob(f"{batchy_store.root}/counts/batch_id=*")
+
+
 def test_read_surface_works_after_compact(batchy_store):
     st = batchy_store  # already compacted by the previous test order,
     st.compact("counts")  # but compaction must also be idempotent

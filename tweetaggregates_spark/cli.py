@@ -6,6 +6,8 @@
   sendToEventHub <in> <sink_uri> [min]     (Program.SendToEventHub.cs)
   printDB <store_dir>                      (Program.PrintDB.cs:12-46)
   repl <store_dir>                         (Program.Repl.cs:15-125)
+  compact <store_dir> [family]             (maintenance, beyond-ref:
+                                            fold streaming batch trees)
 
 The live-Twitter and Event Hubs commands (S1/S8) are out of scope — the
 v1.1 API is retired; streaming ingest is streaming/pipeline.py over a
@@ -97,6 +99,22 @@ def send_to_event_hub(
             spark, src, sink, os.path.join(work, "ckpt"), minutes=minutes
         )
     print(f"sent frames to {sink_uri}")
+
+
+def compact(store_dir: str, family: str | None = None) -> None:
+    """Maintenance (beyond the reference's five commands): fold the
+    streaming sink's per-batch trees into the canonical layout — one
+    family, or every family present. See store.compact for semantics."""
+    import os
+
+    spark = get_spark("compact")
+    store = AggregateStore(spark, store_dir)
+    fams = [family] if family else [
+        f for f in FAMILIES if os.path.exists(store._path(f))
+    ]
+    for fam in fams:
+        store.compact(fam)
+        print(f"compacted {fam}")
 
 
 def print_db(store_dir: str, n: int = 5) -> None:
@@ -214,6 +232,8 @@ def main() -> int:
         print_db(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 5)
     elif cmd == "repl":
         repl(sys.argv[2])
+    elif cmd == "compact":
+        compact(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
     else:
         print(__doc__)
         return 2
