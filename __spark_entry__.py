@@ -934,7 +934,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         """,
     }
-    sql["normalize_docs"] = """
+    sql["normalize_docs"] = r"""
         SELECT doc_id,
                trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
                  AS norm_text,
