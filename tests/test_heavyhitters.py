@@ -90,6 +90,34 @@ def test_mg_partial_properties_hypothesis():
     run()
 
 
+def test_mg_candidates_feed_cms_estimator(spark):
+    """The documented production composition: Misra-Gries discovers a
+    bounded candidate set, the Count-Min counters estimate each
+    candidate's frequency (plans/events._cms_estimate). Every estimate
+    must bracket within CMS's one-sided error: exact <= est, and the
+    planted heavy key must come out on top of the estimates."""
+    from pyspark.sql import functions as F2
+
+    from tweetaggregates_spark.plans.events import (
+        _cms_counters,
+        _cms_estimate,
+    )
+
+    df = _skewed(spark, 8)
+    cand = heavy_hitter_candidates(df, "user_id", k=K).withColumn(
+        "grp", F.lit("all")
+    )
+    counters = _cms_counters(df, F2.lit("all"))
+    est = _cms_estimate(cand.select("grp", "user_id"), counters, "grp")
+    exact = df.groupBy("user_id").agg(F2.count(F2.lit(1)).alias("true_cnt"))
+    rows = est.join(exact, "user_id").collect()
+    assert rows
+    for r in rows:
+        assert r.est_cnt >= r.true_cnt  # CMS overestimates only
+    top = max(rows, key=lambda r: (r.est_cnt, r.user_id))
+    assert top.user_id == 999
+
+
 def test_mg_bounded_output_and_exactness_when_under_k(spark):
     """Fewer distinct keys than k: MG never decrements, so est_low is
     the EXACT count and est_high == est_low (err_total = 0)."""

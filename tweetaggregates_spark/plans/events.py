@@ -1029,12 +1029,15 @@ def _cms_estimate(
         "user_id",
         F.explode(_cms_cells(F.col("user_id").cast("string"))).alias("cell"),
     )
+    # internal rename: keeps the join unambiguous even when the caller's
+    # bucket_col is itself named "bucket" (tests/test_heavyhitters.py)
+    ctr = counters.withColumnRenamed("bucket", "__ctr_bucket")
     return (
         cells.join(
-            F.broadcast(counters),
-            (cells["cell.r"] == counters["r"])
-            & (cells["cell.c"] == counters["c"])
-            & (cells[bucket_col] == counters["bucket"]),
+            F.broadcast(ctr),
+            (cells["cell.r"] == ctr["r"])
+            & (cells["cell.c"] == ctr["c"])
+            & (cells[bucket_col] == ctr["__ctr_bucket"]),
         )
         .groupBy(bucket_col, "user_id")
         .agg(F.min("cnt").alias("est_cnt"))
