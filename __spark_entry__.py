@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_monthly_rollup": ev.hll_users_monthly_rollup,
         "cms_heavy_hitters_daily": ev.cms_heavy_hitters_daily,
         "kmv_users_monthly_rollup": ev.kmv_users_monthly_rollup,
+        "user_activity_concentration": ev.user_activity_concentration,
         "winsorized_value_stats": ev.winsorized_value_stats,
         "clickers_without_purchase": ev.clickers_without_purchase,
         "cosine_near_dups": llm.cosine_near_dups,
@@ -1239,6 +1240,39 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT month, user_id, est_cnt, exact_cnt, rnk
         FROM ranked WHERE rnk <= 10
+    """
+    sql["user_activity_concentration"] = """
+        WITH per_user AS (
+          SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+                   AS window_time,
+                 user_id, CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT window_time, cnt,
+                 row_number() OVER (
+                   PARTITION BY window_time ORDER BY cnt ASC, user_id ASC
+                 ) AS i,
+                 row_number() OVER (
+                   PARTITION BY window_time ORDER BY cnt DESC, user_id ASC
+                 ) AS top_rank
+          FROM per_user
+        ),
+        agg AS (
+          SELECT window_time,
+                 CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(cnt) AS BIGINT) AS n_events,
+                 CAST(sum(CASE WHEN top_rank <= 10 THEN cnt ELSE 0 END)
+                      AS BIGINT) AS top10_events,
+                 CAST(sum(i * cnt) AS BIGINT) AS iw
+          FROM ranked GROUP BY 1
+        )
+        SELECT window_time, n_users, n_events,
+               round(CAST(top10_events AS DOUBLE) / n_events, 6)
+                 AS top10_share,
+               round(2.0 * iw / (n_users * n_events)
+                     - CAST(n_users + 1 AS DOUBLE) / n_users, 6) AS gini
+        FROM agg
     """
     sql["winsorized_value_stats"] = """
         WITH b AS (

@@ -1106,3 +1106,60 @@ def cms_heavy_hitters_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     return ranked.filter(F.col("rnk") <= 10).select(
         "month", "user_id", "est_cnt", "exact_cnt", "rnk"
     )
+
+
+def user_activity_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day activity-skew metrics: how concentrated is the event
+    stream on its heaviest users? Reports the top-10 users' share of
+    all events and the Gini coefficient of the per-user event-count
+    distribution — the monitoring signal that tells a 100 TB operator
+    when key skew is building up BEFORE a shuffle falls over (and when
+    to reach for operators/skew.py salting or the CMS/MG sketches).
+
+    Determinism: every aggregate is an exact integer sum; Gini uses the
+    closed form 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over counts sorted
+    ascending with rank i — within a tie block sum(i*x_i) = x*sum(i)
+    does not depend on tie order, so the value is order-independent.
+    The only float ops are two final divides on identical operands in
+    both engines, then round(6)."""
+    ev = _events(spark, sf_dir)
+    day = F.window("ts", "1 day")["end"]
+    per_user = ev.groupBy(day.alias("window_time"), "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ranked = per_user.select(
+        "window_time",
+        "cnt",
+        F.row_number()
+        .over(W.partitionBy("window_time").orderBy(F.asc("cnt"), F.asc("user_id")))
+        .alias("i"),
+        F.row_number()
+        .over(
+            W.partitionBy("window_time").orderBy(F.desc("cnt"), F.asc("user_id"))
+        )
+        .alias("top_rank"),
+    )
+    return (
+        ranked.groupBy("window_time")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cnt").alias("n_events"),
+            F.sum(F.when(F.col("top_rank") <= 10, F.col("cnt")).otherwise(0)).alias(
+                "top10_events"
+            ),
+            F.sum(F.col("i") * F.col("cnt")).alias("iw"),
+        )
+        .select(
+            "window_time",
+            "n_users",
+            "n_events",
+            F.round(
+                F.col("top10_events").cast("double") / F.col("n_events"), 6
+            ).alias("top10_share"),
+            F.round(
+                F.lit(2.0) * F.col("iw") / (F.col("n_users") * F.col("n_events"))
+                - (F.col("n_users") + F.lit(1)).cast("double") / F.col("n_users"),
+                6,
+            ).alias("gini"),
+        )
+    )
