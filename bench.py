@@ -185,10 +185,35 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,
+                # machine calibration: the shared host's throughput
+                # drifts 1.3-1.9x between sessions (SCALE.md caveat).
+                # Divide query timings by (calib / its prior value)
+                # before cross-round comparisons.
+                "calib": _calibrate(spark, sf_dir),
             }
         )
     )
     return 0
+
+
+def _calibrate(spark, sf_dir: str) -> dict[str, float]:
+    """Two fixed-work probes: a pure-interpreter loop (single-core CPU
+    speed) and a best-of-3 full count of lineitem (JVM scan+reduce
+    path). Neither depends on any code under benchmark."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i & 7
+    py_loop = time.perf_counter() - t0
+    from tweetaggregates_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        li.count()
+        best = min(best, time.perf_counter() - t0)
+    return {"py_loop_sec": round(py_loop, 3), "scan_count_sec": round(best, 3)}
 
 
 if __name__ == "__main__":
