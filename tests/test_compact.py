@@ -65,6 +65,68 @@ def test_cli_compact_all_families(batchy_store, capsys):
     assert not glob.glob(f"{batchy_store.root}/counts/batch_id=*")
 
 
+def test_compact_refuses_concurrent_batch_arrivals(spark, tmp_path):
+    """ADVICE r3: a micro-batch landing between compact()'s snapshot and
+    its swap must abort the compaction with the original tree (including
+    the late batch) untouched — never silently destroy it."""
+    lines = make_tweets(300, seed=5)
+    f = tmp_path / "in.ndjson"
+    f.write_text("\n".join(lines) + "\n")
+    flat = tp.parse_tweets(spark.read.text(str(f)))
+    counts = tp.tumbling_counts(flat)
+    st = AggregateStore(spark, str(tmp_path / "agg"))
+    st.write_batch("counts", counts, 0)
+
+    real_read = st.read
+
+    def read_then_sneak(family):
+        df = real_read(family)
+        # simulates a non-quiesced streaming sink: batch 99 arrives
+        # AFTER the entry snapshot but before the swap
+        st.write_batch(family, counts, 99)
+        return df
+
+    st.read = read_then_sneak
+    with pytest.raises(RuntimeError, match="not quiesced"):
+        st.compact("counts")
+    st.read = real_read
+    # both batches still present and readable; no tmp/old litter
+    assert glob.glob(f"{st.root}/counts/batch_id=0")
+    assert glob.glob(f"{st.root}/counts/batch_id=99")
+    assert not glob.glob(f"{st.root}/counts.__compact_*")
+    assert st.read("counts").count() == 2 * counts.count()
+
+
+def test_compact_recovers_from_crash_between_renames(spark, tmp_path):
+    """ADVICE r3: leftover .__compact_old trees from a crashed swap must
+    not wedge every later compact. Roll FORWARD when the verified new
+    tree (tmp) exists, roll BACK when it does not."""
+    import os
+    import shutil
+
+    lines = make_tweets(300, seed=6)
+    f = tmp_path / "in.ndjson"
+    f.write_text("\n".join(lines) + "\n")
+    flat = tp.parse_tweets(spark.read.text(str(f)))
+    st = AggregateStore(spark, str(tmp_path / "agg"))
+    st.write("counts", tp.tumbling_counts(flat))
+    before = _rows(st.read("counts"))
+    path = st._path("counts")
+
+    # crash between rename(path, old) and rename(tmp, path), tmp written
+    shutil.copytree(path, path + ".__compact_tmp")
+    os.rename(path, path + ".__compact_old")
+    st.compact("counts")  # rolls forward, then compacts normally
+    assert _rows(st.read("counts")) == before
+    assert not glob.glob(path + ".__compact_*")
+
+    # crash right after rename(path, old), no tmp yet
+    os.rename(path, path + ".__compact_old")
+    st.compact("counts")  # rolls back, then compacts normally
+    assert _rows(st.read("counts")) == before
+    assert not glob.glob(path + ".__compact_*")
+
+
 def test_read_surface_works_after_compact(batchy_store):
     st = batchy_store  # already compacted by the previous test order,
     st.compact("counts")  # but compaction must also be idempotent

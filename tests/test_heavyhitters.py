@@ -128,3 +128,18 @@ def test_mg_bounded_output_and_exactness_when_under_k(spark):
     assert len(cand) == 10
     for r in cand:
         assert r.est_low == 500 and r.est_high == 500
+
+
+def test_mg_string_keys(spark):
+    """ADVICE r3: the output schema derives the key type from the input
+    column — string keys (the common heavy-hitter domain: URLs, user
+    names) must work, not just longs."""
+    rows = [("alpha",)] * 50 + [("beta",)] * 30 + [("gamma",)] * 5
+    df = spark.createDataFrame(rows, "name string").repartition(4)
+    out = heavy_hitter_candidates(df, "name", k=8)
+    assert dict(out.dtypes)["name"] == "string"
+    est = {r.name: (r.est_low, r.est_high) for r in out.collect()}
+    for key, true in (("alpha", 50), ("beta", 30), ("gamma", 5)):
+        assert key in est
+        lo, hi = est[key]
+        assert lo <= true <= hi

@@ -104,6 +104,108 @@ def test_zorder_key_is_deterministic_and_bounded(spark):
     assert keyed.exceptAll(again).count() == 0
 
 
+def test_zorder_null_and_constant_columns(spark, tmp_path):
+    """ADVICE r3: an all-NULL clustered column (bounds (None, None))
+    must not crash, and NULL values in a clustered column must land in
+    cell 0, never a NULL Morton key."""
+    df = spark.createDataFrame(
+        [(None, float(i), i) for i in range(10)],
+        "a double, b double, i long",
+    )
+    path = str(tmp_path / "allnull")
+    write_zordered(df, path, ["a", "b"], 2)
+    assert spark.read.parquet(path).count() == 10
+
+    mixed = spark.createDataFrame(
+        [((float(i) if i % 2 else None), float(i)) for i in range(10)],
+        "a double, b double",
+    )
+    keyed = with_zorder(mixed, ["a", "b"], bits=4)
+    assert keyed.filter(F.col("__z").isNull()).count() == 0
+
+
+def test_store_zorder_layout_skips_on_entity_and_time(spark, tmp_path):
+    """Round-4: the store's production layout (files_per_day > 1 on an
+    entity family) z-orders (window_time, entity) within each date, so
+    footer stats prune files for an entity-only lookup (Q3 with a loose
+    time bound) AND for a tight intra-day time scan — the multi-file
+    form of the reference's ticks‖entity composite-key seek
+    (RocksDBStore.cs:18-21)."""
+    import datetime
+
+    from tweetaggregates_spark.store import AggregateStore
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            base + datetime.timedelta(minutes=(i * 7) % (2 * 24 * 60)),
+            f"user_{(i * 37) % 1000:04d}",
+            i % 50,
+        )
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(
+        rows, "window_time timestamp, screen_name string, cnt long"
+    )
+    st = AggregateStore(spark, str(tmp_path / "agg"))
+    st.write("mentions", df, files_per_day=8)
+
+    files = sorted(
+        glob.glob(f"{st.root}/mentions/window_date=*/part-*.parquet")
+    )
+    assert len(files) >= 8
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo = {"screen_name": None, "window_time": None}
+        hi = {"screen_name": None, "window_time": None}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for i in range(g.num_columns):
+                col = g.column(i)
+                name = col.path_in_schema
+                if name in lo and col.statistics is not None:
+                    s = col.statistics
+                    lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                    hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+        ranges.append((lo, hi))
+
+    # entity-only box: 10% of the entity space must prune > half the files
+    e_lo, e_hi = "user_0450", "user_0550"
+    e_hits = sum(
+        1
+        for lo, hi in ranges
+        if hi["screen_name"] >= e_lo and lo["screen_name"] <= e_hi
+    )
+    assert e_hits <= len(files) // 2, (e_hits, len(files))
+
+    # tight intra-day time box must also prune some files (the z-key
+    # keeps time locality too, unlike an entity-major sort)
+    t_lo = base + datetime.timedelta(hours=3)
+    t_hi = base + datetime.timedelta(hours=6)
+
+    def _ts(v):
+        return v.replace(tzinfo=None) if hasattr(v, "tzinfo") else v
+
+    t_hits = sum(
+        1
+        for lo, hi in ranges
+        if _ts(hi["window_time"]) >= t_lo and _ts(lo["window_time"]) <= t_hi
+    )
+    assert t_hits < len(files), (t_hits, len(files))
+
+    # layout is invisible to the read surface: rows identical
+    back = sorted(tuple(r) for r in st.read("mentions").collect())
+    src = sorted(tuple(r) for r in df.collect())
+    assert back == src
+
+    # compaction preserves the z-ordered multi-file form
+    st.compact("mentions", files_per_day=8)
+    files2 = glob.glob(f"{st.root}/mentions/window_date=*/part-*.parquet")
+    assert len(files2) >= 8
+    assert sorted(tuple(r) for r in st.read("mentions").collect()) == src
+
+
 def test_zorder_preserves_rows(spark, tmp_path):
     ev = load_table(spark, SF_DIR, "events").select("user_id", "value", "ts")
     path = str(tmp_path / "z2")

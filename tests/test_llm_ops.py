@@ -96,9 +96,24 @@ def test_media_meta_deterministic(spark, docs):
     assert df.schema == multimodal.MEDIA_META_SCHEMA
 
 
-def test_decode_real_is_stub():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_real(b"\x89PNG")
+def test_decode_real_auto_activates():
+    """decode_image_real is the PIL hook: on a container WITH PIL it
+    decodes real bytes with no code change; without, it is the
+    documented loud stub. Both arms are asserted so the test
+    auto-upgrades wherever the library exists."""
+    if multimodal.HAVE_PIL:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (3, 2)).save(buf, format="PNG")
+        assert multimodal.decode_image_real(buf.getvalue()) == (3, 2)
+    else:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image_real(b"\x89PNG")
+        with pytest.raises(NotImplementedError):
+            multimodal.extract_media_meta_real(None)
 
 
 def test_simhash_banded_equals_all_pairs(docs):

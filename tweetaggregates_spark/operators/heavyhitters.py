@@ -67,7 +67,17 @@ def heavy_hitter_candidates(
     """<= k x n_partitions candidate keys with frequency bounds:
     (key, est_low, est_high) where est_low <= true count <= est_high
     and every key with true count > n/(k+1) is present."""
-    schema = f"{key_col} long, cnt long, err long"
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # key column keeps its source type (string/int/...): the marker row's
+    # None key is representable in any nullable Spark type
+    schema = StructType(
+        [
+            StructField(key_col, df.schema[key_col].dataType, True),
+            StructField("cnt", LongType(), True),
+            StructField("err", LongType(), True),
+        ]
+    )
     partials = df.select(key_col).mapInPandas(_mg_partial(key_col, k), schema)
     # tiny: k counters + 1 marker per partition
     err_total = partials.agg(F.sum("err").alias("err_total"))

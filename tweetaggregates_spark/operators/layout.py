@@ -32,13 +32,32 @@ def bucketize(col: Column, lo: float, hi: float, bits: int) -> Column:
     """Map a numeric column into integer cells [0, 2^bits) by min/max
     scaling — the per-dimension quantization step of the Morton key.
     Values at hi clamp into the top cell; constant columns (hi == lo)
-    collapse to cell 0 (nothing to cluster on)."""
+    and all-NULL columns (bounds None — column_bounds on empty/NULL
+    input) collapse to cell 0 (nothing to cluster on). NULL values in a
+    clustered column land in cell 0 rather than poisoning the Morton key
+    with NULL."""
     n = 1 << bits
-    if hi <= lo:
+    if lo is None or hi is None or hi <= lo:
         return F.lit(0).cast("long")
     scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
     cell = F.floor(scaled * F.lit(n)).cast("long")
-    return F.least(F.greatest(cell, F.lit(0)), F.lit(n - 1))
+    return F.coalesce(
+        F.least(F.greatest(cell, F.lit(0)), F.lit(n - 1)), F.lit(0).cast("long")
+    )
+
+
+def string_order_key(col: Column, n_chars: int = 7) -> Column:
+    """Order-preserving numeric key from a string's first `n_chars`
+    bytes (8 bits each, 56 bits total at the default): enough resolution
+    to Morton-bucketize a string dimension. Strings equal on the prefix
+    collapse to one cell — that only coarsens skipping granularity,
+    never correctness (footer min/max stats remain exact on the real
+    column). NULL/empty strings key to 0."""
+    key: Column = F.lit(0).cast("long")
+    for i in range(n_chars):
+        byte = F.coalesce(F.ascii(F.substring(col, i + 1, 1)), F.lit(0))
+        key = key + F.shiftleft(byte.cast("long"), 8 * (n_chars - 1 - i))
+    return key
 
 
 def zorder_key(cells: list[Column], bits: int) -> Column:

