@@ -92,6 +92,16 @@ _SIMHASH_VAL = " + ".join(
     f"(CASE WHEN s{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
 )
 
+# production-width twin: 32-bit fingerprint (max value 2^32-1, well
+# inside BIGINT) for the banded entry's oracle
+_SIMHASH_SUMS32 = ",\n".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(32)
+)
+_SIMHASH_VAL32 = " + ".join(
+    f"(CASE WHEN s{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+)
+
 _D_COS = (
     "round(list_dot_product(q.v, c.v) / "
     "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)"
@@ -1431,9 +1441,25 @@ def oracle_sql() -> dict[str, str]:
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
     """
-    # banded SimHash must equal the all-pairs result (pigeonhole recall=1):
-    # same oracle SQL proves the equivalence via the hash-match gate
-    sql["simhash_pairs_banded"] = sql["simhash_pairs_docs"]
+    # banded SimHash must equal the all-pairs result (pigeonhole
+    # recall=1). Round 4: the registered entry runs the PRODUCTION
+    # shape (32-bit fingerprints, hamming <= 3, 8-bit bands); the
+    # oracle recomputes the same 32-bit fingerprint and verifies with
+    # all-pairs hamming — the hash-match gate therefore proves both
+    # the fingerprint math and the banding's recall at once.
+    sql["simhash_pairs_banded"] = f"""
+        WITH toksrc AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM toksrc),
+        h AS (SELECT doc_id, {_D_HASH.format(x="t")} AS h FROM tok),
+        sums AS (SELECT doc_id, {_SIMHASH_SUMS32} FROM h GROUP BY doc_id),
+        fp AS (SELECT doc_id, CAST({_SIMHASH_VAL32} AS BIGINT) AS simhash
+               FROM sums)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                 AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
     # the capped LSH variant equals the uncapped result on normal data
     # (no bucket exceeds the cap at sf0.01; quarantine path is pytested)
     sql["minhash_lsh_capped"] = sql["minhash_lsh_docs"]

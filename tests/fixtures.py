@@ -76,3 +76,24 @@ def write_tweets_file(path: str, n: int = 2000, seed: int = 42) -> int:
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     return len(lines)
+
+
+def make_tweets_skewed(
+    n: int = 2000, seed: int = 42, hot_share: float = 0.5
+) -> list[str]:
+    """Viral-entity fixture: ``hot_share`` of all tweets mention the
+    single entity ``viral_user`` (and carry ``#viral``), modelling the
+    one-hot-key skew that blows up O(group) example-list state."""
+    rng = random.Random(seed)
+    lines = []
+    for line in make_tweets(n, seed):
+        try:
+            t = json.loads(line)
+        except json.JSONDecodeError:
+            lines.append(line)
+            continue
+        if "entities" in t and rng.random() < hot_share:
+            t["entities"]["user_mentions"] = [{"screen_name": "viral_user"}]
+            t["entities"]["hashtags"] = [{"text": "viral"}]
+        lines.append(json.dumps(t))
+    return lines

@@ -152,3 +152,81 @@ def test_continuous_soak_bounded_state_and_restart(spark, tmp_path):
         assert got == want
     finally:
         flat.unpersist()
+
+
+def test_bounded_example_state_on_viral_entity(spark, tmp_path):
+    """VERDICT r3 #4: with one entity in 50% of events, the
+    pre-state-store payload cap must (a) bound the per-(group x cell)
+    non-NULL payload contribution to k, and (b) leave the pipeline's
+    store output byte-identical to the uncapped run (the cap only
+    drops payloads that could never be sliced into any top-k list)."""
+    from tests.fixtures import make_tweets_skewed
+    from tweetaggregates_spark.operators.aggregate import (
+        NUMBER_OF_EXAMPLES,
+    )
+
+    lines = make_tweets_skewed(2000, seed=11, hot_share=0.5)
+    f = tmp_path / "skew.ndjson"
+    f.write_text("\n".join(lines) + "\n")
+
+    # (a) operator-level bound, single partition => one Arrow batch
+    # stream per task: <= k surviving payloads per (family, entity,
+    # hop cell)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+    flat = tp.parse_tweets(spark.read.text(str(f))).coalesce(1)
+    unified = tp.unified_entity_rows(flat)
+    capped = tp.cap_example_payloads(unified)
+    surviving = (
+        capped.filter(F.col("payload").isNotNull())
+        .groupBy(
+            "family", "entity", F.date_trunc("minute", "ts").alias("cell")
+        )
+        .count()
+    )
+    overflow = surviving.filter(
+        F.col("count") > NUMBER_OF_EXAMPLES
+    ).collect()
+    assert overflow == [], overflow
+    # the viral entity really is hot: far more raw rows than survivors
+    hot_raw = unified.filter(F.col("entity") == "viral_user").count()
+    hot_kept = (
+        capped.filter(
+            (F.col("entity") == "viral_user")
+            & F.col("payload").isNotNull()
+        ).count()
+    )
+    n_cells = (
+        unified.filter(F.col("entity") == "viral_user")
+        .select(F.date_trunc("minute", "ts"))
+        .distinct()
+        .count()
+    )
+    assert hot_raw > 900
+    # the O(k) bound: k survivors per hop cell, independent of how many
+    # events the viral entity has in the cell
+    assert hot_kept <= NUMBER_OF_EXAMPLES * n_cells < hot_raw
+
+    # (b) end-to-end equality: capped vs uncapped pipeline runs emit
+    # identical store rows for every family
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "skew.ndjson"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    stores = {}
+    for tag, bounded in (("cap", True), ("nocap", False)):
+        sd = str(tmp_path / f"store_{tag}")
+        run_streaming_aggregates(
+            spark,
+            in_dir,
+            sd,
+            str(tmp_path / f"ckpt_{tag}"),
+            available_now=True,
+            state_shuffle_partitions=4,
+            bounded_examples=bounded,
+        )
+        stores[tag] = AggregateStore(spark, sd)
+    for fam in ("counts", "hopping_counts", "mentions", "hashtags",
+                "retweets"):
+        a = sorted(map(tuple, stores["cap"].read(fam).collect()))
+        b = sorted(map(tuple, stores["nocap"].read(fam).collect()))
+        assert a == b, fam

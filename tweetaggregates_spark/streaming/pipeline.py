@@ -129,6 +129,8 @@ def run_streaming_aggregates(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     state_shuffle_partitions: int | None = None,
+    bounded_examples: bool = True,
+    source_parallelism: int | None = None,
 ) -> list:
     """Run the full five-family pipeline over a stream of NDJSON files
     in a SINGLE streaming query (source read once per micro-batch), with
@@ -164,19 +166,22 @@ def run_streaming_aggregates(
 
     State scale at 100 TB: per (window x family x entity) one
     count/sum/max row, plus the example payload lists for the three
-    top-k families — O(window volume x size/slide) in the worst case
-    (the hop multiplicity), but maintained incrementally, partitioned by
-    group key across executors, and aged out the moment the watermark
-    closes the window. A hot entity's list state can be pre-bounded by
-    routing through entity_window_agg_bounded's rank trick per
-    micro-batch if ever needed; the reference's own TopK state is O(n)
-    per group too (Trill heap holds every element of the open window).
+    top-k families. With ``bounded_examples=True`` (default, round 4)
+    the unified rows pass through ``cap_example_payloads`` before the
+    state store: payloads that cannot reach any window's top-k are
+    NULLed per (hop cell x Arrow batch), so a hot entity's list state
+    is O(k x contributions), never O(its event count) — pinned by the
+    skewed-fixture test (tests/test_streaming_soak.py). The cap is
+    exactness-preserving (see its docstring); set False to skip the
+    one Python stage it adds. The reference's own TopK state is O(n)
+    per group (Trill heap holds every element of the open window).
 
     available_now=True drains existing files and stops (deterministic
     replay / tests); False runs continuously (micro-batch). Returns the
     (length-1) list of StreamingQuery handles (already awaited if
     available_now)."""
     from tweetaggregates_spark.plans.tweets import (
+        cap_example_payloads,
         families_from_stage1,
         unified_entity_rows,
         unified_stage1,
@@ -257,11 +262,18 @@ def run_streaming_aggregates(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     lines = reader.text(input_path)
+    if source_parallelism:
+        # a drop-dir batch is typically ONE small file = ONE input
+        # partition; fan the raw lines out so JSON parse + explode +
+        # partial aggregation use the whole executor pool (the shuffle
+        # moves raw bytes once — far cheaper than single-tasking parse)
+        lines = lines.repartition(source_parallelism)
 
+    unified = unified_entity_rows(parse_tweets(lines))
+    if bounded_examples:
+        unified = cap_example_payloads(unified)
     stage1 = unified_stage1(
-        unified_entity_rows(parse_tweets(lines)).withWatermark(
-            "ts", f"{DISORDER_TOLERANCE_SECONDS} seconds"
-        )
+        unified.withWatermark("ts", f"{DISORDER_TOLERANCE_SECONDS} seconds")
     )
     writer = (
         stage1.writeStream.queryName("tweet_aggregates_native")
