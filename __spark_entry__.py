@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_supplier_stats": star.brand_supplier_stats,
         "top_orders_per_customer": star.top_orders_per_customer,
         "minhash_lsh_capped": llm.minhash_lsh_capped_docs,
+        "substring_dup_docs": llm.substring_dup_docs,
         "simhash_docs": llm.simhash_docs,
         "normalize_docs": llm.normalize_docs,
         "repetition_docs": llm.repetition_docs,
@@ -1463,6 +1464,34 @@ def oracle_sql() -> dict[str, str]:
     # the capped LSH variant equals the uncapped result on normal data
     # (no bucket exceeds the cap at sf0.01; quarantine path is pytested)
     sql["minhash_lsh_capped"] = sql["minhash_lsh_docs"]
+    # cross-document substring dedup: positional 8-token shingles,
+    # hash equi-join, gaps-and-islands longest-run per (pair, diagonal)
+    sql["substring_dup_docs"] = f"""
+        WITH toksrc AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+        t AS (SELECT doc_id, toks FROM toksrc WHERE len(toks) >= 8),
+        sh0 AS (SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - 6)) AS pos
+                FROM t),
+        sh AS (SELECT doc_id, pos,
+                      {_D_HASH.format(x="array_to_string(toks[pos:pos+7], ' ')")} AS h
+               FROM sh0),
+        m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.pos AS pa, a.pos - b.pos AS diag
+              FROM sh a JOIN sh b
+                ON a.h = b.h AND a.doc_id < b.doc_id),
+        isl AS (SELECT doc_a, doc_b, diag, pa,
+                       pa - row_number() OVER (
+                         PARTITION BY doc_a, doc_b, diag ORDER BY pa
+                       ) AS island
+                FROM m),
+        runs AS (SELECT doc_a, doc_b, diag, island,
+                        count(*) AS run_len
+                 FROM isl GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b,
+               CAST(sum(run_len) AS BIGINT) AS n_shared_shingles,
+               CAST(max(run_len) + 7 AS BIGINT) AS max_span_tokens
+        FROM runs GROUP BY 1, 2
+    """
     # banded+verified cosine near-dups must equal the all-pairs result
     # (recall 1 in practice at these LSH parameters; see similarity.py)
     sql["cosine_near_dups_banded"] = sql["cosine_near_dups"]

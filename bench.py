@@ -76,6 +76,9 @@ HEADLINE = [
     # round 3 batch 2: the frequency sketch (counters + broadcast
     # estimation join; the rollup shares the daily counter plan)
     "cms_heavy_hitters_daily",
+    # round 4: cross-document substring dedup (positional shingle
+    # equi-join + gaps-and-islands longest run)
+    "substring_dup_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

@@ -443,3 +443,37 @@ def test_domain_stats_groups_hosts(spark):
     assert got["a.example.com"]["n_urls"] == 3
     assert got["a.example.com"]["n_docs"] == 2
     assert got["b.example.com"]["n_urls"] == 1  # host lowercased
+
+
+def test_substring_dup_pairs_span_semantics(spark):
+    """Crafted spans: >= L-token shared spans are found with the exact
+    longest-span length; shorter overlaps produce no pair; the doc-freq
+    cap suppresses boilerplate shingles."""
+    span = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        # docs 1/2 share the exact 10-token span (L=8 => pair, span 10)
+        (1, f"one two three {span} four five"),
+        (2, f"{span} six seven eight nine ten eleven"),
+        # doc 3 shares only 7 tokens with doc 1 -> below L, no pair
+        (3, "alpha bravo charlie delta echo foxtrot golf DIFFERENT x y z"),
+        # unrelated
+        (4, "completely different words in this document entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in dedup.substring_dup_pairs(df, span_tokens=8).collect()
+    }
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)].max_span_tokens == 10
+    # 10-token span => 3 shared 8-shingles on one diagonal
+    assert out[(1, 2)].n_shared_shingles == 3
+
+    # boilerplate cap: the span appears in 3 docs; max_doc_freq=2
+    # drops its shingles entirely
+    rows_bp = rows[:2] + [(5, f"zzz {span} qqq www eee rrr ttt yyy")]
+    df_bp = spark.createDataFrame(rows_bp, "doc_id long, text string")
+    capped = dedup.substring_dup_pairs(
+        df_bp, span_tokens=8, max_doc_freq=2
+    ).collect()
+    assert capped == []

@@ -413,3 +413,93 @@ def minhash_lsh_pairs_capped(
         .distinct()
     )
     return pairs, quarantine
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Cross-document SUBSTRING dedup (VERDICT r3 #5; motivation: Lee et
+    al. '22, "Deduplicating Training Data Makes Language Models
+    Better"): emit document pairs sharing a verbatim span of at least
+    ``span_tokens`` tokens, with the longest shared span length.
+
+    Exactness via pigeonhole on positional shingles: a shared span of
+    >= L tokens contains a shared L-token shingle, and conversely every
+    shared L-shingle IS an L-token verbatim span — so the shingle
+    equi-join has recall AND precision 1 (modulo 60-bit hash collisions,
+    which the DuckDB twin reproduces identically). The longest span is
+    recovered with the gaps-and-islands trick: matched shingle positions
+    (pa, pb) on one diagonal (pa - pb) that are CONSECUTIVE extend one
+    span; max island length + L - 1 = span length in tokens.
+
+    Scale shape — bucketed exactly like MinHash-LSH:
+    * per-doc shingling is map-side (one transform + explode, hashes of
+      L-token windows; the shuffle carries (hash, doc, pos), never text);
+    * the discovery join is a shingle-hash equi-join (bucket-local);
+      ``max_doc_freq`` drops boilerplate shingles appearing in more than
+      that many documents — the same hot-bucket cap as minhash_lsh_pairs
+      (a shingle in b docs makes O(b^2) candidate rows);
+    * island detection is a window PARTITIONED by (pair, diagonal) —
+      state is one pair's matches, never global.
+
+    Output: doc_a, doc_b, n_shared_shingles, max_span_tokens.
+    """
+    from pyspark.sql import Window as W
+
+    L = span_tokens
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= L)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (L - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    hash64(
+                        F.concat_ws(" ", F.slice("toks", i, L))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.h")
+    if max_doc_freq is not None:
+        df_counts = sh.groupBy("h").agg(
+            F.countDistinct("doc_id").alias("_df")
+        )
+        sh = (
+            sh.join(df_counts.hint("shuffle_hash"), "h")
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    a = sh.alias("a")
+    b = sh.alias("b").hint("shuffle_hash")
+    matches = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    islands = matches.withColumn(
+        "island", F.col("pa") - F.row_number().over(w)
+    )
+    spans = islands.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return spans.groupBy("doc_a", "doc_b").agg(
+        F.sum("run_len").cast("long").alias("n_shared_shingles"),
+        (F.max("run_len") + F.lit(L - 1)).cast("long").alias(
+            "max_span_tokens"
+        ),
+    )

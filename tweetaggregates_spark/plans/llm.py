@@ -66,6 +66,13 @@ def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
 
 
+def substring_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring dedup: pairs sharing a verbatim span of
+    >= 8 tokens, with shared-shingle count and longest-span length
+    (operators/dedup.substring_dup_pairs; Lee et al.'22 motivation)."""
+    return dedup.substring_dup_pairs(_docs(spark, sf_dir), span_tokens=8)
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 16-bit SimHash fingerprints."""
     return dedup.simhash(_docs(spark, sf_dir))
