@@ -116,15 +116,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate samples the
-    # FIRST 50 entries, so the first block below is curated to span
-    # every query family — events/windows, store surface, TPC-H rounds
-    # 1+2, rollup/cube/pivot/unpivot, dedup + connected components,
-    # ANN/similarity (incl. the tiled scale path), text curation,
-    # sampling, iterative graph, mergeable sketches, and the
-    # sequence/window-function module. All 50 are hash-checkable
-    # (rows-only entries like the HLL sketch come after position 50).
+    # FIRST 50 entries. ROUND-4 ROTATION (VERDICT r3 #1): driver-side
+    # CORRECTNESS coverage accumulates across rounds, so the first
+    # block now holds 50 entries that have NEVER had a driver row
+    # (rounds 1-3 drove the previous curated block green — see
+    # CORRECTNESS_r0{1,2,3}.json). The block still spans every family:
+    # events/windows + anomaly/CDC shapes, the remaining TPC-H queries,
+    # HLL/rank/CMS mergeable-sketch rollups, dedup/similarity (incl.
+    # the new substring dedup), text-index, sampling/packing, and the
+    # sequence/window-function module. All 50 are hash-checkable (the
+    # rows-only HLL-sketch entry stays after position 50).
     return {
-        # -- windows / streaming-parity aggregations (plans/events) --
+        # -- events/windows: anomaly, CDC, profile, concentration --
+        "dense_tumbling_counts": ev.dense_tumbling_counts,
+        "daily_count_anomalies": ev.daily_count_anomalies,
+        "latest_events_snapshot": ev.latest_events_snapshot,
+        "viewers_never_erroring": ev.viewers_never_erroring,
+        "events_profile": ev.events_profile,
+        "user_activity_concentration": ev.user_activity_concentration,
+        "winsorized_value_stats": ev.winsorized_value_stats,
+        "revenue_grouping_sets": ev.revenue_grouping_sets,
+        # -- TPC-H: the queries without a prior driver row --
+        "q2_min_cost_supplier": star.q2_min_cost_supplier,
+        "q4_priority_counts": star.q4_priority_counts,
+        "q7_nation_volume": star.q7_nation_volume,
+        "q8_market_share": star.q8_market_share,
+        "q11_part_revenue_share": star.q11_part_revenue_share,
+        "q12_late_priority_counts": star.q12_late_priority_counts,
+        "q15_top_supplier": star.q15_top_supplier,
+        "q16_supplier_counts": star.q16_supplier_counts,
+        "q17_small_quantity_revenue": star.q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": star.q19_disjunctive_revenue,
+        "q22_idle_customers": star.q22_idle_customers,
+        # -- mergeable sketches: HLL + rank-quantile + CMS daily --
+        "hll_users_daily": ev.hll_users_daily,
+        "hll_users_monthly_rollup": ev.hll_users_monthly_rollup,
+        "value_quantile_sketch_daily": ev.value_quantile_sketch_daily,
+        "value_quantile_sketch_monthly": ev.value_quantile_sketch_monthly,
+        "cms_heavy_hitters_daily": ev.cms_heavy_hitters_daily,
+        # -- dedup / similarity --
+        "substring_dup_docs": llm.substring_dup_docs,
+        "dup_cluster_size_histogram": llm.dup_cluster_size_histogram,
+        "cosine_near_dups_banded": llm.cosine_near_dups_banded,
+        "cosine_near_dups_blocked": llm.cosine_near_dups_blocked,
+        "quantized_embeddings": llm.quantized_embeddings_docs,
+        "embedding_stats": llm.embedding_stats,
+        "label_centroids": llm.label_centroids_query,
+        # -- text index / curation --
+        "vocab_docs": llm.vocab_docs,
+        "tfidf_docs": llm.tfidf_docs,
+        "inverted_index_docs": llm.inverted_index_docs,
+        "repeated_ngrams_docs": llm.repeated_ngrams_docs,
+        "chunk_docs": llm.chunk_docs,
+        "curation_funnel_docs": llm.curation_funnel_docs,
+        # -- sampling / packing --
+        "weighted_sample_docs": llm.weighted_sample_docs,
+        "mixture_plan_docs": llm.mixture_plan_docs,
+        "split_docs": llm.split_docs,
+        "pack_sequences_docs": llm.pack_sequences_docs,
+        # -- sequence / window-function module --
+        "user_event_gaps": sequence.user_event_gaps,
+        "event_type_transitions": sequence.event_type_transitions,
+        "value_ntile_quartiles": sequence.value_ntile_quartiles,
+        "acctbal_rank_percentiles": sequence.acctbal_rank_percentiles,
+        "rolling_user_value_avg": sequence.rolling_user_value_avg,
+        "value_bucket_histogram": sequence.value_bucket_histogram,
+        "retention_cohorts": sequence.retention_cohorts,
+        "user_value_skyline": sequence.user_value_skyline,
+        "click_purchase_correlation": sequence.click_purchase_correlation,
+        # ---- entries 51+ (driver-green in rounds 1-3, plus the
+        #      rows-only sketch entry; all still in the full local
+        #      oracle sweep every session) ----
         "tumbling_counts": ev.tumbling_counts,
         "hopping_counts": ev.hopping_counts,
         "top_users_hopping": ev.top_users_hopping,
@@ -133,7 +195,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_retweets_shape": ev.top_retweets_shape,
         "session_windows": ev.session_windows,
         "throughput_5min": ev.throughput_5min,
-        # -- store / REPL query surface --
         "events_summary": ev.events_summary,
         "counts_range": ev.counts_range,
         "top_users_for_entity": ev.top_users_for_entity,
@@ -141,25 +202,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total_counts": ev.running_total_counts,
         "daily_rollup_counts": ev.daily_rollup_counts,
         "json_props_daily": ev.json_props_daily,
-        # -- TPC-H round 1 --
         "q1_pricing_summary": star.q1_pricing_summary,
         "q3_shipping_priority": star.q3_shipping_priority,
         "q5_region_revenue": star.q5_region_revenue,
         "q6_revenue_change": star.q6_revenue_change,
         "q10_returned_items": star.q10_returned_items,
         "q18_large_orders": star.q18_large_orders,
-        # -- TPC-H round 2 shapes --
         "q9_profit_by_nation": star.q9_profit_by_nation,
         "q13_order_count_distribution": star.q13_order_count_distribution,
         "q20_heavy_suppliers": star.q20_heavy_suppliers,
         "q21_last_shipper": star.q21_last_shipper,
         "order_latency_distribution": star.order_latency_distribution,
-        # -- rollup / cube / pivot / unpivot --
         "revenue_rollup": star.revenue_rollup,
         "revenue_cube": star.revenue_cube,
         "order_status_pivot": star.order_status_pivot,
         "returnflag_measures_unpivot": star.returnflag_measures_unpivot,
-        # -- dedup + dup-cluster resolution (operators/cluster) --
         "exact_dedup_docs": llm.exact_dedup_docs,
         "minhash_lsh_docs": llm.minhash_lsh_docs,
         "simhash_pairs_banded": llm.simhash_pairs_banded_docs,
@@ -167,33 +224,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_verified_pairs": llm.lsh_verified_pairs,
         "dedup_clusters_docs": llm.dedup_clusters_docs,
         "canonical_docs": llm.canonical_docs_query,
-        # -- ANN / similarity (incl. tiled 100 TB path) --
         "knn_cosine": llm.knn_cosine,
         "knn_cosine_bucketed": llm.knn_cosine_bucketed,
         "knn_cosine_quantized": llm.knn_cosine_quantized,
         "cosine_near_dups_tiled": llm.cosine_near_dups_tiled,
-        # -- text curation --
         "lang_id_docs": llm.lang_id_docs,
         "quality_docs": llm.quality_docs,
         "token_counts_docs": llm.token_counts_docs,
         "pii_mask_docs": llm.pii_mask_docs,
-        # -- sampling + iterative graph --
         "stratified_sample_docs": llm.stratified_sample_docs,
         "event_type_pagerank": sequence.event_type_pagerank,
-        # -- mergeable sketches (one distinct-sketch + one
-        #    frequency-sketch rollup so the 50-sample spans both) --
         "kmv_users_daily": ev.kmv_users_daily,
         "cms_heavy_hitters_monthly_rollup": ev.cms_heavy_hitters_monthly_rollup,
-        # -- sequence / window-function module --
         "conversion_funnel": sequence.conversion_funnel,
-        # ---- entries 51+ (full surface, original ordering) ----
         "q14_promo_revenue": star.q14_promo_revenue,
         "customers_without_orders": star.customers_without_orders,
         "customers_with_orders_semi": star.customers_with_orders_semi,
         "brand_supplier_stats": star.brand_supplier_stats,
         "top_orders_per_customer": star.top_orders_per_customer,
         "minhash_lsh_capped": llm.minhash_lsh_capped_docs,
-        "substring_dup_docs": llm.substring_dup_docs,
         "simhash_docs": llm.simhash_docs,
         "normalize_docs": llm.normalize_docs,
         "repetition_docs": llm.repetition_docs,
@@ -203,68 +252,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta_docs": llm.media_meta_docs,
         "distinct_users_daily": ev.distinct_users_daily,
         "approx_users_daily": ev.approx_users_daily,  # rows-only: HLL sketch
-        "value_quantile_sketch_daily": ev.value_quantile_sketch_daily,
-        "value_quantile_sketch_monthly": ev.value_quantile_sketch_monthly,
-        "hll_users_daily": ev.hll_users_daily,
-        "hll_users_monthly_rollup": ev.hll_users_monthly_rollup,
-        "cms_heavy_hitters_daily": ev.cms_heavy_hitters_daily,
         "kmv_users_monthly_rollup": ev.kmv_users_monthly_rollup,
-        "user_activity_concentration": ev.user_activity_concentration,
-        "winsorized_value_stats": ev.winsorized_value_stats,
         "clickers_without_purchase": ev.clickers_without_purchase,
         "cosine_near_dups": llm.cosine_near_dups,
-        "cosine_near_dups_banded": llm.cosine_near_dups_banded,
         "simhash_pairs_docs": llm.simhash_pairs_docs,
         "clickers_who_purchased": ev.clickers_who_purchased,
-        "viewers_never_erroring": ev.viewers_never_erroring,
-        "revenue_grouping_sets": ev.revenue_grouping_sets,
-        "events_profile": ev.events_profile,
-        "dense_tumbling_counts": ev.dense_tumbling_counts,
-        "daily_count_anomalies": ev.daily_count_anomalies,
         "value_quantiles_by_type": ev.value_quantiles_by_type,
         "purchase_asof_click": ev.purchase_asof_click,
-        "dup_cluster_size_histogram": llm.dup_cluster_size_histogram,
-        "weighted_sample_docs": llm.weighted_sample_docs,
-        "mixture_plan_docs": llm.mixture_plan_docs,
-        "split_docs": llm.split_docs,
         "shuffle_order_docs": llm.shuffle_order_docs,
-        "pack_sequences_docs": llm.pack_sequences_docs,
-        "cosine_near_dups_blocked": llm.cosine_near_dups_blocked,
-        "vocab_docs": llm.vocab_docs,
-        "tfidf_docs": llm.tfidf_docs,
-        "inverted_index_docs": llm.inverted_index_docs,
-        "label_centroids": llm.label_centroids_query,
-        "q4_priority_counts": star.q4_priority_counts,
-        "q16_supplier_counts": star.q16_supplier_counts,
-        "q19_disjunctive_revenue": star.q19_disjunctive_revenue,
-        "latest_events_snapshot": ev.latest_events_snapshot,
-        "q7_nation_volume": star.q7_nation_volume,
-        "q8_market_share": star.q8_market_share,
-        "q15_top_supplier": star.q15_top_supplier,
-        "q17_small_quantity_revenue": star.q17_small_quantity_revenue,
-        "q22_idle_customers": star.q22_idle_customers,
-        "q12_late_priority_counts": star.q12_late_priority_counts,
-        "q2_min_cost_supplier": star.q2_min_cost_supplier,
-        "q11_part_revenue_share": star.q11_part_revenue_share,
-        "quantized_embeddings": llm.quantized_embeddings_docs,
-        "embedding_stats": llm.embedding_stats,
-        "repeated_ngrams_docs": llm.repeated_ngrams_docs,
-        "chunk_docs": llm.chunk_docs,
-        "user_event_gaps": sequence.user_event_gaps,
-        "event_type_transitions": sequence.event_type_transitions,
-        "value_ntile_quartiles": sequence.value_ntile_quartiles,
-        "acctbal_rank_percentiles": sequence.acctbal_rank_percentiles,
-        "rolling_user_value_avg": sequence.rolling_user_value_avg,
-        "value_bucket_histogram": sequence.value_bucket_histogram,
-        "retention_cohorts": sequence.retention_cohorts,
         "time_weighted_value_daily": sequence.time_weighted_value_daily,
         "daily_growth_by_type": sequence.daily_growth_by_type,
-        "user_value_skyline": sequence.user_value_skyline,
-        "click_purchase_correlation": sequence.click_purchase_correlation,
         "cumulative_new_users": sequence.cumulative_new_users,
-        "curation_funnel_docs": llm.curation_funnel_docs,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     sql = {
