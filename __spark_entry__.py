@@ -263,6 +263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_value_daily": sequence.time_weighted_value_daily,
         "daily_growth_by_type": sequence.daily_growth_by_type,
         "cumulative_new_users": sequence.cumulative_new_users,
+        # round 4: learned-cluster semantic dedup (SemDeDup)
+        "kmeans_clusters_embeddings": llm.kmeans_clusters_embeddings,
+        "semantic_dup_embeddings": llm.semantic_dup_embeddings,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1463,6 +1466,113 @@ def oracle_sql() -> dict[str, str]:
     # the capped LSH variant equals the uncapped result on normal data
     # (no bucket exceeds the cap at sf0.01; quarantine path is pytested)
     sql["minhash_lsh_capped"] = sql["minhash_lsh_docs"]
+    # k-means (k=8, 2 unrolled Lloyd iterations, lowest-id init):
+    # the oracle REPLAYS every step — centroid means through
+    # DECIMAL(28,12) + round(6) (identical in both engines), distances
+    # as in-order folds over identical values, argmin ties broken by
+    # cluster id — so the final assignment is bit-comparable.
+    _KM_DIST = lambda e, c: (  # noqa: E731
+        f"list_sum([ (CAST({e}[i] AS DOUBLE) - {c}[i])"
+        f" * (CAST({e}[i] AS DOUBLE) - {c}[i])"
+        f" for i in range(1, len({e}) + 1) ])"
+    )
+    _KM_BODY = f"""
+        WITH c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+                 [CAST(x AS DOUBLE) for x in embedding] AS carr
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT 8)
+        ),
+        a1r AS (
+          SELECT e.vec_id, e.embedding, c.cluster,
+                 {_KM_DIST("e.embedding", "c.carr")} AS d
+          FROM embeddings e CROSS JOIN c0 c
+        ),
+        a1 AS (
+          SELECT vec_id, embedding, cluster, d FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d, cluster) AS rn
+            FROM a1r) WHERE rn = 1
+        ),
+        x1 AS (
+          SELECT cluster,
+                 unnest(range(1, len(embedding) + 1)) AS dim,
+                 unnest(embedding) AS x
+          FROM a1
+        ),
+        u1 AS (
+          SELECT cluster, dim,
+                 round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12)))
+                            AS DOUBLE) / count(*), 6) AS c
+          FROM x1 GROUP BY 1, 2
+        ),
+        c1 AS (SELECT cluster, list(c ORDER BY dim) AS carr
+               FROM u1 GROUP BY cluster),
+        a2r AS (
+          SELECT e.vec_id, e.embedding, c.cluster,
+                 {_KM_DIST("e.embedding", "c.carr")} AS d
+          FROM embeddings e CROSS JOIN c1 c
+        ),
+        a2 AS (
+          SELECT vec_id, embedding, cluster, d FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d, cluster) AS rn
+            FROM a2r) WHERE rn = 1
+        ),
+        x2 AS (
+          SELECT cluster,
+                 unnest(range(1, len(embedding) + 1)) AS dim,
+                 unnest(embedding) AS x
+          FROM a2
+        ),
+        u2 AS (
+          SELECT cluster, dim,
+                 round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12)))
+                            AS DOUBLE) / count(*), 6) AS c
+          FROM x2 GROUP BY 1, 2
+        ),
+        c2 AS (SELECT cluster, list(c ORDER BY dim) AS carr
+               FROM u2 GROUP BY cluster),
+        afr AS (
+          SELECT e.vec_id, e.embedding, c.cluster,
+                 {_KM_DIST("e.embedding", "c.carr")} AS d
+          FROM embeddings e CROSS JOIN c2 c
+        ),
+        af AS (
+          SELECT vec_id, embedding, cluster, d FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d, cluster) AS rn
+            FROM afr) WHERE rn = 1
+        )
+    """
+    sql["kmeans_clusters_embeddings"] = (
+        _KM_BODY
+        + """
+        SELECT vec_id, cluster, round(d, 6) AS dist FROM af
+    """
+    )
+    sql["semantic_dup_embeddings"] = (
+        _KM_BODY
+        + """
+        , afd AS (
+          SELECT vec_id, cluster,
+                 [CAST(x AS DOUBLE) for x in embedding] AS v
+          FROM af
+        ),
+        pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster,
+                 round(
+                   list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v))), 6
+                 ) AS cos_sim
+          FROM afd a JOIN afd b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, cluster, cos_sim
+        FROM pairs WHERE cos_sim >= 0.4
+    """
+    )
     # cross-document substring dedup: positional 8-token shingles,
     # hash equi-join, gaps-and-islands longest-run per (pair, diagonal)
     sql["substring_dup_docs"] = f"""

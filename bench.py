@@ -77,8 +77,10 @@ HEADLINE = [
     # estimation join; the rollup shares the daily counter plan)
     "cms_heavy_hitters_daily",
     # round 4: cross-document substring dedup (positional shingle
-    # equi-join + gaps-and-islands longest run)
+    # equi-join + gaps-and-islands longest run) and SemDeDup
+    # (k-means clustering + cluster-local cosine pairs)
     "substring_dup_docs",
+    "semantic_dup_embeddings",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

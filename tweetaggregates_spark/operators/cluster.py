@@ -343,3 +343,146 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
+
+
+def kmeans(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed Lloyd k-means over an embedding column — the
+    clustering stage of SemDeDup-style semantic dedup (Abbas et al.
+    2023) and of IVF index building.
+
+    Scale shape (the standard MapReduce Lloyd): per iteration the k x d
+    centroid table BROADCASTS, assignment is map-side (one ordered
+    fold per (row, centroid) — k*d flops, no shuffle), and the centroid
+    update is ONE shuffle keyed (cluster, dim) whose state is k x d
+    accumulators regardless of corpus size (posexplode fans each vector
+    into d rows that partial-aggregate map-side). Nothing iterates on
+    the driver; lineage is truncated per round like the CC loop above.
+
+    Determinism across engines (the oracle replays every step):
+    * init = the k vectors with the smallest ids (deterministic seed;
+      production swaps in k-means|| with a seeded sample — same loop);
+    * centroid means go through DECIMAL(28,12) sums (order-free) and
+      round(6) — so both engines hold IDENTICAL centroids each round;
+    * distances are sequential left folds in array order (F.aggregate /
+      list comprehension), ties broken by cluster id.
+
+    Returns (assignments, centroids): (id, cluster, dist) after the
+    final assignment, and the final (cluster, centroid array). Empty
+    clusters drop (both engines identically).
+    """
+    from pyspark.sql import Window as W
+
+    vec = F.col(vec_col)
+    centroids = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(W.orderBy(id_col)) - 1).alias("cluster"),
+            F.transform(vec, lambda x: x.cast("double")).alias("carr"),
+        )
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        j = df.select(F.col(id_col).alias("_id"), vec.alias("_v")).crossJoin(
+            F.broadcast(cents)
+        )
+        dist = F.aggregate(
+            F.zip_with(
+                "_v", "carr", lambda x, c: (x.cast("double") - c) ** 2
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, d: acc + d,
+        )
+        ranked = j.select("_id", "_v", "cluster", dist.alias("_d"))
+        best = ranked.groupBy("_id").agg(
+            F.min(F.struct("_d", "cluster")).alias("_m"),
+            F.first("_v").alias("_v"),
+        )
+        return best.select(
+            F.col("_id"),
+            F.col("_v"),
+            F.col("_m.cluster").alias("cluster"),
+            F.col("_m._d").alias("dist"),
+        )
+
+    assigned = None
+    for _ in range(iters):
+        assigned = assign(centroids)
+        centroids = (
+            assigned.select("cluster", F.posexplode("_v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("x").cast("double").cast("decimal(28,12)")
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("c")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda s: s["c"],
+                ).alias("carr")
+            )
+        )
+        centroids = centroids.localCheckpoint(eager=False)
+    final = assign(centroids).select(
+        F.col("_id").alias(id_col),
+        "cluster",
+        F.round("dist", 6).alias("dist"),
+    )
+    return final, centroids.select("cluster", F.col("carr").alias("centroid"))
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
+    then emit near-duplicate pairs (cosine >= threshold) WITHIN each
+    cluster only — the all-pairs comparison becomes cluster-local, the
+    same cost collapse as IVF bucketing, with the clusters LEARNED from
+    the data instead of taken from a label column (knn_bucketed). Pairs
+    crossing a cluster boundary are missed by design — that is the
+    SemDeDup tradeoff; raise k for tighter buckets or run the banded
+    sign-LSH variant when recall must be 1."""
+    from tweetaggregates_spark.functions.vectors import as_double, cosine_sim
+
+    assigned, _ = kmeans(df, vec_col, id_col, k, iters)
+    emb = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).join(
+        assigned.select(F.col(id_col).alias("_id"), "cluster"), "_id"
+    )
+    a = emb.alias("a")
+    b = emb.alias("b").hint("shuffle_hash")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("vec_a"),
+            F.col("b._id").alias("vec_b"),
+            F.col("a.cluster").alias("cluster"),
+            F.round(
+                cosine_sim(as_double(F.col("a._v")), as_double(F.col("b._v"))),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

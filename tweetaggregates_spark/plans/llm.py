@@ -328,6 +328,27 @@ def label_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(emb)
 
 
+def kmeans_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=8, 2 iterations, deterministic
+    lowest-id init): final (vec_id, cluster, dist) assignment —
+    operators/cluster.kmeans; every step replayed by the DuckDB twin."""
+    from tweetaggregates_spark.operators.cluster import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(emb, k=8, iters=2)
+    return assigned
+
+
+def semantic_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means clusters, then
+    cluster-local cosine near-dup pairs at >= 0.4 —
+    operators/cluster.semantic_dup_pairs."""
+    from tweetaggregates_spark.operators.cluster import semantic_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dup_pairs(emb, k=8, iters=2, threshold=0.4)
+
+
 def quantized_embeddings_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 symmetric quantization of every embedding: scale + exact
     integer summary stats (the full qvec is checked through q_sum /
