@@ -213,3 +213,49 @@ def test_zorder_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == ev.count()
     assert set(back.columns) == {"user_id", "value", "ts"}
+
+
+def test_store_zorder_numeric_entity_family(spark, tmp_path):
+    """retweets' entity column is numeric (id): the z-order path must
+    bucketize it directly (no string prefix key) with the same
+    row-preserving, entity-skipping layout."""
+    import datetime
+
+    from tweetaggregates_spark.store import AggregateStore
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (
+            base + datetime.timedelta(minutes=i % 1440),
+            (i * 131) % 100000,
+            i % 20,
+        )
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(
+        rows, "window_time timestamp, id long, cnt long"
+    )
+    st = AggregateStore(spark, str(tmp_path / "agg"))
+    st.write("retweets", df, files_per_day=16)
+    files = glob.glob(f"{st.root}/retweets/window_date=*/part-*.parquet")
+    assert len(files) >= 16
+    # row fidelity through the layout
+    back = sorted(tuple(r) for r in st.read("retweets").collect())
+    assert back == sorted(tuple(r) for r in df.collect())
+    # entity-only box prunes: collect per-file id ranges from footers
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for i in range(g.num_columns):
+                col = g.column(i)
+                if col.path_in_schema == "id" and col.statistics:
+                    s = col.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        ranges.append((lo, hi))
+    e_lo, e_hi = 45000, 55000  # 10% of the id space
+    hits = sum(1 for lo, hi in ranges if hi >= e_lo and lo <= e_hi)
+    assert hits <= len(files) // 2, (hits, len(files))
