@@ -263,9 +263,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_value_daily": sequence.time_weighted_value_daily,
         "daily_growth_by_type": sequence.daily_growth_by_type,
         "cumulative_new_users": sequence.cumulative_new_users,
-        # round 4: learned-cluster semantic dedup (SemDeDup)
+        # round 4: learned-cluster semantic dedup (SemDeDup) + PQ ANN
         "kmeans_clusters_embeddings": llm.kmeans_clusters_embeddings,
         "semantic_dup_embeddings": llm.semantic_dup_embeddings,
+        "knn_pq_embeddings": llm.knn_pq_embeddings,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1559,20 +1560,80 @@ def oracle_sql() -> dict[str, str]:
                  [CAST(x AS DOUBLE) for x in embedding] AS v
           FROM af
         ),
+        afn AS (
+          SELECT vec_id, cluster,
+                 [x / sqrt(list_dot_product(v, v)) for x in v] AS nv
+          FROM afd
+        ),
         pairs AS (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster,
-                 round(
-                   list_dot_product(a.v, b.v) /
-                   (sqrt(list_dot_product(a.v, a.v)) *
-                    sqrt(list_dot_product(b.v, b.v))), 6
-                 ) AS cos_sim
-          FROM afd a JOIN afd b
+                 round(list_dot_product(a.nv, b.nv), 6) AS cos_sim
+          FROM afn a JOIN afn b
             ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         )
         SELECT vec_a, vec_b, cluster, cos_sim
         FROM pairs WHERE cos_sim >= 0.4
     """
     )
+    # PQ/ADC ANN with the init-only codebook (code c = subvector of the
+    # c-th lowest-id vector): encode by per-subspace argmin, query
+    # distance tables, ADC = subspace-ORDERED fold of table lookups
+    sql["knn_pq_embeddings"] = f"""
+        WITH emb AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+          FROM embeddings
+        ),
+        init AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+          FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
+        ),
+        ss AS (SELECT unnest(range(0, 4)) AS subspace),
+        cb AS (
+          SELECT ss.subspace, init.code,
+                 v[ss.subspace * 16 + 1 : ss.subspace * 16 + 16] AS centroid
+          FROM init CROSS JOIN ss
+        ),
+        subs AS (
+          SELECT vec_id, ss.subspace,
+                 v[ss.subspace * 16 + 1 : ss.subspace * 16 + 16] AS sv
+          FROM emb CROSS JOIN ss
+        ),
+        encr AS (
+          SELECT s.vec_id, s.subspace, c.code,
+                 list_sum([ (s.sv[i] - c.centroid[i]) * (s.sv[i] - c.centroid[i])
+                            for i in range(1, 17) ]) AS d
+          FROM subs s JOIN cb c ON s.subspace = c.subspace
+        ),
+        enc AS (
+          SELECT vec_id, subspace, code FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id, subspace ORDER BY d, code) AS rn
+            FROM encr) WHERE rn = 1
+        ),
+        dtable AS (
+          SELECT s.vec_id AS query_id, s.subspace, c.code,
+                 list_sum([ (s.sv[i] - c.centroid[i]) * (s.sv[i] - c.centroid[i])
+                            for i in range(1, 17) ]) AS dp
+          FROM subs s JOIN cb c ON s.subspace = c.subspace
+          WHERE s.vec_id < 10
+        ),
+        scored AS (
+          SELECT t.query_id, e.vec_id AS neighbor_id,
+                 list_sum(list(t.dp ORDER BY t.subspace)) AS approx_dist
+          FROM enc e JOIN dtable t
+            ON e.subspace = t.subspace AND e.code = t.code
+          WHERE t.query_id <> e.vec_id
+          GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id,
+               round(approx_dist, 6) AS approx_dist,
+               CAST(rnk AS INTEGER) AS knn_rank
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+    """
     # cross-document substring dedup: positional 8-token shingles,
     # hash equi-join, gaps-and-islands longest-run per (pair, diagonal)
     sql["substring_dup_docs"] = f"""

@@ -81,6 +81,7 @@ HEADLINE = [
     # (k-means clustering + cluster-local cosine pairs)
     "substring_dup_docs",
     "semantic_dup_embeddings",
+    "knn_pq_embeddings",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

@@ -379,11 +379,20 @@ def kmeans(
     from pyspark.sql import Window as W
 
     vec = F.col(vec_col)
+    # rank the k seed rows in one partition — input is k rows by
+    # construction (post-limit). The pmod(id, 1) partition key is
+    # always 0 but NOT compile-time foldable, which keeps Catalyst
+    # from stripping it and re-emitting the WindowExec "no partition"
+    # warning into otherwise-clean sweep logs.
+    one_part = F.pmod(F.col(id_col), F.lit(1))
     centroids = (
         df.orderBy(id_col)
         .limit(k)
         .select(
-            (F.row_number().over(W.orderBy(id_col)) - 1).alias("cluster"),
+            (
+                F.row_number().over(W.partitionBy(one_part).orderBy(id_col))
+                - 1
+            ).alias("cluster"),
             F.transform(vec, lambda x: x.cast("double")).alias("carr"),
         )
     )
@@ -434,7 +443,11 @@ def kmeans(
                 ).alias("carr")
             )
         )
-        centroids = centroids.localCheckpoint(eager=False)
+        # EAGER: the centroid table is k rows — materializing it once per
+        # iteration stops every later assignment pass from re-running
+        # the whole Lloyd lineage (lazy checkpointing made the sf0.1
+        # semantic-dedup query recompute k-means three times over)
+        centroids = centroids.localCheckpoint(eager=True)
     final = assign(centroids).select(
         F.col("_id").alias(id_col),
         "cluster",
@@ -459,13 +472,21 @@ def semantic_dup_pairs(
     crossing a cluster boundary are missed by design — that is the
     SemDeDup tradeoff; raise k for tighter buckets or run the banded
     sign-LSH variant when recall must be 1."""
-    from tweetaggregates_spark.functions.vectors import as_double, cosine_sim
+    from tweetaggregates_spark.functions.vectors import as_double, dot, norm
 
     assigned, _ = kmeans(df, vec_col, id_col, k, iters)
-    emb = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).join(
-        assigned.select(F.col(id_col).alias("_id"), "cluster"), "_id"
+    # normalize ONCE per vector (|corpus| norms) so each of the
+    # O(cluster²) pairs costs a single in-order dot fold, not three —
+    # cos(a, b) == dot(a/|a|, b/|b|); the oracle mirrors the same form
+    emb = (
+        df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_vd"))
+        .select(
+            "_id",
+            F.transform(
+                "_vd", lambda x: x / norm(F.col("_vd"))
+            ).alias("_nv"),
+        )
+        .join(assigned.select(F.col(id_col).alias("_id"), "cluster"), "_id")
     )
     a = emb.alias("a")
     b = emb.alias("b").hint("shuffle_hash")
@@ -479,10 +500,7 @@ def semantic_dup_pairs(
             F.col("a._id").alias("vec_a"),
             F.col("b._id").alias("vec_b"),
             F.col("a.cluster").alias("cluster"),
-            F.round(
-                cosine_sim(as_double(F.col("a._v")), as_double(F.col("b._v"))),
-                6,
-            ).alias("cos_sim"),
+            F.round(dot(F.col("a._nv"), F.col("b._nv")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

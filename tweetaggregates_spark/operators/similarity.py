@@ -727,3 +727,207 @@ def embedding_health_stats(
             6,
         ).alias("avg_l2_norm"),
     )
+
+
+# -- Product quantization (PQ) ANN (round 4) ---------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m_subvectors: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Train a product-quantization codebook (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+    d-dim vector into m contiguous subvectors and run k-means
+    independently in each subspace (operators/cluster.kmeans — the
+    deterministic distributed Lloyd). Returns the codebook as a small
+    DataFrame (subspace, code, centroid: array<double>) of m x k rows.
+
+    Scale shape: each subspace's training is the kmeans loop (broadcast
+    centroids, map-side assign, k x d/m shuffle state); the m trainings
+    are independent jobs over column slices of the SAME scan. The
+    codebook is m*k*(d/m) doubles = k*d total — always broadcastable."""
+    from pyspark.sql import functions as F
+
+    from tweetaggregates_spark.operators.cluster import kmeans
+
+    dim = len(df.select(vec_col).first()[0])
+    assert dim % m_subvectors == 0, "dim must divide into m subvectors"
+    sub = dim // m_subvectors
+    books = []
+    for s in range(m_subvectors):
+        part = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
+        )
+        _, cents = kmeans(part, k=k_codes, iters=iters)
+        books.append(
+            cents.select(
+                F.lit(s).alias("subspace"),
+                F.col("cluster").alias("code"),
+                F.col("centroid"),
+            )
+        )
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector as m codes — nearest codebook centroid per
+    subspace. Output long form: (id, subspace, code). Map-side:
+    the codebook broadcasts, argmin is a per-row fold; the stored
+    representation is m small ints per vector instead of d floats —
+    the memory/IO compression that lets a 100 TB corpus's index fit
+    hot storage."""
+    from pyspark.sql import functions as F
+
+    sub_dim = codebook.select(F.size("centroid")).first()[0]
+    m = codebook.select(F.max("subspace")).first()[0] + 1
+    subs = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
+                    for s in range(m)
+                ]
+            )
+        ).alias("subspace", "sv"),
+    )
+    j = subs.join(F.broadcast(codebook), "subspace")
+    dist = F.aggregate(
+        F.zip_with("sv", "centroid", lambda x, c: (x.cast("double") - c) ** 2),
+        F.lit(0.0).cast("double"),
+        lambda acc, d: acc + d,
+    )
+    return (
+        j.select("_id", "subspace", "code", dist.alias("_d"))
+        .groupBy("_id", "subspace")
+        .agg(F.min(F.struct("_d", "code")).alias("_m"))
+        .select(
+            F.col("_id").alias(id_col),
+            "subspace",
+            F.col("_m.code").alias("code"),
+        )
+    )
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m_subvectors: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    codebook: DataFrame | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """ANN via asymmetric distance computation (ADC) over PQ codes:
+    each query precomputes an m x k_codes table of squared distances
+    from its subvectors to every code centroid; a corpus vector's
+    approximate distance is the SUM of m table lookups on its codes —
+    no corpus float vector is ever touched at query time.
+
+    Plan shape: the per-query distance tables (|Q| * m * k rows,
+    query-side only) BROADCAST; corpus codes (long form, m rows/vector)
+    equi-join them on (subspace, code) — map-side — then one groupBy
+    (query, vec) sums the m parts and a per-query rank keeps top-k.
+    The only full-corpus pass reads codes, i.e. m ints per vector: at
+    100 TB of raw embeddings the scan is ~d/m * 4x smaller. Recall is
+    approximate (quantization error); rescore survivors with
+    knn_bruteforce on the candidate set when exactness matters.
+
+    Output: query_id, neighbor_id, approx_dist (rounded 6), knn_rank
+    (ties broken by neighbor id; self excluded).
+
+    ``normalize=True`` (default) unit-normalizes both sides first, so
+    squared L2 order == cosine order (||a-b||² = 2 - 2cos on unit
+    vectors) — the metric the rest of this module ranks by. Pass False
+    for raw-L2 ANN or when supplying a codebook trained on raw
+    vectors."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    if normalize:
+        from tweetaggregates_spark.functions.vectors import as_double, norm
+
+        def _unit(d):
+            return d.select(
+                F.col(id_col),
+                F.transform(
+                    as_double(vec_col).alias("_vd"),
+                    lambda x: x / norm(as_double(vec_col)),
+                ).alias(vec_col),
+            )
+
+        corpus = _unit(corpus)
+        queries = _unit(queries)
+    if codebook is None:
+        codebook = pq_train(
+            corpus, vec_col, id_col, m_subvectors, k_codes, iters
+        )
+    codebook = codebook.persist()
+    codes = pq_encode(corpus, codebook, vec_col, id_col)
+
+    sub_dim = codebook.select(F.size("centroid")).first()[0]
+    m = codebook.select(F.max("subspace")).first()[0] + 1
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
+                    for s in range(m)
+                ]
+            )
+        ).alias("subspace", "sv"),
+    )
+    dist = F.aggregate(
+        F.zip_with("sv", "centroid", lambda x, c: (x.cast("double") - c) ** 2),
+        F.lit(0.0).cast("double"),
+        lambda acc, d: acc + d,
+    )
+    dtable = qsubs.join(F.broadcast(codebook), "subspace").select(
+        "query_id", "subspace", "code", dist.alias("dp")
+    )
+    # the m per-subspace parts sum in SUBSPACE ORDER (ordered fold, not
+    # F.sum) so the double result is engine-deterministic for the oracle
+    part_sum = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "dp"))),
+            lambda s: s["dp"],
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(dtable), ["subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(part_sum.alias("approx_dist"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = W.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("approx_dist", 6).alias("approx_dist"),
+            "knn_rank",
+        )
+    )

@@ -349,6 +349,28 @@ def semantic_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dup_pairs(emb, k=8, iters=2, threshold=0.4)
 
 
+def knn_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC ANN (similarity.knn_pq): top-5 neighbors for the first 10
+    vectors from m=4 subspace codes. Registered with the INIT-ONLY
+    codebook (iters=0: code c = subvector of the c-th lowest-id vector)
+    so the DuckDB twin replays the whole path — train/encode/distance
+    tables/ordered ADC fold — without unrolling Lloyd; the trained-
+    codebook path is pinned by tests/test_pq.py instead."""
+    from tweetaggregates_spark.operators.similarity import knn_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_pq(
+        emb,
+        queries,
+        k=5,
+        m_subvectors=4,
+        k_codes=16,
+        iters=0,
+        normalize=False,
+    )
+
+
 def quantized_embeddings_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 symmetric quantization of every embedding: scale + exact
     integer summary stats (the full qvec is checked through q_sum /
