@@ -55,3 +55,24 @@ def test_semantic_dup_pairs_are_cluster_local_and_thresholded(spark):
     for r in rows:
         assert r.cos_sim >= 0.4
         assert cl[r.vec_a] == cl[r.vec_b] == r.cluster
+
+
+def test_semantic_dup_adaptive_k_bounds_cluster_size(spark):
+    """k=None derives k from target_cluster_size so no cluster exceeds
+    ~2x the target (kmeans balance is approximate) — the rule that
+    keeps the pair join linear at scale."""
+    from tweetaggregates_spark.operators.cluster import kmeans
+    import math
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    target = 100
+    k = max(2, math.ceil(n / target))
+    a, _ = kmeans(emb, k=k, iters=2)
+    sizes = [r["count"] for r in a.groupBy("cluster").count().collect()]
+    assert max(sizes) <= 3 * target, sorted(sizes, reverse=True)[:5]
+    # and the pairs path accepts k=None end to end
+    pairs = semantic_dup_pairs(
+        emb, k=None, iters=2, threshold=0.4, target_cluster_size=100
+    )
+    assert pairs.count() >= 0

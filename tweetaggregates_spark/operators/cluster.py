@@ -460,9 +460,10 @@ def semantic_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 8,
+    k: int | None = 8,
     iters: int = 2,
     threshold: float = 0.8,
+    target_cluster_size: int = 250,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
     then emit near-duplicate pairs (cosine >= threshold) WITHIN each
@@ -471,7 +472,22 @@ def semantic_dup_pairs(
     the data instead of taken from a label column (knn_bucketed). Pairs
     crossing a cluster boundary are missed by design — that is the
     SemDeDup tradeoff; raise k for tighter buckets or run the banded
-    sign-LSH variant when recall must be 1."""
+    sign-LSH variant when recall must be 1.
+
+    Scale rule — k MUST grow with the corpus: with fixed k, cluster
+    size is n/k and the pair join is O(n²/k) (measured: exponent 1.3
+    per decade at k=8). Pass ``k=None`` to derive
+    k = ceil(n / target_cluster_size), which pins cluster size and
+    makes pair cost O(n x target_cluster_size) — linear per decade.
+    This is how SemDeDup deploys (k scales with corpus; the paper uses
+    tens of thousands of clusters for billions of documents). Measured
+    (SCALE.md): fixed k=8 runs 4.3 s -> 85.9 s across sf0.1 -> sf1
+    (exponent 1.3); k=None/250 runs 5.0 s -> 7.7 s (exponent 0.19)."""
+    if k is None:
+        import math
+
+        n = df.count()
+        k = max(2, math.ceil(n / target_cluster_size))
     from tweetaggregates_spark.functions.vectors import as_double, dot, norm
 
     assigned, _ = kmeans(df, vec_col, id_col, k, iters)
