@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters_embeddings": llm.kmeans_clusters_embeddings,
         "semantic_dup_embeddings": llm.semantic_dup_embeddings,
         "knn_pq_embeddings": llm.knn_pq_embeddings,
+        "lm_quality_docs": llm.lm_quality_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1575,6 +1576,31 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs WHERE cos_sim >= 0.4
     """
     )
+    # unigram-LM quality scores: both engines fit the same add-1
+    # smoothed model, round log p to 9 dp, and DECIMAL-sum per doc
+    sql["lm_quality_docs"] = f"""
+        WITH toksrc AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS token FROM toksrc),
+        model AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                       count(*) AS vocab
+                FROM model),
+        lp AS (
+          SELECT token,
+                 round(ln((c + 1.0) / (n_total + 1.0 * vocab)), 9) AS lp
+          FROM model CROSS JOIN tot
+        ),
+        perdoc AS (
+          SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 round(CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE)
+                       / count(*), 6) AS avg_logprob
+          FROM tok t JOIN lp USING (token)
+          GROUP BY 1
+        )
+        SELECT doc_id, n_tokens, avg_logprob,
+               round(exp(-avg_logprob), 6) AS ppl
+        FROM perdoc
+    """
     # PQ/ADC ANN with the init-only codebook (code c = subvector of the
     # c-th lowest-id vector): encode by per-subspace argmin, query
     # distance tables, ADC = subspace-ORDERED fold of table lookups

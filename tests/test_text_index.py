@@ -117,3 +117,21 @@ def test_latest_snapshot_last_write_wins(spark):
     assert click["last_value"] == 3.0
     assert click["n_versions"] == 3
     assert out[(7, "view")]["n_versions"] == 1
+
+
+def test_unigram_lm_scores_common_below_rare(spark):
+    """The LM quality filter's defining property: a document made of
+    corpus-typical tokens has lower perplexity than one made of rare
+    tokens; smoothing keeps every score finite."""
+    from tweetaggregates_spark.operators.text import (
+        unigram_logprob_scores,
+    )
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    rows.append((100, "the quick brown fox"))          # all common
+    rows.append((101, "zyzzyva quokka axolotl warbler"))  # all rare
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_logprob_scores(df).collect()}
+    assert out[100].ppl < out[101].ppl
+    assert out[100].avg_logprob > out[101].avg_logprob
+    assert all(r.ppl >= 1.0 and r.n_tokens > 0 for r in out.values())

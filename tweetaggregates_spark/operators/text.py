@@ -466,3 +466,64 @@ def chunk_documents(
     )
     # drop a trailing empty/duplicate window (when n <= tok_start)
     return out.filter(F.col("n_tokens") > 0)
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Model-based quality scoring (round 4): per-document mean token
+    log-probability / perplexity under an add-alpha-smoothed UNIGRAM
+    language model fit on the corpus itself — the CCNet/Gopher-style
+    "LM quality filter" reduced to its distributed essentials (real
+    deployments swap in a pretrained KenLM; the dataflow is identical:
+    broadcast-or-join a token->logprob table onto exploded tokens).
+
+    Determinism across engines: log p values round to 9 dp, per-doc
+    sums run through DECIMAL(28,12) (order-free, exact), one final
+    divide + round(6); perplexity = round(exp(avg), 6) of the already-
+    rounded average. ln/exp agree to well under 1e-9 between JVM and
+    DuckDB libm, so the rounding absorbs any last-ulp differences.
+
+    Scale shape: token explode -> ONE groupBy(token) for the model
+    (vocab-sized state, partial-aggregated map-side) -> a token
+    equi-join to score (shuffle on token; broadcast it instead when
+    the vocab fits) -> one groupBy(doc). No driver-side model object.
+
+    Output: doc_id, n_tokens, avg_logprob (round 6, <= 0), ppl
+    (round 6, >= 1); lower ppl = more typical of the corpus."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    model = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    totals = model.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    logp = model.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.round(
+            F.log(
+                (F.col("c") + F.lit(float(alpha)))
+                / (F.col("n_total") + F.lit(float(alpha)) * F.col("vocab"))
+            ),
+            9,
+        ).alias("lp"),
+    )
+    scored = tok.join(logp.hint("shuffle_hash"), "token")
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum(F.col("lp").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_logprob"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "avg_logprob",
+        F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
+    )

@@ -66,6 +66,13 @@ def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
 
 
+def lm_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram-LM mean log-probability + perplexity
+    (operators/text.unigram_logprob_scores) — the model-based quality
+    filter of the CCNet/Gopher curation recipe."""
+    return text.unigram_logprob_scores(_docs(spark, sf_dir))
+
+
 def substring_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document substring dedup: pairs sharing a verbatim span of
     >= 8 tokens, with shared-shingle count and longest-span length
