@@ -23,6 +23,8 @@ DEFAULT = [
     "knn_pq_embeddings",
     "conversion_funnel",
     "running_total_counts",
+    "lm_quality_docs",
+    "simhash_pairs_banded",  # round-4 production width (32-bit)
 ]
 
 SFS = [
