@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dup_embeddings": llm.semantic_dup_embeddings,
         "knn_pq_embeddings": llm.knn_pq_embeddings,
         "lm_quality_docs": llm.lm_quality_docs,
+        "media_frames_docs": llm.media_frames_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1326,6 +1327,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(checksum % 480 + 1 AS INTEGER) AS height,
                checksum
         FROM h
+    """
+    # strided frame sampling: frame i = bytes [i*32, i*32+32) of the
+    # blob, stride = ceil(n/8); checksum mirrors the media_meta rule
+    sql["media_frames_docs"] = """
+        WITH m AS (SELECT doc_id, encode(text) AS media FROM documents),
+        meta AS (
+          SELECT doc_id, media,
+                 octet_length(media) // 32 AS n
+          FROM m WHERE octet_length(media) >= 32
+        ),
+        idx AS (
+          SELECT doc_id, media,
+                 unnest(range(0, n, CAST(ceil(n / 8.0) AS BIGINT)))
+                   AS frame_index
+          FROM meta
+        ),
+        fr AS (
+          -- DuckDB substring() has no BLOB overload: slice the hex
+          -- form (2 chars per byte) instead
+          SELECT doc_id, frame_index,
+                 substr(hex(media),
+                        CAST(frame_index * 64 + 1 AS BIGINT), 64) AS slhex
+          FROM idx
+        )
+        SELECT doc_id,
+               CAST(frame_index AS INTEGER) AS frame_index,
+               CAST(frame_index * 40 AS BIGINT) AS ts_ms,
+               CAST(length(slhex) // 2 AS BIGINT) AS n_frame_bytes,
+               ((('0x' || rpad(substr(slhex, 1, 16), 16, '0'))::UBIGINT)
+                 % 1152921504606846976)::BIGINT AS frame_checksum
+        FROM fr
     """
     sql["repetition_docs"] = f"""
         WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),

@@ -477,3 +477,28 @@ def test_substring_dup_pairs_span_semantics(spark):
         df_bp, span_tokens=8, max_doc_freq=2
     ).collect()
     assert capped == []
+
+
+def test_sample_frames_expansion_bounded_and_deterministic(spark, docs):
+    """1:N Arrow expansion: each payload yields ceil(n/stride) <=
+    max_frames frame rows, strided evenly, reproducible run to run."""
+    media = multimodal.attach_fake_media(docs)
+    frames = multimodal.sample_frames(media, max_frames=8)
+    rows = sorted(map(tuple, frames.collect()))
+    assert rows == sorted(map(tuple, frames.collect()))
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r[0], []).append(r)
+    assert per_doc, "expected at least one doc with >= 32 bytes"
+    n_docs_multi = 0
+    for doc_id, fr in per_doc.items():
+        assert 1 <= len(fr) <= 8
+        if len(fr) > 1:
+            n_docs_multi += 1
+            idxs = [f[1] for f in fr]
+            strides = {b - a for a, b in zip(idxs, idxs[1:])}
+            assert len(strides) == 1  # even stride
+        for f in fr:
+            assert f[2] == f[1] * 40  # 25 fps timestamps
+            assert f[3] == 32
+    assert n_docs_multi > 0

@@ -127,3 +127,61 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "media").mapInPandas(_extract, MEDIA_META_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("n_frame_bytes", LongType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_bytes: int = 32,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Video frame sampling over an opaque binary column — the 1:N
+    Arrow expansion shape (one input payload -> many frame rows) every
+    real video pipeline needs. The synthetic 'codec' treats the payload
+    as fixed-size frames (frame_bytes each) at 25 fps and keeps an
+    evenly-strided sample of at most max_frames; a real decoder swaps
+    the slice loop for pyav/ffmpeg, the Spark-side contract (schema,
+    batching, expansion, partitioning) is identical and is what this
+    operator pins. Deterministic, so the DuckDB oracle reproduces every
+    frame row from the blob bytes."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, sizes, sums = [], [], [], [], []
+            for doc, blob in zip(pdf[id_col], pdf["media"]):
+                n = len(blob) // frame_bytes
+                if n == 0:
+                    continue
+                stride = max(1, -(-n // max_frames))  # ceil(n/max)
+                for i in list(range(0, n, stride))[:max_frames]:
+                    sl = blob[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(doc)
+                    idxs.append(i)
+                    tss.append(i * 40)  # 25 fps
+                    sizes.append(len(sl))
+                    sums.append(
+                        int.from_bytes(sl[:8].ljust(8, b"\0"), "big")
+                        % (1 << 60)
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "ts_ms": pd.Series(tss, dtype="int64"),
+                    "n_frame_bytes": pd.Series(sizes, dtype="int64"),
+                    "frame_checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(_frames, FRAME_SCHEMA)

@@ -186,6 +186,16 @@ def media_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(attach_fake_media(_docs(spark, sf_dir)))
 
 
+def media_frames_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling over the binary media column — the 1:N
+    Arrow expansion (operators/multimodal.sample_frames); every frame
+    row is deterministic from the blob bytes, so the DuckDB twin
+    reproduces them."""
+    from tweetaggregates_spark.operators.multimodal import sample_frames
+
+    return sample_frames(attach_fake_media(_docs(spark, sf_dir)))
+
+
 def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dup-cluster assignment: connected components (hash-min label
     propagation, operators/cluster.py) over the MinHash-LSH pair graph.
