@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq_embeddings": llm.knn_pq_embeddings,
         "lm_quality_docs": llm.lm_quality_docs,
         "media_frames_docs": llm.media_frames_docs,
+        "media_waveform_docs": llm.media_waveform_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1358,6 +1359,40 @@ def oracle_sql() -> dict[str, str]:
                ((('0x' || rpad(substr(slhex, 1, 16), 16, '0'))::UBIGINT)
                  % 1152921504606846976)::BIGINT AS frame_checksum
         FROM fr
+    """
+    # audio chunking: first min(ceil(bytes/128), 6) windows of 128
+    # bytes (1 byte == 1 ms), mean byte energy per window
+    sql["media_waveform_docs"] = """
+        WITH m AS (SELECT doc_id, encode(text) AS media FROM documents),
+        meta AS (
+          SELECT doc_id, media,
+                 least((octet_length(media) + 127) // 128, 6) AS nch
+          FROM m WHERE octet_length(media) > 0
+        ),
+        idx AS (
+          SELECT doc_id, media,
+                 unnest(range(0, nch)) AS chunk_index
+          FROM meta
+        ),
+        ch AS (
+          SELECT doc_id, chunk_index,
+                 substr(hex(media),
+                        CAST(chunk_index * 256 + 1 AS BIGINT), 256) AS slhex
+          FROM idx
+        ),
+        feat AS (
+          SELECT doc_id, chunk_index, length(slhex) // 2 AS n_chunk_bytes,
+                 [ (('0x' || substr(slhex, (j - 1) * 2 + 1, 2))::BIGINT)
+                   for j in range(1, length(slhex) // 2 + 1) ] AS bytes
+          FROM ch
+        )
+        SELECT doc_id,
+               CAST(chunk_index AS INTEGER) AS chunk_index,
+               CAST(chunk_index * 128 AS BIGINT) AS start_ms,
+               CAST(n_chunk_bytes AS BIGINT) AS n_chunk_bytes,
+               round(CAST(list_sum(bytes) AS DOUBLE) / n_chunk_bytes, 6)
+                 AS mean_energy
+        FROM feat
     """
     sql["repetition_docs"] = f"""
         WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),

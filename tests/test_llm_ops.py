@@ -502,3 +502,29 @@ def test_sample_frames_expansion_bounded_and_deterministic(spark, docs):
             assert f[2] == f[1] * 40  # 25 fps timestamps
             assert f[3] == 32
     assert n_docs_multi > 0
+
+
+def test_chunk_waveform_windows_and_energy(spark, docs):
+    """Audio chunking: contiguous fixed-size windows from the payload
+    head (bounded by max_chunks), 1 byte == 1 ms timeline, and the
+    mean-energy feature equals the exact byte average."""
+    media = multimodal.attach_fake_media(docs)
+    out = multimodal.chunk_waveform(media, max_chunks=6).collect()
+    assert out
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    import math
+
+    for doc_id, chunks in per_doc.items():
+        chunks.sort(key=lambda r: r.chunk_index)
+        assert [c.chunk_index for c in chunks] == list(range(len(chunks)))
+        assert len(chunks) <= 6
+        blob = texts[doc_id].encode("utf-8")
+        for c in chunks:
+            sl = blob[c.chunk_index * 128 : (c.chunk_index + 1) * 128]
+            assert c.n_chunk_bytes == len(sl)
+            assert c.start_ms == c.chunk_index * 128
+            want = math.floor(sum(sl) / len(sl) * 1e6 + 0.5) / 1e6
+            assert c.mean_energy == want

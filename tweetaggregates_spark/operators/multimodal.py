@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -185,3 +186,66 @@ def sample_frames(
             )
 
     return df.select(id_col, "media").mapInPandas(_frames, FRAME_SCHEMA)
+
+
+WAVEFORM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_index", IntegerType()),
+        StructField("start_ms", LongType()),
+        StructField("n_chunk_bytes", LongType()),
+        StructField("mean_energy", DoubleType()),
+    ]
+)
+
+
+def chunk_waveform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    chunk_bytes: int = 128,
+    max_chunks: int = 6,
+) -> DataFrame:
+    """Audio chunking + feature extraction over an opaque binary
+    column: split the payload into fixed-size waveform windows (the
+    synthetic codec treats it as 1 kHz 8-bit PCM: chunk_bytes bytes =
+    chunk_bytes ms), keep the first max_chunks, and emit one row per
+    chunk with a computed signal statistic (mean byte energy) — the
+    exact dataflow a real fingerprinting/VAD pass uses with librosa or
+    torchaudio swapped into the per-chunk loop. Deterministic from the
+    blob bytes, so the DuckDB oracle reproduces every chunk row."""
+    import math
+
+    import numpy as np
+
+    def _chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, sizes, energies = [], [], [], [], []
+            for doc, blob in zip(pdf[id_col], pdf["media"]):
+                n_chunks = min(
+                    -(-len(blob) // chunk_bytes), max_chunks
+                )
+                for i in range(n_chunks):
+                    sl = blob[i * chunk_bytes : (i + 1) * chunk_bytes]
+                    if not sl:
+                        continue
+                    arr = np.frombuffer(sl, dtype=np.uint8)
+                    ids.append(doc)
+                    idxs.append(i)
+                    starts.append(i * chunk_bytes)  # 1 byte == 1 ms
+                    sizes.append(len(sl))
+                    # half-UP rounding (not Python's half-even): byte
+                    # sums / power-of-two lengths land exactly on .5
+                    # ties, and SQL round() is half-away-from-zero
+                    mean = float(arr.sum()) / len(sl)
+                    energies.append(math.floor(mean * 1e6 + 0.5) / 1e6)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_index": pd.Series(idxs, dtype="int32"),
+                    "start_ms": pd.Series(starts, dtype="int64"),
+                    "n_chunk_bytes": pd.Series(sizes, dtype="int64"),
+                    "mean_energy": pd.Series(energies, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(_chunks, WAVEFORM_SCHEMA)

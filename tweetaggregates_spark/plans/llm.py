@@ -196,6 +196,15 @@ def media_frames_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_fake_media(_docs(spark, sf_dir)))
 
 
+def media_waveform_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking + mean-energy features over the binary column
+    (operators/multimodal.chunk_waveform) — deterministic synthetic
+    codec, every chunk row reproduced by the DuckDB twin."""
+    from tweetaggregates_spark.operators.multimodal import chunk_waveform
+
+    return chunk_waveform(attach_fake_media(_docs(spark, sf_dir)))
+
+
 def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dup-cluster assignment: connected components (hash-min label
     propagation, operators/cluster.py) over the MinHash-LSH pair graph.
