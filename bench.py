@@ -86,6 +86,8 @@ HEADLINE = [
     # `semantic_dup_adaptive` below — same pattern as simhash64.
     "substring_dup_docs",
     "knn_pq_embeddings",
+    "lm_quality_docs",
+    "media_frames_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size
