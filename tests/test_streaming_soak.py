@@ -230,3 +230,45 @@ def test_bounded_example_state_on_viral_entity(spark, tmp_path):
         a = sorted(map(tuple, stores["cap"].read(fam).collect()))
         b = sorted(map(tuple, stores["nocap"].read(fam).collect()))
         assert a == b, fam
+
+
+def test_rate_source_sustained_cadence(spark, tmp_path):
+    """Fixed-cadence soak on the synthetic rate source: the pipeline
+    ingests a generator stream (no files) at a fixed trigger interval,
+    processes rows every trigger, parses them into valid unified rows,
+    and accrues bounded windowed state."""
+    from tweetaggregates_spark.sources.tweets import read_tweets_rate
+
+    lines = read_tweets_rate(spark, rows_per_second=2000)
+    # (state > 0 below proves the generated JSON parses and explodes
+    # into unified rows — unparseable lines would leave state empty)
+    [q] = run_streaming_aggregates(
+        spark,
+        input_path=None,
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=False,
+        state_shuffle_partitions=4,
+        lines_df=lines,
+        trigger_seconds=1.0,
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            progress = [p for p in q.recentProgress if p.numInputRows > 0]
+            if len(progress) >= 3:
+                break
+            time.sleep(0.5)
+        assert len(progress) >= 3, "expected >= 3 non-empty triggers"
+        rows = sum(p.numInputRows for p in progress)
+        assert rows >= 3000, rows
+        state = max(
+            (s.numRowsTotal for p in progress for s in p.stateOperators),
+            default=0,
+        )
+        # state accrues (windows x families x entities) but stays far
+        # below the raw row count — the aggregation is doing its job
+        assert 0 < state < rows, (state, rows)
+    finally:
+        q.stop()
+        q.awaitTermination()

@@ -131,6 +131,8 @@ def run_streaming_aggregates(
     state_shuffle_partitions: int | None = None,
     bounded_examples: bool = True,
     source_parallelism: int | None = None,
+    lines_df: DataFrame | None = None,
+    trigger_seconds: float | None = None,
 ) -> list:
     """Run the full five-family pipeline over a stream of NDJSON files
     in a SINGLE streaming query (source read once per micro-batch), with
@@ -258,10 +260,18 @@ def run_streaming_aggregates(
         finally:
             stage1_batch.unpersist()
 
-    reader = spark.readStream
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    lines = reader.text(input_path)
+    if lines_df is not None:
+        # caller-provided line stream (rate-source load generator,
+        # socket, Kafka value column, ...): same `value` contract as
+        # the file source, everything downstream identical
+        lines = lines_df
+    else:
+        reader = spark.readStream
+        if max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", max_files_per_trigger
+            )
+        lines = reader.text(input_path)
     if source_parallelism:
         # a drop-dir batch is typically ONE small file = ONE input
         # partition; fan the raw lines out so JSON parse + explode +
@@ -285,6 +295,8 @@ def run_streaming_aggregates(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if state_shuffle_partitions is not None:
         spark.conf.set(
