@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_docs": llm.lm_quality_docs,
         "media_frames_docs": llm.media_frames_docs,
         "media_waveform_docs": llm.media_waveform_docs,
+        "bpe_merges_docs": llm.bpe_merges_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1643,6 +1644,28 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs WHERE cos_sim >= 0.4
     """
     )
+    # BPE merge candidates: adjacent char pairs over the distinct-word
+    # frequency table, weighted by word count
+    sql["bpe_merges_docs"] = f"""
+        WITH toksrc AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+        w AS (SELECT unnest(toks) AS word FROM toksrc),
+        wf AS (
+          SELECT word, count(*) AS wc
+          FROM w WHERE length(word) >= 2 GROUP BY 1
+        ),
+        p AS (
+          SELECT wc,
+                 unnest([ substr(word, i, 1) || ' ' || substr(word, i + 1, 1)
+                          for i in range(1, length(word)) ]) AS pair
+          FROM wf
+        ),
+        c AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count
+              FROM p GROUP BY 1)
+        SELECT pair, pair_count,
+               CAST(row_number() OVER (
+                 ORDER BY pair_count DESC, pair ASC) AS INTEGER) AS rank
+        FROM c ORDER BY pair_count DESC, pair ASC LIMIT 20
+    """
     # unigram-LM quality scores: both engines fit the same add-1
     # smoothed model, round log p to 9 dp, and DECIMAL-sum per doc
     sql["lm_quality_docs"] = f"""

@@ -135,3 +135,20 @@ def test_unigram_lm_scores_common_below_rare(spark):
     assert out[100].ppl < out[101].ppl
     assert out[100].avg_logprob > out[101].avg_logprob
     assert all(r.ppl >= 1.0 and r.n_tokens > 0 for r in out.values())
+
+
+def test_bpe_merge_candidates_counts_and_rank(spark):
+    """Hand-computable corpus: pair counts are word-frequency weighted
+    and the rank-1 pair is BPE's first merge."""
+    from tweetaggregates_spark.operators.text import bpe_merge_candidates
+
+    # "ab" x3, "abc" x1 -> pair "a b": 4, "b c": 1; single chars ignored
+    df = _docs(
+        spark,
+        [(1, "ab ab abc"), (2, "ab x y z")],
+    )
+    rows = {r.pair: r for r in bpe_merge_candidates(df, top_n=10).collect()}
+    assert rows["a b"].pair_count == 4
+    assert rows["a b"].rank == 1
+    assert rows["b c"].pair_count == 1
+    assert "x" not in {p.split()[0] for p in rows}  # 1-char words drop

@@ -527,3 +527,59 @@ def unigram_logprob_scores(
         "avg_logprob",
         F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 20,
+) -> DataFrame:
+    """One BPE training iteration (Sennrich et al. 2016): the frequency
+    of every ADJACENT SYMBOL PAIR across the corpus, weighted by word
+    frequency — the statistic whose argmax becomes the next merge rule.
+    Iterating this (apply top merge, recount) trains the tokenizer; one
+    distributed iteration is the shape that matters, and it is the same
+    plan every round: word-frequency table (one groupBy, vocab-sized),
+    char-pair explode per DISTINCT word (work scales with |vocab|, not
+    corpus tokens — the key trick), weighted pair aggregation, top-N
+    rank with deterministic (count desc, pair asc) ties.
+
+    Output: pair ("x y"), pair_count, rank (1 = the merge BPE would
+    pick)."""
+    from pyspark.sql import Window as W
+
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.concat(
+                    F.col("word").substr(i, F.lit(1)),
+                    F.lit(" "),
+                    F.col("word").substr(i + 1, F.lit(1)),
+                ),
+            )
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.sum("wc").cast("long").alias("pair_count")
+    )
+    # rank the top-N survivors only (TakeOrderedAndProject); the
+    # non-foldable always-0 partition key avoids the single-partition
+    # window warning on what is a <= top_n-row input
+    w = W.partitionBy(F.pmod(F.length("pair"), F.lit(1))).orderBy(
+        F.desc("pair_count"), F.asc("pair")
+    )
+    return (
+        counts.orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(w))
+        .select("pair", "pair_count", "rank")
+    )

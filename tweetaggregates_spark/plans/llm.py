@@ -73,6 +73,13 @@ def lm_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logprob_scores(_docs(spark, sf_dir))
 
 
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merge candidates (adjacent char-pair frequencies
+    weighted by word frequency) — the first tokenizer-training
+    iteration (operators/text.bpe_merge_candidates)."""
+    return text.bpe_merge_candidates(_docs(spark, sf_dir), top_n=20)
+
+
 def substring_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document substring dedup: pairs sharing a verbatim span of
     >= 8 tokens, with shared-shingle count and longest-span length
