@@ -152,3 +152,55 @@ def test_bpe_merge_candidates_counts_and_rank(spark):
     assert rows["a b"].rank == 1
     assert rows["b c"].pair_count == 1
     assert "x" not in {p.split()[0] for p in rows}  # 1-char words drop
+
+
+def _python_bpe(word_freqs, n_merges):
+    """Reference BPE (Sennrich'16) with (count desc, pair asc) ties and
+    greedy left-to-right non-overlapping merge application."""
+    table = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, syms in table.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_freqs[w]
+        if not counts:
+            break
+        (a, b), _ = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        for w, syms in table.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            table[w] = out
+    return merges, table
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed trainer must reproduce the reference BPE's merge
+    sequence AND final segmentation exactly, including the repeated-
+    symbol greedy case ('aaaa' + (a,a) -> [aa, aa])."""
+    from tweetaggregates_spark.operators.text import bpe_train
+
+    docs = [
+        (1, "lower lower lower newest newest widest"),
+        (2, "low low low lower newest aaaa"),
+        (3, "newest newest widest low aaaa aaaa"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    word_freqs = {}
+    for _, t in docs:
+        for w in t.split():
+            word_freqs[w] = word_freqs.get(w, 0) + 1
+    want_merges, want_table = _python_bpe(word_freqs, 6)
+
+    merges, table = bpe_train(df, n_merges=6)
+    assert merges == want_merges
+    got_table = {
+        "".join(r.syms): (r.wc, list(r.syms)) for r in table.collect()
+    }
+    for w, syms in want_table.items():
+        assert got_table["".join(syms)] == (word_freqs[w], syms), w

@@ -583,3 +583,89 @@ def bpe_merge_candidates(
         .withColumn("rank", F.row_number().over(w))
         .select("pair", "pair_count", "rank")
     )
+
+
+def _apply_merge(syms, a: str, b: str):
+    """Greedy left-to-right non-overlapping BPE merge of adjacent
+    symbols (a, b) -> a||b inside one array column — a single
+    F.aggregate fold, no UDF: append each symbol unless it extends the
+    pair, in which case the accumulator's tail is replaced by the
+    merged symbol. (Composed symbols compare as full strings, so the
+    "aaa" + (a,a) case correctly yields ["aa", "a"].)"""
+    empty = F.array().cast("array<string>")
+    return F.aggregate(
+        syms,
+        empty,
+        lambda out, s: F.when(
+            (F.size(out) > 0)
+            & (F.element_at(out, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(out, 1, F.size(out) - 1),
+                F.array(F.lit(a + b)),
+            ),
+        ).otherwise(F.concat(out, F.array(s))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Full (small-vocabulary) BPE training loop (Sennrich et al.
+    2016): iterate `bpe_merge_candidates`' statistic, each round
+    committing the argmax pair as a merge rule and rewriting the
+    symbolized word table with `_apply_merge`. Returns (merge rules in
+    order, final symbolized word-frequency table).
+
+    Distributed shape per round: ONE pair-count aggregation over the
+    |vocab|-row symbol table (never the corpus), a 1-row collect for
+    the argmax (the merge RULE is driver-state by definition — it IS
+    the model), one map-side fold to apply it, and a lineage
+    checkpoint. Ties break (count desc, pair asc) so training is
+    deterministic; pinned against a pure-Python reference BPE in
+    tests/test_text_index.py."""
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    table = words.select(
+        "wc",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ).alias("syms"),
+    ).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts = (
+            table.filter(F.size("syms") >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("a"),
+                            F.element_at("syms", i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("wc").alias("pc"))
+        )
+        top = pair_counts.orderBy(
+            F.desc("pc"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        table = table.select(
+            "wc", _apply_merge(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint()
+    return merges, table
