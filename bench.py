@@ -88,6 +88,7 @@ HEADLINE = [
     "knn_pq_embeddings",
     "lm_quality_docs",
     "media_frames_docs",
+    "bpe_merges_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

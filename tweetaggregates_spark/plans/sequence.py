@@ -208,10 +208,13 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     again after still reaches n_view via the later view."""
     ev = _events(spark, sf_dir)
     stages = ["signup", "view", "click", "purchase"]
-    stage_ev = ev.filter(F.col("event_type").isin(stages)).select(
-        "user_id", "event_type", "ts"
-    )
-    per_user = stage_ev.groupBy("user_id").agg(
+    # ONE groupBy over ALL users (not just stage participants): the
+    # per-stage collect_list skips non-stage rows via the NULL case,
+    # and n_users falls out as the group count — no separate
+    # countDistinct scan/expand, no cross join. One scan, one shuffle.
+    per_user = ev.select("user_id", "event_type", "ts").groupBy(
+        "user_id"
+    ).agg(
         *[
             F.array_sort(
                 F.collect_list(F.when(F.col("event_type") == s, F.col("ts")))
@@ -228,19 +231,18 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"r_{s}",
             F.array_min(F.filter(F.col(f"a_{s}"), lambda t: t >= prev_col)),
         )
-    reach_counts = r.agg(
+    return r.agg(
+        # countDistinct semantics: one group per user, nulls excluded
+        F.coalesce(
+            F.sum(F.col("user_id").isNotNull().cast("long")), F.lit(0)
+        ).alias("n_users"),
         *[
             F.coalesce(
                 F.sum(F.col(f"r_{s}").isNotNull().cast("long")), F.lit(0)
             ).alias(f"n_{s}")
             for s in stages
-        ]
-    )
-    return (
-        ev.agg(F.countDistinct("user_id").alias("n_users"))
-        .crossJoin(reach_counts)
-        .select("n_users", *[f"n_{s}" for s in stages])
-    )
+        ],
+    ).select("n_users", *[f"n_{s}" for s in stages])
 
 
 def conversion_funnel_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
