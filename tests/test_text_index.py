@@ -204,3 +204,38 @@ def test_bpe_train_matches_reference(spark):
     }
     for w, syms in want_table.items():
         assert got_table["".join(syms)] == (word_freqs[w], syms), w
+
+
+def test_bpe_token_counts_match_reference_segmentation(spark):
+    """Applying the trained tokenizer: per-doc BPE token counts equal
+    the reference segmentation's symbol counts; OOV words fall back to
+    character count."""
+    from tweetaggregates_spark.operators.text import (
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    train_docs = [
+        (1, "lower lower lower newest newest widest"),
+        (2, "low low low lower newest aaaa"),
+    ]
+    df = spark.createDataFrame(train_docs, "doc_id long, text string")
+    word_freqs = {}
+    for _, t in train_docs:
+        for w in t.split():
+            word_freqs[w] = word_freqs.get(w, 0) + 1
+    merges, table = bpe_train(df, n_merges=5)
+    _, want_table = _python_bpe(word_freqs, 5)
+
+    # score the training docs plus one doc with an OOV word
+    score_docs = train_docs + [(3, "lower unseenword")]
+    sdf = spark.createDataFrame(score_docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in bpe_token_counts(sdf, table).collect()}
+    for doc_id, t in train_docs:
+        want = sum(len(want_table[w]) for w in t.split())
+        assert out[doc_id].n_bpe_tokens == want, doc_id
+        assert out[doc_id].n_words == len(t.split())
+    # OOV falls back to char count
+    assert out[3].n_bpe_tokens == len(want_table["lower"]) + len(
+        "unseenword"
+    )

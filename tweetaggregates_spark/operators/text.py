@@ -633,6 +633,7 @@ def bpe_train(
         .agg(F.count(F.lit(1)).alias("wc"))
     )
     table = words.select(
+        "word",
         "wc",
         F.transform(
             F.sequence(F.lit(1), F.length("word")),
@@ -666,6 +667,38 @@ def bpe_train(
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
         table = table.select(
-            "wc", _apply_merge(F.col("syms"), a, b).alias("syms")
+            "word", "wc", _apply_merge(F.col("syms"), a, b).alias("syms")
         ).localCheckpoint()
     return merges, table
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    segmented_vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE tokenizer: per-document token counts under
+    the segmentation `bpe_train` produced. Production shape — the
+    segmenter is a VOCAB LOOKUP (broadcast join of the |vocab|-row
+    (word -> symbols) table onto exploded words), never a re-derivation
+    per occurrence; out-of-vocabulary words fall back to character
+    count (the fully-unmerged segmentation — what an untrained word
+    degrades to).
+
+    Output: doc_id, n_words, n_bpe_tokens."""
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    )
+    seg = segmented_vocab.select("word", F.size("syms").alias("n_sym"))
+    return (
+        words.join(F.broadcast(seg), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(
+                F.coalesce(F.col("n_sym"), F.length("word"))
+            ).cast("long").alias("n_bpe_tokens"),
+        )
+    )
