@@ -2598,8 +2598,11 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["conversion_funnel"] = """
         WITH s1 AS (
+          -- anonymous events form no funnel (both Spark variants
+          -- filter NULL user_id up front; later joins would drop it
+          -- implicitly anyway, asymmetrically)
           SELECT user_id, min(ts) AS r1 FROM events
-          WHERE event_type = 'signup' GROUP BY 1
+          WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY 1
         ),
         s2 AS (
           SELECT e.user_id, min(e.ts) AS r2

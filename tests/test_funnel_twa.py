@@ -109,3 +109,32 @@ def test_twa_is_burst_invariant(spark, tmp_path):
     assert out["n_events"] == 11
     # 10 minutes of 100 vs 23h50m of 0 => TWA ~ 100 * 10/1440 ~ 0.69
     assert out["twa_value"] < 1.0, out["twa_value"]
+
+
+def test_funnel_variants_agree_on_null_users(spark, tmp_path):
+    """Review r4 fix: anonymous (NULL user_id) events are excluded from
+    funnel stages in BOTH variants — previously the single-shuffle fold
+    counted the NULL group's later stages while the joined variant's
+    inner joins dropped it."""
+    import pyspark.sql.functions as F
+
+    from tweetaggregates_spark.plans import sequence
+
+    df = _ev(
+        spark,
+        [
+            (1, "signup", 1, 0), (1, "view", 2, 0),
+            (2, "signup", 1, 0),
+        ],
+    ).unionByName(
+        _ev(spark, [(99, "signup", 3, 0), (99, "view", 4, 0)]).withColumn(
+            "user_id", F.lit(None).cast("long")
+        )
+    )
+    sf_dir = _write_single_file(df, tmp_path)
+    a = sequence.conversion_funnel(spark, sf_dir).collect()[0]
+    b = sequence.conversion_funnel_joined(spark, sf_dir).collect()[0]
+    assert tuple(a) == tuple(b)
+    assert a["n_signup"] == 2 and a["n_view"] == 1
+    # n_users counts distinct NON-NULL users (countDistinct semantics)
+    assert a["n_users"] == 2

@@ -259,3 +259,27 @@ def test_store_zorder_numeric_entity_family(spark, tmp_path):
     e_lo, e_hi = 45000, 55000  # 10% of the id space
     hits = sum(1 for lo, hi in ranges if hi >= e_lo and lo <= e_hi)
     assert hits <= len(files) // 2, (hits, len(files))
+
+
+def test_string_order_key_clamps_unicode_without_overflow(spark):
+    """Review r4 fix: ascii() returns full code points, so non-Latin-1
+    first characters must clamp instead of overflowing the signed long;
+    Latin-1-deciding comparisons stay monotone."""
+    from tweetaggregates_spark.operators.layout import string_order_key
+
+    df = spark.createDataFrame(
+        [("a",), ("az",), ("b",), ("한글tag",), ("日x",), ("",), (None,)],
+        "s string",
+    )
+    rows = {
+        r.s: r.k
+        for r in df.select(
+            "s", string_order_key(F.col("s")).alias("k")
+        ).collect()
+    }
+    assert all(v >= 0 for v in rows.values())  # no sign overflow
+    assert rows["a"] < rows["az"] < rows["b"]  # ASCII order preserved
+    # any string starting > U+00FF sorts after all Latin-1 strings
+    assert rows["b"] < rows["한글tag"]
+    assert rows["b"] < rows["日x"]
+    assert rows[""] == rows[None] == 0

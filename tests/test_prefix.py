@@ -64,3 +64,24 @@ def test_prefix_sum_single_row_and_plan_partitioned(spark):
     for line in plan.splitlines():
         if "Window [" in line:
             assert "__b" in line, line
+
+
+def test_prefix_sum_null_keys_and_double_values(spark):
+    """Review r4 fixes: NULL order keys sort first (matching the global
+    window's ASC NULLS FIRST) without crashing the offset collect, and
+    fractional values keep their natural double type — no silent
+    truncation to long."""
+    df = spark.createDataFrame(
+        [(None, 0.5, 0), (1.0, 0.7, 1), (2.0, 0.25, 2), (None, 1.0, 3)],
+        "k double, v double, rid long",
+    )
+    got = partitioned_prefix_sum(
+        df, "k", "v", n_buckets=2, tiebreakers=["rid"]
+    )
+    assert dict(got.dtypes)["running_total"] == "double"
+    want = _reference(df, "k", "v", ("rid",))
+    from collections import Counter
+
+    assert Counter(map(tuple, got.collect())) == Counter(
+        map(tuple, want.collect())
+    )

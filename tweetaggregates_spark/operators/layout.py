@@ -47,15 +47,21 @@ def bucketize(col: Column, lo: float, hi: float, bits: int) -> Column:
 
 
 def string_order_key(col: Column, n_chars: int = 7) -> Column:
-    """Order-preserving numeric key from a string's first `n_chars`
-    bytes (8 bits each, 56 bits total at the default): enough resolution
-    to Morton-bucketize a string dimension. Strings equal on the prefix
-    collapse to one cell — that only coarsens skipping granularity,
-    never correctness (footer min/max stats remain exact on the real
-    column). NULL/empty strings key to 0."""
+    """Order-respecting numeric key from a string's first `n_chars`
+    characters (8 bits each, 56 bits total at the default): enough
+    resolution to Morton-bucketize a string dimension. Code points are
+    CLAMPED to [0, 255] — `ascii()` returns the full code point, so
+    without the clamp a single CJK first character would overflow the
+    signed long and scramble the clustering. Clamping keeps the key
+    monotone wherever the deciding character is Latin-1 (any char >
+    U+00FF sorts after all Latin-1, consistently); strings that tie on
+    the clamped prefix collapse to one cell — both cases only coarsen
+    skipping granularity, never correctness (footer min/max stats
+    remain exact on the real column). NULL/empty strings key to 0."""
     key: Column = F.lit(0).cast("long")
     for i in range(n_chars):
-        byte = F.coalesce(F.ascii(F.substring(col, i + 1, 1)), F.lit(0))
+        cp = F.coalesce(F.ascii(F.substring(col, i + 1, 1)), F.lit(0))
+        byte = F.least(F.greatest(cp, F.lit(0)), F.lit(255))
         key = key + F.shiftleft(byte.cast("long"), 8 * (n_chars - 1 - i))
     return key
 

@@ -52,10 +52,15 @@ def partitioned_prefix_sum(
             )
         )
     )
+    # NULL order keys take bucket -1 (sorting first, matching the
+    # global window's ASC NULLS FIRST); non-null keys get the monotone
+    # indicator sum — codegen-friendly, no UDF
     bucket = F.lit(0)
-    for c in cuts:  # monotone indicator sum — codegen-friendly, no UDF
+    for c in cuts:
         bucket = bucket + (key > F.lit(c)).cast("int")
-    b = df.withColumn("__b", bucket)
+    b = df.withColumn(
+        "__b", F.when(key.isNull(), F.lit(-1)).otherwise(bucket)
+    )
 
     from pyspark.sql import Window as W
 
@@ -68,7 +73,7 @@ def partitioned_prefix_sum(
     local = b.withColumn("__local", F.sum(value_col).over(wloc))
 
     totals = b.groupBy("__b").agg(F.sum(value_col).alias("__t")).collect()
-    offsets: dict[int, int] = {}
+    offsets: dict[int, float] = {}
     run = 0
     for row in sorted(totals, key=lambda r: r["__b"]):
         offsets[row["__b"]] = run
@@ -80,7 +85,9 @@ def partitioned_prefix_sum(
         off = F.coalesce(omap[F.col("__b")], F.lit(0))
     else:
         off = F.lit(0)
+    # result keeps the SUM's natural type (long for integers, double
+    # for fractional values) — no silent truncation
     return (
-        local.withColumn(out_col, (F.col("__local") + off).cast("long"))
+        local.withColumn(out_col, F.col("__local") + off)
         .drop("__b", "__local")
     )

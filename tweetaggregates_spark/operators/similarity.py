@@ -865,12 +865,23 @@ def knn_pq(
         from tweetaggregates_spark.functions.vectors import as_double, norm
 
         def _unit(d):
-            return d.select(
-                F.col(id_col),
-                F.transform(
-                    as_double(vec_col).alias("_vd"),
-                    lambda x: x / norm(as_double(vec_col)),
-                ).alias(vec_col),
+            # two-step select: the norm is computed ONCE per vector,
+            # not re-folded inside the per-element lambda
+            return (
+                d.select(
+                    F.col(id_col), as_double(vec_col).alias("_vd")
+                )
+                .select(
+                    F.col(id_col),
+                    "_vd",
+                    norm(F.col("_vd")).alias("_n"),
+                )
+                .select(
+                    F.col(id_col),
+                    F.transform(
+                        "_vd", lambda x: x / F.col("_n")
+                    ).alias(vec_col),
+                )
             )
 
         corpus = _unit(corpus)
@@ -879,7 +890,10 @@ def knn_pq(
         codebook = pq_train(
             corpus, vec_col, id_col, m_subvectors, k_codes, iters
         )
-    codebook = codebook.persist()
+    # eager local checkpoint, NOT persist: the k x m-row codebook is
+    # materialized once and its blocks are garbage-collected with the
+    # plan — a persist here would leak one cache entry per call
+    codebook = codebook.localCheckpoint(eager=True)
     codes = pq_encode(corpus, codebook, vec_col, id_col)
 
     sub_dim = codebook.select(F.size("centroid")).first()[0]

@@ -212,15 +212,23 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-stage collect_list skips non-stage rows via the NULL case,
     # and n_users falls out as the group count — no separate
     # countDistinct scan/expand, no cross join. One scan, one shuffle.
-    per_user = ev.select("user_id", "event_type", "ts").groupBy(
-        "user_id"
-    ).agg(
-        *[
-            F.array_sort(
-                F.collect_list(F.when(F.col("event_type") == s, F.col("ts")))
-            ).alias(f"a_{s}")
-            for s in stages
-        ]
+    # anonymous (NULL user_id) events cannot form a funnel: exclude
+    # them up front so both variants (and the oracle) agree — the
+    # joined variant's inner equi-joins drop the NULL key implicitly.
+    # collect_list order is irrelevant: only array_min / a >= filter
+    # are ever taken from the arrays, so no sort is needed.
+    per_user = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts")
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.collect_list(
+                    F.when(F.col("event_type") == s, F.col("ts"))
+                ).alias(f"a_{s}")
+                for s in stages
+            ]
+        )
     )
     r = per_user.withColumn(
         f"r_{stages[0]}", F.array_min(F.col(f"a_{stages[0]}"))
@@ -258,9 +266,9 @@ def conversion_funnel_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     production shape when per-user event arrays could be unbounded."""
     ev = _events(spark, sf_dir)
     stages = ["signup", "view", "click", "purchase"]
-    stage_ev = ev.filter(F.col("event_type").isin(stages)).select(
-        "user_id", "event_type", "ts"
-    )
+    stage_ev = ev.filter(
+        F.col("event_type").isin(stages) & F.col("user_id").isNotNull()
+    ).select("user_id", "event_type", "ts")
     reach = (
         stage_ev.filter(F.col("event_type") == stages[0])
         .groupBy("user_id")

@@ -275,8 +275,6 @@ def cap_example_payloads(
     hop cell) are extracted as flat columns JVM-SIDE so the pandas
     stage is pure vectorized sort/cumcount — no per-row Python, no
     struct access in the loop."""
-    import pandas as _pd  # local: keep module import light
-
     schema = unified.schema
     cols = [f.name for f in schema.fields]
     # flat helper columns: ranking never touches the struct in Python
