@@ -493,14 +493,15 @@ def semantic_dup_pairs(
     assigned, _ = kmeans(df, vec_col, id_col, k, iters)
     # normalize ONCE per vector (|corpus| norms) so each of the
     # O(cluster²) pairs costs a single in-order dot fold, not three —
-    # cos(a, b) == dot(a/|a|, b/|b|); the oracle mirrors the same form
+    # cos(a, b) == dot(a/|a|, b/|b|); the oracle mirrors the same form.
+    # The norm is hoisted into its own select (the knn_pq._unit shape)
+    # so the d-element fold runs once per vector, not once per element.
     emb = (
         df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_vd"))
+        .select("_id", "_vd", norm(F.col("_vd")).alias("_n"))
         .select(
             "_id",
-            F.transform(
-                "_vd", lambda x: x / norm(F.col("_vd"))
-            ).alias("_nv"),
+            F.transform("_vd", lambda x: x / F.col("_n")).alias("_nv"),
         )
         .join(assigned.select(F.col(id_col).alias("_id"), "cluster"), "_id")
     )

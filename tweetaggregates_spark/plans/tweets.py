@@ -35,6 +35,17 @@ from tweetaggregates_spark.schema import RAW_TWEET
 
 WINDOW_SIZE = "10 minutes"  # Query.cs:12
 HOP_SIZE = "1 minute"  # Query.cs:13
+# cap_example_payloads ranks within date_trunc(_HOP_CELL_UNIT) cells;
+# its exactness proof (every hopping window is a union of WHOLE hop
+# cells) holds only while the hop equals exactly one calendar unit of
+# that trunc — assert the coupling here so shrinking HOP_SIZE below a
+# minute loudly breaks instead of silently dropping valid top-k
+# payloads.
+_HOP_CELL_UNIT = "minute"
+assert HOP_SIZE == f"1 {_HOP_CELL_UNIT}", (
+    "HOP_SIZE and cap_example_payloads' hop-cell trunc unit must agree "
+    f"(HOP_SIZE={HOP_SIZE!r}, cell unit={_HOP_CELL_UNIT!r})"
+)
 
 
 def parse_tweets(lines: DataFrame, column: str = "value") -> DataFrame:
@@ -282,7 +293,7 @@ def cap_example_payloads(
         {
             "_pw": F.col("payload.w"),
             "_pid": F.col("payload.id"),
-            "_cell": F.date_trunc("minute", "ts"),
+            "_cell": F.date_trunc(_HOP_CELL_UNIT, "ts"),
         }
     )
     helper_schema = keyed.schema
