@@ -1546,13 +1546,34 @@ def oracle_sql() -> dict[str, str]:
         f" * (CAST({e}[i] AS DOUBLE) - {c}[i])"
         f" for i in range(1, len({e}) + 1) ])"
     )
-    _KM_BODY = f"""
-        WITH c0 AS (
+    # seed CTE variants: fixed k=8 (kmeans_clusters_embeddings) vs the
+    # adaptive production rule k = greatest(2, ceil(n/250)) — a
+    # deterministic function of the data, so the twin replays it
+    # (VERDICT r4 #2; mirrors cluster.semantic_dup_pairs k=None)
+    _C0_FIXED8 = """
+        c0 AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
                  [CAST(x AS DOUBLE) for x in embedding] AS carr
           FROM (SELECT vec_id, embedding FROM embeddings
                 ORDER BY vec_id LIMIT 8)
+        )
+    """
+    _C0_ADAPTIVE250 = """
+        kk AS (
+          SELECT greatest(2, CAST(ceil(count(*) / 250.0) AS BIGINT)) AS k
+          FROM embeddings
         ),
+        c0 AS (
+          SELECT rn - 1 AS cluster,
+                 [CAST(x AS DOUBLE) for x in embedding] AS carr
+          FROM (SELECT vec_id, embedding,
+                       row_number() OVER (ORDER BY vec_id) AS rn
+                FROM embeddings) e, kk
+          WHERE e.rn <= kk.k
+        )
+    """
+    _km_body = lambda c0: f"""
+        WITH {c0},
         a1r AS (
           SELECT e.vec_id, e.embedding, c.cluster,
                  {_KM_DIST("e.embedding", "c.carr")} AS d
@@ -1616,13 +1637,13 @@ def oracle_sql() -> dict[str, str]:
         )
     """
     sql["kmeans_clusters_embeddings"] = (
-        _KM_BODY
+        _km_body(_C0_FIXED8)
         + """
         SELECT vec_id, cluster, round(d, 6) AS dist FROM af
     """
     )
     sql["semantic_dup_embeddings"] = (
-        _KM_BODY
+        _km_body(_C0_ADAPTIVE250)
         + """
         , afd AS (
           SELECT vec_id, cluster,

@@ -375,11 +375,21 @@ def kmeans_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semantic_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means clusters, then
     cluster-local cosine near-dup pairs at >= 0.4 —
-    operators/cluster.semantic_dup_pairs."""
+    operators/cluster.semantic_dup_pairs.
+
+    Registered with the PRODUCTION adaptive-k rule (VERDICT r4 #2):
+    k = max(2, ceil(n / 250)) pins cluster size, making pair cost
+    O(n x 250) — measured sf1 exponent 0.19 vs 1.30 for fixed k=8
+    (SCALE.md). k is a deterministic function of the data, so the
+    DuckDB twin replays the same rule (greatest(2, ceil(count/250.0)))
+    and the oracle gate now exercises the plan we'd ship; the fixed-k
+    variant stays pinned in tests/test_kmeans.py."""
     from tweetaggregates_spark.operators.cluster import semantic_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dup_pairs(emb, k=8, iters=2, threshold=0.4)
+    return semantic_dup_pairs(
+        emb, k=None, iters=2, threshold=0.4, target_cluster_size=250
+    )
 
 
 def knn_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
