@@ -3,18 +3,28 @@ in ONE pass over the table — the data-quality reconnaissance every
 pipeline runs before trusting a new drop (schema drift, null storms,
 cardinality explosions, out-of-range values).
 
-One wide aggregate row (5 aggregates per column, all partial-aggregated
-map-side) rotated into long (column, stats) form AFTER the aggregate —
-the rotation touches |columns| rows, never the table. countDistinct is
-exact here (one expand per column); swap in approx_count_distinct for
-the 100 TB profile where +-2% is acceptable and the expand is not.
+Plan shape (VERDICT r4 #4): the table MELTS to narrow
+(column, value) rows — one array+explode projection, no shuffle —
+then ONE grouped aggregate per column computes count / nulls /
+exact distinct / min / max. With a single distinct aggregate Spark
+plans a two-level hash aggregate keyed (column, value) with map-side
+partial aggregation; the previous wide-agg form ran one countDistinct
+PER column, which Catalyst plans as an Expand that replicates the
+scan once per distinct column (x6 on the events table). The melt
+shuffles each value once, as a narrow row, instead of x|columns|
+wide replicas. Distinct counting is exact; swap countDistinct for
+approx_count_distinct at the 100 TB profile where +-2% is acceptable.
 
-Numeric and timestamp columns report min/max as doubles (timestamps as
-epoch seconds — NTZ-safe); string columns report lexicographic min/max.
-Every emitted value is engine-portable: counts are exact integers,
-numeric bounds are exact values already present in the data (no
-aggregation arithmetic), so the DuckDB oracle reproduces the profile
-bit-for-bit.
+Engine portability: the distinct key is the value's canonical string
+form — injective for every atomic type (Java Double.toString for
+doubles, microsecond-precision timestamp rendering, the identity for
+strings), so exact distinct counts equal the raw-column counts and
+the DuckDB oracle reproduces the profile bit-for-bit. Numeric and
+timestamp columns report min/max as doubles (timestamps as epoch
+seconds — NTZ-safe); string columns report lexicographic min/max.
+Complex (array/struct/binary) columns would need an injective
+encoding (e.g. base64/to_json) before the cast; the profiled tables
+here are all-atomic.
 """
 
 from __future__ import annotations
@@ -28,7 +38,7 @@ _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 def profile_table(df: DataFrame) -> DataFrame:
     """Profile every column of ``df``: (column, dtype, n_rows, n_nulls,
     n_distinct, min_num, max_num, min_str, max_str)."""
-    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    structs = []
     for name, dtype in df.dtypes:
         c = F.col(name)
         if dtype in _NUMERIC:
@@ -41,27 +51,25 @@ def profile_table(df: DataFrame) -> DataFrame:
         else:
             num = F.lit(None).cast("double")
         s = c.cast("string") if dtype == "string" else F.lit(None).cast("string")
-        aggs += [
-            F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"__nn_{name}"),
-            F.countDistinct(c).alias(f"__nd_{name}"),
-            F.min(num).alias(f"__mn_{name}"),
-            F.max(num).alias(f"__mx_{name}"),
-            F.min(s).alias(f"__ms_{name}"),
-            F.max(s).alias(f"__xs_{name}"),
-        ]
-    wide = df.agg(*aggs)
-    structs = [
-        F.struct(
-            F.lit(name).alias("column"),
-            F.lit(dtype).alias("dtype"),
-            F.col("__n_rows").alias("n_rows"),
-            F.col(f"__nn_{name}").alias("n_nulls"),
-            F.col(f"__nd_{name}").alias("n_distinct"),
-            F.col(f"__mn_{name}").alias("min_num"),
-            F.col(f"__mx_{name}").alias("max_num"),
-            F.col(f"__ms_{name}").alias("min_str"),
-            F.col(f"__xs_{name}").alias("max_str"),
+        structs.append(
+            F.struct(
+                F.lit(name).alias("column"),
+                F.lit(dtype).alias("dtype"),
+                num.alias("num_val"),
+                s.alias("str_val"),
+                # canonical string form: injective for atomic types, so
+                # countDistinct(dist_key) == countDistinct(raw column)
+                c.cast("string").alias("dist_key"),
+                F.when(c.isNull(), 1).otherwise(0).alias("is_null"),
+            )
         )
-        for name, dtype in df.dtypes
-    ]
-    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+    melted = df.select(F.explode(F.array(*structs)).alias("m")).select("m.*")
+    return melted.groupBy("column", "dtype").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("is_null").alias("n_nulls"),
+        F.countDistinct("dist_key").alias("n_distinct"),
+        F.min("num_val").alias("min_num"),
+        F.max("num_val").alias("max_num"),
+        F.min("str_val").alias("min_str"),
+        F.max("str_val").alias("max_str"),
+    )
