@@ -116,17 +116,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate samples the
-    # FIRST 50 entries. ROUND-4 ROTATION (VERDICT r3 #1): driver-side
-    # CORRECTNESS coverage accumulates across rounds, so the first
-    # block now holds 50 entries that have NEVER had a driver row
-    # (rounds 1-3 drove the previous curated block green — see
-    # CORRECTNESS_r0{1,2,3}.json). The block still spans every family:
-    # events/windows + anomaly/CDC shapes, the remaining TPC-H queries,
-    # HLL/rank/CMS mergeable-sketch rollups, dedup/similarity (incl.
-    # the new substring dedup), text-index, sampling/packing, and the
-    # sequence/window-function module. All 50 are hash-checkable (the
+    # FIRST 50 entries. ROUND-5 ROTATION (VERDICT r4 #1): the head now
+    # holds the 11 entries that had never had a driver-side row after
+    # round 4's rotation, plus the new round-5 incremental-dedup entry
+    # — with this block green, EVERY registered query has at least one
+    # driver CORRECTNESS row across rounds 1-5. The rest of the first
+    # 50 re-checks round-4's block; all 50 are hash-checkable (the
     # rows-only HLL-sketch entry stays after position 50).
     return {
+        # -- the 11 never-driver-checked entries (VERDICT r4 #1) --
+        "shuffle_order_docs": llm.shuffle_order_docs,
+        "time_weighted_value_daily": sequence.time_weighted_value_daily,
+        "daily_growth_by_type": sequence.daily_growth_by_type,
+        "cumulative_new_users": sequence.cumulative_new_users,
+        "kmeans_clusters_embeddings": llm.kmeans_clusters_embeddings,
+        "semantic_dup_embeddings": llm.semantic_dup_embeddings,
+        "knn_pq_embeddings": llm.knn_pq_embeddings,
+        "lm_quality_docs": llm.lm_quality_docs,
+        "media_frames_docs": llm.media_frames_docs,
+        "media_waveform_docs": llm.media_waveform_docs,
+        "bpe_merges_docs": llm.bpe_merges_docs,
+        # -- round 5: incremental cross-run dedup --
+        "incremental_dedup_docs": llm.incremental_dedup_docs,
         # -- events/windows: anomaly, CDC, profile, concentration --
         "dense_tumbling_counts": ev.dense_tumbling_counts,
         "daily_count_anomalies": ev.daily_count_anomalies,
@@ -171,10 +182,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel_docs": llm.curation_funnel_docs,
         # -- sampling / packing --
         "weighted_sample_docs": llm.weighted_sample_docs,
+        # ---- entries 51+ (driver-green in rounds 1-4, plus the
+        #      rows-only sketch entry; all still in the full local
+        #      oracle sweep every session) ----
         "mixture_plan_docs": llm.mixture_plan_docs,
         "split_docs": llm.split_docs,
         "pack_sequences_docs": llm.pack_sequences_docs,
-        # -- sequence / window-function module --
         "user_event_gaps": sequence.user_event_gaps,
         "event_type_transitions": sequence.event_type_transitions,
         "value_ntile_quartiles": sequence.value_ntile_quartiles,
@@ -184,9 +197,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": sequence.retention_cohorts,
         "user_value_skyline": sequence.user_value_skyline,
         "click_purchase_correlation": sequence.click_purchase_correlation,
-        # ---- entries 51+ (driver-green in rounds 1-3, plus the
-        #      rows-only sketch entry; all still in the full local
-        #      oracle sweep every session) ----
         "tumbling_counts": ev.tumbling_counts,
         "hopping_counts": ev.hopping_counts,
         "top_users_hopping": ev.top_users_hopping,
@@ -259,18 +269,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickers_who_purchased": ev.clickers_who_purchased,
         "value_quantiles_by_type": ev.value_quantiles_by_type,
         "purchase_asof_click": ev.purchase_asof_click,
-        "shuffle_order_docs": llm.shuffle_order_docs,
-        "time_weighted_value_daily": sequence.time_weighted_value_daily,
-        "daily_growth_by_type": sequence.daily_growth_by_type,
-        "cumulative_new_users": sequence.cumulative_new_users,
-        # round 4: learned-cluster semantic dedup (SemDeDup) + PQ ANN
-        "kmeans_clusters_embeddings": llm.kmeans_clusters_embeddings,
-        "semantic_dup_embeddings": llm.semantic_dup_embeddings,
-        "knn_pq_embeddings": llm.knn_pq_embeddings,
-        "lm_quality_docs": llm.lm_quality_docs,
-        "media_frames_docs": llm.media_frames_docs,
-        "media_waveform_docs": llm.media_waveform_docs,
-        "bpe_merges_docs": llm.bpe_merges_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1841,6 +1839,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
         FROM documents d LEFT JOIN labels l USING (doc_id)
     """
+    # incremental two-batch dedup is batching-invariant by construction
+    # (CC under component contraction), so its oracle IS the one-shot
+    # transitive closure — the hash gate proves the equivalence
+    sql["incremental_dedup_docs"] = sql["dedup_clusters_docs"]
     sql["canonical_docs"] = f"""
         WITH RECURSIVE {_lsh_cc_cte},
         cl AS (

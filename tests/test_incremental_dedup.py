@@ -1,0 +1,125 @@
+"""Incremental (cross-run) dedup: the persisted MinHash band index
+must make new-batch dedup EQUAL to a full recompute on the combined
+corpus (batching-invariance of connected components under
+component-contraction), including the cluster-merge path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tweetaggregates_spark.operators import dedup
+from tweetaggregates_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = load_table(spark, SF, "documents").select("doc_id", "text").persist()
+    d.count()
+    yield d
+    d.unpersist()
+
+
+def _index_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _clusters(df):
+    return dict(
+        df.select("doc_id", "cluster").distinct().rdd.map(tuple).collect()
+    )
+
+
+def test_incremental_equals_full_recompute(spark, docs, tmp_path):
+    """Index(batch1) + dedup_new_batch(batch2) == build_band_index(all),
+    through a parquet round trip of the index."""
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "band_index")
+    dedup.write_band_index(dedup.build_band_index(b1), path)
+    index = dedup.read_band_index(spark, path)
+    assignments, updated = dedup.dedup_new_batch(b2, index)
+
+    full = dedup.build_band_index(docs)
+    assert _index_rows(updated) == _index_rows(full)
+
+    # per-doc cluster assignment for the new batch matches the full
+    # recompute's component labels
+    full_clusters = _clusters(full)
+    for row in assignments.collect():
+        # docs with no bands (too short) are singletons in both
+        assert full_clusters.get(row.doc_id, row.doc_id) == row.cluster
+        assert row.is_duplicate == (row.cluster != row.doc_id)
+
+    # sanity: the corpus has planted near-dups, so the batch boundary
+    # is actually exercised (some cross-batch duplicate exists)
+    cross = assignments.filter(
+        F.col("is_duplicate") & (F.col("cluster") % 2 == 0)
+    ).count()
+    assert cross > 0, "expected cross-batch duplicates in testdata"
+
+
+def test_new_exact_duplicate_joins_existing_cluster(spark):
+    b1 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),
+         (20, "one two three four five six seven")],
+        ["doc_id", "text"],
+    )
+    b2 = spark.createDataFrame(
+        [(30, "alpha beta gamma delta epsilon zeta"),  # dup of 10
+         (40, "totally different content words here")],
+        ["doc_id", "text"],
+    )
+    index = dedup.build_band_index(b1)
+    assignments, updated = dedup.dedup_new_batch(b2, index)
+    asg = _clusters(assignments)
+    assert asg[30] == 10 and asg[40] == 40
+    # batching-invariance on the crafted corpus too
+    assert _index_rows(updated) == _index_rows(
+        dedup.build_band_index(b1.unionByName(b2))
+    )
+
+
+def test_smaller_new_doc_takes_over_cluster_label(spark):
+    """A new doc with a SMALLER id than its duplicate's existing
+    cluster becomes the new canonical — old index rows remap."""
+    b1 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    b2 = spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    assignments, updated = dedup.dedup_new_batch(
+        b2, dedup.build_band_index(b1)
+    )
+    assert _clusters(assignments) == {3: 3}
+    # every band row of doc 10 now carries cluster 3
+    assert _clusters(updated) == {3: 3, 10: 3}
+
+
+def test_three_batch_history_with_label_takeover(spark):
+    """Three successive batches: growth of existing clusters, an
+    unrelated cluster left untouched, then a smaller-id arrival that
+    remaps a grown cluster's every index row — the accumulated index
+    must equal the one-shot recompute at each step."""
+    t1 = "apple banana cherry date elderberry fig grape honeydew"
+    t2 = "kiwi lemon mango nectarine orange papaya quince raspberry"
+    b1 = spark.createDataFrame([(10, t1), (20, t2)], ["doc_id", "text"])
+    index = dedup.build_band_index(b1)
+    assert _clusters(index) == {10: 10, 20: 20}
+    b2 = spark.createDataFrame([(31, t1), (32, t2)], ["doc_id", "text"])
+    assignments, updated = dedup.dedup_new_batch(b2, index)
+    assert _clusters(assignments) == {31: 10, 32: 20}
+    assert _clusters(updated) == {10: 10, 20: 20, 31: 10, 32: 20}
+    # smaller-id arrival: cluster {10, 31} relabels to 5 everywhere,
+    # cluster 20 untouched
+    b3 = spark.createDataFrame([(5, t1)], ["doc_id", "text"])
+    assignments3, updated3 = dedup.dedup_new_batch(b3, updated)
+    assert _clusters(assignments3) == {5: 5}
+    assert _clusters(updated3) == {5: 5, 10: 5, 31: 5, 20: 20, 32: 20}
+    # the whole three-batch history equals one-shot recompute
+    assert _index_rows(updated3) == _index_rows(
+        dedup.build_band_index(b1.unionByName(b2).unionByName(b3))
+    )

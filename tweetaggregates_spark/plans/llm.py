@@ -224,6 +224,29 @@ def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-run dedup (operators/dedup.build_band_index +
+    dedup_new_batch): the corpus arrives as two batches (even doc_ids,
+    then odd), the second deduped against the first batch's persisted
+    band index only — never recomputing batch 1. Batching-invariance
+    makes the accumulated result EQUAL to the one-shot transitive
+    closure, so the oracle is dedup_clusters_docs' recursive-CTE twin:
+    the hash-match gate proves the incremental path lands on exactly
+    the full-recompute clusters."""
+    from tweetaggregates_spark.operators import dedup as dd
+
+    docs = _docs(spark, sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    index = dd.build_band_index(b1)
+    _, updated = dd.dedup_new_batch(b2, index)
+    labels = updated.select("doc_id", "cluster").distinct()
+    return docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster_id"),
+    )
+
+
 def canonical_docs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup resolution: one kept doc per near-dup cluster (highest
     n_chars, ties to lowest doc_id) with the cluster size."""
