@@ -97,6 +97,46 @@ def test_compact_refuses_concurrent_batch_arrivals(spark, tmp_path):
     assert st.read("counts").count() == 2 * counts.count()
 
 
+def test_compact_rolls_back_when_batch_lands_during_swap(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r4 (TOCTOU): a micro-batch landing AFTER the final
+    pre-swap check must still abort — the first rename moves the tree
+    to .__compact_old, the late batch recreates the family path, the
+    second rename fails, and the rollback folds the late batch back
+    into the restored tree. Nothing is destroyed."""
+    import os as _os
+
+    lines = make_tweets(300, seed=8)
+    f = tmp_path / "in.ndjson"
+    f.write_text("\n".join(lines) + "\n")
+    flat = tp.parse_tweets(spark.read.text(str(f)))
+    counts = tp.tumbling_counts(flat)
+    st = AggregateStore(spark, str(tmp_path / "agg"))
+    st.write_batch("counts", counts, 0)
+
+    real_rename = _os.rename
+    sneaked = {"done": False}
+
+    def sneaky_rename(src, dst):
+        real_rename(src, dst)
+        if str(dst).endswith(".__compact_old") and not sneaked["done"]:
+            sneaked["done"] = True
+            # non-quiesced sink: batch 99 lands right after the tree
+            # moved aside, recreating the family path
+            st.write_batch("counts", counts, 99)
+
+    monkeypatch.setattr(_os, "rename", sneaky_rename)
+    with pytest.raises(RuntimeError, match="rolled back"):
+        st.compact("counts")
+    monkeypatch.undo()
+    # both batches present and readable; no tmp/old litter
+    assert glob.glob(f"{st.root}/counts/batch_id=0")
+    assert glob.glob(f"{st.root}/counts/batch_id=99")
+    assert not glob.glob(f"{st.root}/counts.__compact_*")
+    assert st.read("counts").count() == 2 * counts.count()
+
+
 def test_compact_recovers_from_crash_between_renames(spark, tmp_path):
     """ADVICE r3: leftover .__compact_old trees from a crashed swap must
     not wedge every later compact. Roll FORWARD when the verified new

@@ -192,19 +192,66 @@ class AggregateStore:
                 "compaction (streaming sink not quiesced); aborted, "
                 "original left in place — stop the stream and re-run"
             )
+        # Two-phase swap with a post-rename re-check (ADVICE r4): a
+        # micro-batch landing between the pre-check above and the first
+        # rename travels WITH the tree into `old` and is caught by
+        # re-fingerprinting `old`; one landing AFTER the first rename
+        # recreates `path`, which makes rename(tmp, path) fail — both
+        # cases roll back with every batch preserved. (A writer holding
+        # an open dirfd into the renamed tree is undetectable by path:
+        # quiescing the sink remains the contract; this is defense in
+        # depth, not a lock.)
         os.rename(path, old)
-        os.rename(tmp, path)
+        try:
+            if self._dir_state(old) != snapshot:
+                raise RuntimeError(
+                    f"compact({family}): new micro-batches arrived during "
+                    "the swap (streaming sink not quiesced); rolled back, "
+                    "original left in place — stop the stream and re-run"
+                )
+            os.rename(tmp, path)
+        except OSError as e:
+            self._rollback_swap(path, old)
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compact({family}): swap failed ({e}); rolled back, "
+                "original left in place"
+            ) from e
+        except RuntimeError:
+            self._rollback_swap(path, old)
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         shutil.rmtree(old)
+
+    @staticmethod
+    def _rollback_swap(path: str, old: str) -> None:
+        """Restore `old` as `path`, folding in any batches a concurrent
+        writer dropped into a recreated `path` so nothing is lost."""
+        if os.path.exists(path):
+            for name in os.listdir(path):
+                os.rename(os.path.join(path, name), os.path.join(old, name))
+            os.rmdir(path)
+        os.rename(old, path)
 
     @staticmethod
     def _dir_state(path: str) -> tuple:
         """Fingerprint of a family tree's top-level entries: (name,
-        mtime_ns) pairs. New batch_id dirs AND in-place replays of an
-        existing batch dir both change it."""
+        inode, mtime_ns, ctime_ns) tuples. New batch_id dirs AND
+        in-place replays of an existing batch dir both change it — the
+        inode + ctime components catch replace-by-rename replays even
+        on filesystems with coarse mtime granularity."""
         try:
             with os.scandir(path) as it:
                 return tuple(
-                    sorted((e.name, e.stat().st_mtime_ns) for e in it)
+                    sorted(
+                        (
+                            e.name,
+                            e.stat().st_ino,
+                            e.stat().st_mtime_ns,
+                            e.stat().st_ctime_ns,
+                        )
+                        for e in it
+                    )
                 )
         except FileNotFoundError:
             return ()
