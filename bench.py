@@ -78,17 +78,16 @@ HEADLINE = [
     "cms_heavy_hitters_daily",
     # round 4: cross-document substring dedup (positional shingle
     # equi-join + gaps-and-islands longest run), PQ/ADC ANN, and
-    # SemDeDup. The oracle-checked semantic_dup_embeddings twin runs
-    # FIXED k=8 (deterministic for the DuckDB replay) whose cluster
-    # size — and pair cost — grows with the corpus (sf1 exponent 1.3,
-    # SCALE.md); the headline times the PRODUCTION shape instead
-    # (k=None, bounded cluster size, exponent 0.19) as
-    # `semantic_dup_adaptive` below — same pattern as simhash64.
+    # SemDeDup. Round 5: semantic_dup_embeddings is registered with
+    # the adaptive-k production rule itself (VERDICT r4 #2), timed
+    # below as `semantic_dup_adaptive` (name continuity with r4).
     "substring_dup_docs",
     "knn_pq_embeddings",
     "lm_quality_docs",
     "media_frames_docs",
     "bpe_merges_docs",
+    # round 5: incremental cross-run dedup (two-batch band index path)
+    "incremental_dedup_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size
@@ -152,12 +151,18 @@ def bench_streaming_drain(spark) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def bench_streaming_soak(spark) -> dict:
-    """Sustained-rate soak (VERDICT r3 #3): drain a 10-file drop dir one
-    file per trigger and report steady-state throughput and state size
-    from the query's own progress metrics — the numbers a capacity plan
-    needs (rows/s per trigger cadence, state rows held at the open
-    frontier)."""
+def bench_streaming_soak(
+    spark, total_rows: int = 50_000, n_files: int = 10
+) -> dict:
+    """Sustained-rate soak (VERDICT r3 #3): drain an n_files drop dir
+    one file per trigger and report steady-state throughput and state
+    size from the query's own progress metrics — the numbers a
+    capacity plan needs (rows/s per trigger cadence, state rows held
+    at the open frontier). The default 5k-row triggers measure the
+    per-trigger machinery floor; the large variant (VERDICT r4 #6,
+    total_rows=100k / n_files=2 => 50k-row triggers) demonstrates the
+    stated capacity rule that throughput scales with trigger size
+    because per-trigger overhead amortizes."""
     import json as _json
     import shutil
     import tempfile
@@ -172,14 +177,15 @@ def bench_streaming_soak(spark) -> dict:
         in_dir = os.path.join(root, "in")
         os.makedirs(in_dir)
         lines = sorted(
-            make_tweets(50_000, seed=13),
+            make_tweets(total_rows, seed=13),
             key=lambda ln: _json.loads(ln).get("timestamp_ms", "0")
             if ln.startswith("{")
             else "0",
         )
-        chunk = len(lines) // 10
-        for i in range(10):
-            lo, hi = i * chunk, (i + 1) * chunk if i < 9 else len(lines)
+        chunk = len(lines) // n_files
+        for i in range(n_files):
+            lo = i * chunk
+            hi = (i + 1) * chunk if i < n_files - 1 else len(lines)
             with open(os.path.join(in_dir, f"{i:03d}.ndjson"), "w") as f:
                 f.write("\n".join(lines[lo:hi]) + "\n")
         t0 = time.perf_counter()
@@ -255,6 +261,8 @@ def main() -> int:
         [bench_streaming_drain(spark) for _ in range(3)],
     )
     soak = bench_streaming_soak(spark)
+    # 50k-row triggers: the capacity-rule demonstration (r4 #6)
+    soak_large = bench_streaming_soak(spark, total_rows=100_000, n_files=2)
 
     # production-width simhash (bits=64, ~21-bit bands): the scale
     # configuration the bits=16 oracle-economy entry stands in for —
@@ -275,7 +283,9 @@ def main() -> int:
     _record("simhash64_pairs_banded", runs)
 
     # production-shaped SemDeDup: adaptive k pins cluster size (the
-    # scale rule; the fixed-k oracle twin is deliberately not timed)
+    # scale rule; since round 5 this IS the registered
+    # semantic_dup_embeddings plan — timed under the r4 name for
+    # cross-round comparability)
     from tweetaggregates_spark.operators.cluster import semantic_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -289,6 +299,12 @@ def main() -> int:
     _record("semantic_dup_adaptive", runs)
 
     total = round(sum(timings.values()), 3)
+    # Two output lines (VERDICT r4 #8): the driver records only the
+    # TAIL ~2000 chars of stdout, so the full verbose record prints
+    # FIRST and the LAST line is a compact JSON carrying the complete
+    # per-query dict — guaranteed to survive tail truncation and parse
+    # on its own.
+    calib = _calibrate(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -298,15 +314,32 @@ def main() -> int:
                 "queries": timings,
                 "query_stats": stats,
                 "streaming_soak": soak,
+                "streaming_soak_large": soak_large,
                 "sf": sf_dir,
                 # machine calibration: the shared host's throughput
                 # drifts 1.3-1.9x between sessions (SCALE.md caveat).
                 # Divide query timings by (calib / its prior value)
                 # before cross-round comparisons.
-                "calib": _calibrate(spark, sf_dir),
+                "calib": calib,
             }
         )
     )
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "soak_rps": [soak["rows_per_sec"], soak_large["rows_per_sec"]],
+        "sf": sf_dir,
+        "calib": calib,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    for drop in ("calib", "sf", "soak_rps"):
+        if len(line) <= 1900:
+            break
+        compact.pop(drop, None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     return 0
 
 
