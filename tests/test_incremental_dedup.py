@@ -99,6 +99,37 @@ def test_smaller_new_doc_takes_over_cluster_label(spark):
     assert _clusters(updated) == {3: 3, 10: 3}
 
 
+def test_exact_dedup_new_batch_matches_full_recompute(spark, docs):
+    """The content-hash index fold is batching-invariant (min/sum are
+    associative+commutative): two-batch == one-shot exact_dedup."""
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    assignments, updated = dedup.exact_dedup_new_batch(
+        b2, dedup.exact_dedup(b1)
+    )
+    assert _index_rows(updated) == _index_rows(dedup.exact_dedup(docs))
+    assert assignments.count() == b2.count()
+    full = {
+        r.content_hash: r.canonical_id
+        for r in dedup.exact_dedup(docs).collect()
+    }
+    for row in assignments.collect():
+        assert row.is_duplicate == (row.doc_id != row.canonical_id)
+        assert row.canonical_id in full.values()
+
+
+def test_exact_dedup_new_batch_smaller_id_takeover(spark):
+    b1 = spark.createDataFrame([(10, "same text here")], ["doc_id", "text"])
+    b2 = spark.createDataFrame([(3, "same text here")], ["doc_id", "text"])
+    assignments, updated = dedup.exact_dedup_new_batch(
+        b2, dedup.exact_dedup(b1)
+    )
+    [u] = updated.collect()
+    assert (u.canonical_id, u.n_copies) == (3, 2)
+    [a] = assignments.collect()
+    assert (a.doc_id, a.canonical_id, a.is_duplicate) == (3, 3, False)
+
+
 def test_three_batch_history_with_label_takeover(spark):
     """Three successive batches: growth of existing clusters, an
     unrelated cluster left untouched, then a smaller-id arrival that

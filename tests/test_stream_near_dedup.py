@@ -1,0 +1,66 @@
+"""Streaming near-dup ingest over the persisted band index: however
+the stream chops the corpus into triggers, the accumulated index must
+equal the one-shot build — and every ingested doc gets exactly one
+assignment row."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from tweetaggregates_spark.operators import dedup
+from tweetaggregates_spark.sources.tables import load_table
+from tweetaggregates_spark.streaming.dedup import run_streaming_near_dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_near_dedup_matches_one_shot_index(spark, tmp_path):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    n = len(rows)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # three arrival batches by id range, oldest file first
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        p = in_dir / f"{i}.ndjson"
+        p.write_text(
+            "\n".join(
+                json.dumps({"doc_id": r.doc_id, "text": r.text})
+                for r in rows[cuts[i] : cuts[i + 1]]
+            )
+        )
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    index_path = str(tmp_path / "index")
+    out_path = str(tmp_path / "out")
+    run_streaming_near_dedup(
+        spark,
+        str(in_dir),
+        index_path,
+        out_path,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        max_files_per_trigger=1,
+    )
+
+    versions = sorted(
+        int(d.split("=")[1]) for d in os.listdir(index_path)
+    )
+    assert len(versions) == 3
+    final = spark.read.parquet(f"{index_path}/v={versions[-1]}")
+    expect = dedup.build_band_index(docs)
+    key = ["doc_id", "band_id", "band_key", "cluster"]
+    assert sorted(map(tuple, final.select(*key).collect())) == sorted(
+        map(tuple, expect.select(*key).collect())
+    )
+
+    # every doc assigned exactly once across the batch outputs
+    asg = spark.read.parquet(out_path)
+    assert asg.count() == n
+    assert asg.select("doc_id").distinct().count() == n
+    # the corpus has planted dups, so the stream actually flagged some
+    assert asg.filter(F.col("is_duplicate")).count() > 0

@@ -644,6 +644,55 @@ def dedup_new_batch(
     return assignments, old_rows.unionByName(new_rows)
 
 
+def exact_dedup_new_batch(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental EXACT dedup: fold a new batch into a persisted
+    content-hash index (= ``exact_dedup`` output: content_hash,
+    canonical_id, n_copies).
+
+    Returns ``(assignments, updated_index)``: one row per batch doc
+    (doc_id, canonical_id, is_duplicate), and the merged index —
+    identical to ``exact_dedup`` over the combined corpus (min/sum are
+    associative+commutative, so the fold is batching-invariant by
+    construction). Plan: one map-side hash pass over the batch, one
+    groupBy on content_hash, one full outer merge join against the
+    index — all keyed on content_hash, so a bucketed index parquet
+    makes the merge co-located at any scale."""
+    bh = batch.select(
+        F.col(id_col), hash64(F.col(text_col)).alias("content_hash")
+    )
+    batch_agg = bh.groupBy("content_hash").agg(
+        F.min(id_col).alias("_b_min"),
+        F.count(F.lit(1)).alias("_b_n"),
+    )
+    updated = (
+        index.join(batch_agg.hint("shuffle_hash"), "content_hash", "full")
+        .select(
+            "content_hash",
+            F.least(
+                F.coalesce(F.col("canonical_id"), F.col("_b_min")),
+                F.coalesce(F.col("_b_min"), F.col("canonical_id")),
+            ).alias("canonical_id"),
+            (
+                F.coalesce(F.col("n_copies"), F.lit(0))
+                + F.coalesce(F.col("_b_n"), F.lit(0))
+            ).alias("n_copies"),
+        )
+    )
+    assignments = bh.join(
+        updated.select("content_hash", "canonical_id"), "content_hash"
+    ).select(
+        id_col,
+        "canonical_id",
+        (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+    )
+    return assignments, updated
+
+
 def write_band_index(index: DataFrame, path: str) -> None:
     """Persist the band index. Test-scale: one overwrite. At 100 TB:
     bucketBy(band_key) so dedup_new_batch's discovery join co-locates,
