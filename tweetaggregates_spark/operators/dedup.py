@@ -604,10 +604,15 @@ def dedup_new_batch(
     # Joining against the old CLUSTER label (not the old doc id) is
     # enough — same-cluster old docs are already connected.
     nn = _band_self_pairs(new_bands)
+    # hash-build side = the BATCH: the index grows with the corpus
+    # while the batch is one ingest's worth, so the per-partition hash
+    # table must be built over the small side (hinting the index would
+    # size build memory to the accumulated corpus)
     no = (
         new_bands.alias("n")
+        .hint("shuffle_hash")
         .join(
-            index.alias("i").hint("shuffle_hash"),
+            index.alias("i"),
             (F.col("n.band_id") == F.col("i.band_id"))
             & (F.col("n.band_key") == F.col("i.band_key")),
         )
