@@ -136,8 +136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames_docs": llm.media_frames_docs,
         "media_waveform_docs": llm.media_waveform_docs,
         "bpe_merges_docs": llm.bpe_merges_docs,
-        # -- round 5: incremental cross-run dedup --
+        # -- round 5: incremental cross-run dedup + composed IVF-ADC --
         "incremental_dedup_docs": llm.incremental_dedup_docs,
+        "knn_ivf_pq_embeddings": llm.knn_ivf_pq_embeddings,
         # -- events/windows: anomaly, CDC, profile, concentration --
         "dense_tumbling_counts": ev.dense_tumbling_counts,
         "daily_count_anomalies": ev.daily_count_anomalies,
@@ -1757,6 +1758,92 @@ def oracle_sql() -> dict[str, str]:
                  list_sum(list(t.dp ORDER BY t.subspace)) AS approx_dist
           FROM enc e JOIN dtable t
             ON e.subspace = t.subspace AND e.code = t.code
+          WHERE t.query_id <> e.vec_id
+          GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id,
+               round(approx_dist, 6) AS approx_dist,
+               CAST(rnk AS INTEGER) AS knn_rank
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+    """
+    # IVF-ADC: the knn_pq path gated by an init-only coarse quantizer —
+    # cells seed from the 8 lowest-id vectors, every corpus vector joins
+    # its argmin cell, each query probes its 2 nearest cells, and ADC
+    # scores only candidates whose cell is probed
+    sql["knn_ivf_pq_embeddings"] = f"""
+        WITH emb AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+          FROM embeddings
+        ),
+        cells AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+          FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
+        ),
+        cdist AS (
+          SELECT e.vec_id, c.cell,
+                 list_sum([ (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+                            for i in range(1, len(e.v) + 1) ]) AS d
+          FROM emb e CROSS JOIN cells c
+        ),
+        cellasg AS (
+          SELECT vec_id, cell FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM cdist) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM cdist WHERE vec_id < 10) WHERE rn <= 2
+        ),
+        init AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+          FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
+        ),
+        ss AS (SELECT unnest(range(0, 4)) AS subspace),
+        cb AS (
+          SELECT ss.subspace, init.code,
+                 v[ss.subspace * 16 + 1 : ss.subspace * 16 + 16] AS centroid
+          FROM init CROSS JOIN ss
+        ),
+        subs AS (
+          SELECT vec_id, ss.subspace,
+                 v[ss.subspace * 16 + 1 : ss.subspace * 16 + 16] AS sv
+          FROM emb CROSS JOIN ss
+        ),
+        encr AS (
+          SELECT s.vec_id, s.subspace, c.code,
+                 list_sum([ (s.sv[i] - c.centroid[i]) * (s.sv[i] - c.centroid[i])
+                            for i in range(1, 17) ]) AS d
+          FROM subs s JOIN cb c ON s.subspace = c.subspace
+        ),
+        enc AS (
+          SELECT vec_id, subspace, code FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id, subspace ORDER BY d, code) AS rn
+            FROM encr) WHERE rn = 1
+        ),
+        dtable AS (
+          SELECT s.vec_id AS query_id, s.subspace, c.code,
+                 list_sum([ (s.sv[i] - c.centroid[i]) * (s.sv[i] - c.centroid[i])
+                            for i in range(1, 17) ]) AS dp
+          FROM subs s JOIN cb c ON s.subspace = c.subspace
+          WHERE s.vec_id < 10
+        ),
+        scored AS (
+          SELECT t.query_id, e.vec_id AS neighbor_id,
+                 list_sum(list(t.dp ORDER BY t.subspace)) AS approx_dist
+          FROM enc e
+          JOIN cellasg a ON a.vec_id = e.vec_id
+          JOIN probes p ON p.cell = a.cell
+          JOIN dtable t
+            ON t.query_id = p.query_id
+           AND e.subspace = t.subspace AND e.code = t.code
           WHERE t.query_id <> e.vec_id
           GROUP BY 1, 2
         )

@@ -87,7 +87,9 @@ HEADLINE = [
     "media_frames_docs",
     "bpe_merges_docs",
     # round 5: incremental cross-run dedup (two-batch band index path)
+    # + the composed IVF-ADC ANN index
     "incremental_dedup_docs",
+    "knn_ivf_pq_embeddings",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

@@ -1,0 +1,106 @@
+"""IVF-ADC composed index (similarity.knn_ivf_pq): full-probe
+equivalence to plain PQ/ADC (no pruning => identical output), cell
+containment under pruning, and trained-quantizer recall vs exact L2."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tweetaggregates_spark.operators import similarity
+from tweetaggregates_spark.operators.cluster import kmeans
+from tweetaggregates_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_full_probe_equals_knn_pq(spark):
+    """n_probe == n_cells probes every inverted list, so IVF prunes
+    nothing and the output must EQUAL knn_pq on the same codebook
+    parameters — the standard IVF sanity invariant."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 6)
+    ivf = similarity.knn_ivf_pq(
+        emb, queries, k=5, n_cells=4, n_probe=4,
+        m_subvectors=4, k_codes=16, coarse_iters=0, pq_iters=0,
+    )
+    flat = similarity.knn_pq(
+        emb, queries, k=5, m_subvectors=4, k_codes=16, iters=0,
+        normalize=False,
+    )
+    assert _rows(ivf) == _rows(flat)
+
+
+def test_pruned_neighbors_come_from_probed_cells(spark):
+    """With n_probe=1 every returned neighbor must live in the query's
+    single nearest cell — the structural pruning guarantee."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 6)
+    out = similarity.knn_ivf_pq(
+        emb, queries, k=5, n_cells=4, n_probe=1,
+        m_subvectors=4, k_codes=16, coarse_iters=1, pq_iters=0,
+    )
+    assigned, _ = kmeans(emb, k=4, iters=1)
+    cell = {r.vec_id: r.cluster for r in assigned.collect()}
+    for r in out.collect():
+        assert cell[r.neighbor_id] == cell[r.query_id], (
+            f"neighbor {r.neighbor_id} (cell {cell[r.neighbor_id]}) "
+            f"outside query {r.query_id}'s probed cell {cell[r.query_id]}"
+        )
+    # ranks are contiguous 1..k' per query
+    per = out.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("knn_rank").alias("mx")
+    )
+    for r in per.collect():
+        assert r.n == r.mx
+
+
+def test_trained_ivfpq_recall_vs_exact(spark):
+    """Trained quantizers (coarse_iters=2, pq_iters=2), half the cells
+    probed: recall@10 against EXACT squared-L2 top-10 must clear the
+    floor — the end-to-end quality pin for the composed index. The
+    testdata embeddings are near-random (no cluster structure), the
+    hardest case for PQ: recall is quantization-error-bound (~0.48 at
+    m=16/k=16 here, measured deterministic), and is NOT monotone in
+    n_probe — extra candidates with underestimated ADC distances can
+    displace true neighbors, the documented PQ trade (Jegou TPAMI'11
+    §V.A). The floor guards machinery breakage, not ANN quality on
+    adversarially unclusterable data."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    k = 10
+    out = similarity.knn_ivf_pq(
+        emb, queries, k=k, n_cells=4, n_probe=2,
+        m_subvectors=16, k_codes=16, coarse_iters=2, pq_iters=2,
+    )
+    approx = {(r.query_id, r.neighbor_id) for r in out.collect()}
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    d = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) ** 2),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy("d", "neighbor_id")
+    exact = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(approx & truth) / len(truth)
+    assert recall >= 0.4, f"recall@{k} = {recall:.2f}"

@@ -945,3 +945,139 @@ def knn_pq(
             "knn_rank",
         )
     )
+
+
+def knn_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m_subvectors: int = 4,
+    k_codes: int = 16,
+    coarse_iters: int = 0,
+    pq_iters: int = 0,
+) -> DataFrame:
+    """IVF-ADC: the composed billion-scale ANN index (Jegou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011
+    §V — the faiss ``IVFxx,PQyy`` factory shape). A coarse k-means
+    quantizer partitions the corpus into ``n_cells`` inverted lists;
+    each query probes only its ``n_probe`` nearest cells; PQ/ADC
+    scores the surviving codes — so query cost is
+    (n_probe/n_cells) x corpus x m table lookups, and the pruned scan
+    reads m small ints per vector, never a float vector.
+
+    Plan shape (everything corpus-sized is map-side or one agg):
+    * coarse assignment + PQ encoding are map passes over the corpus
+      (broadcast centroids / codebook — operators/cluster.kmeans and
+      pq_encode);
+    * the probe list (|Q| x n_probe rows) and the ADC distance tables
+      (|Q| x m x k_codes rows) BROADCAST onto the code scan — the
+      cell equi-join and the (subspace, code) lookup are both
+      map-side, so the only shuffles are the final (query, neighbor)
+      sum and the per-query top-k rank;
+    * at 100 TB the codes table is written partitioned BY CELL, so a
+      probe touches n_probe partitions and partition pruning drops
+      the rest at the scan.
+
+    Determinism mirrors ``kmeans``/``knn_pq`` exactly (sequential
+    distance folds, ties by cell/code/neighbor id, DECIMAL-routed
+    centroid means), so with ``coarse_iters=0`` / ``pq_iters=0`` the
+    DuckDB twin replays the whole index build + search; the trained
+    path (iters>0) is pinned by pytest (full-probe == knn_pq, recall
+    vs brute force). Output: (query_id, neighbor_id, approx_dist
+    rounded 6, knn_rank); self excluded."""
+    from pyspark.sql import Window as W
+
+    from tweetaggregates_spark.operators.cluster import kmeans
+
+    assigned, cents = kmeans(
+        corpus, vec_col, id_col, k=n_cells, iters=coarse_iters
+    )
+    cellmap = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col("cluster").alias("cell")
+    )
+    cents = cents.select("cluster", F.col("centroid").alias("carr"))
+
+    # query probes: n_probe nearest centroids by the SAME squared-L2
+    # sequential fold the assignment uses; ties by cell id
+    qd = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
+    ).crossJoin(F.broadcast(cents))
+    cdist = F.aggregate(
+        F.zip_with("_qv", "carr", lambda x, c: (x - c) ** 2),
+        F.lit(0.0).cast("double"),
+        lambda acc, d: acc + d,
+    )
+    pw = W.partitionBy("query_id").orderBy("_cd", "cell")
+    probes = (
+        qd.select("query_id", F.col("cluster").alias("cell"), cdist.alias("_cd"))
+        .withColumn("_pr", F.row_number().over(pw))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "cell")
+    )
+
+    codebook = pq_train(
+        corpus, vec_col, id_col, m_subvectors, k_codes, pq_iters
+    ).localCheckpoint(eager=True)
+    codes = pq_encode(corpus, codebook, vec_col, id_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+
+    sub_dim = codebook.select(F.size("centroid")).first()[0]
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
+                    for s in range(m_subvectors)
+                ]
+            )
+        ).alias("subspace", "sv"),
+    )
+    dist = F.aggregate(
+        F.zip_with("sv", "centroid", lambda x, c: (x.cast("double") - c) ** 2),
+        F.lit(0.0).cast("double"),
+        lambda acc, d: acc + d,
+    )
+    dtable = qsubs.join(F.broadcast(codebook), "subspace").select(
+        "query_id", "subspace", "code", dist.alias("dp")
+    )
+
+    # candidate fan-out: codes pick up their cell (map-side broadcast of
+    # the corpus->cell map is NOT free at scale — production co-writes
+    # cell into the codes table; here the join keys on neighbor_id),
+    # then the broadcast probe list prunes to probed cells before any
+    # distance work
+    cand = (
+        codes.join(cellmap, "neighbor_id")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    part_sum = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "dp"))),
+            lambda s: s["dp"],
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(F.broadcast(dtable), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(part_sum.alias("approx_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("approx_dist", 6).alias("approx_dist"),
+            "knn_rank",
+        )
+    )

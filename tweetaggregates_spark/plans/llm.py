@@ -437,6 +437,32 @@ def knn_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivf_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC ANN (similarity.knn_ivf_pq): top-5 neighbors for the
+    first 10 vectors through the composed index — an 8-cell coarse
+    quantizer prunes to 2 probed cells per query, PQ codes (m=4,
+    k=16) score the survivors via ADC table lookups. Registered with
+    init-only quantizers (coarse_iters=0 / pq_iters=0: cells and
+    codes seed from the lowest-id vectors) so the DuckDB twin replays
+    the whole build + search; the trained path is pinned by
+    tests/test_ivfpq.py (full-probe == knn_pq, recall vs brute)."""
+    from tweetaggregates_spark.operators.similarity import knn_ivf_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_ivf_pq(
+        emb,
+        queries,
+        k=5,
+        n_cells=8,
+        n_probe=2,
+        m_subvectors=4,
+        k_codes=16,
+        coarse_iters=0,
+        pq_iters=0,
+    )
+
+
 def quantized_embeddings_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 symmetric quantization of every embedding: scale + exact
     integer summary stats (the full qvec is checked through q_sum /
