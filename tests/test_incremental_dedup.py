@@ -154,3 +154,71 @@ def test_three_batch_history_with_label_takeover(spark):
     assert _index_rows(updated3) == _index_rows(
         dedup.build_band_index(b1.unionByName(b2).unionByName(b3))
     )
+
+
+def test_bucketed_index_joins_without_index_shuffle(spark, docs):
+    """The 100 TB index layout: with the band index written as a
+    catalog table bucketed on (band_id, band_key), the discovery
+    join's index side must plan with NO Exchange — its bucket layout
+    satisfies the join's distribution; only the new batch shuffles.
+    And the edges must equal the plain-parquet path's."""
+    import contextlib
+    import io
+    import uuid
+
+    table = f"band_index_{uuid.uuid4().hex[:8]}"
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    dedup.write_band_index_bucketed(dedup.build_band_index(b1), table, 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path so the assertion is about the
+        # bucket layout, not about broadcast hiding the exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        index = spark.table(table)
+        new_bands = dedup.lsh_bands(dedup.minhash_signatures(b2))
+        edges = dedup.new_vs_index_edges(new_bands, index)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            edges.explain("formatted")
+        plan = buf.getvalue()
+        # the join's RIGHT branch (the index scan) must have no
+        # Exchange: in the formatted tree, left-branch lines carry the
+        # ':' continuation marker, right-branch lines are bare '+-'
+        lines = plan.splitlines()
+        ji = next(
+            i
+            for i, l in enumerate(lines)
+            if "ShuffledHashJoin" in l or "SortMergeJoin" in l
+        )
+        si = next(
+            i
+            for i, l in enumerate(lines)
+            if "Scan parquet spark_catalog" in l
+        )
+        assert ji < si, f"catalog scan not under the join:\n{plan}"
+
+        # walk the ancestor chain from the index scan up to the join
+        # (each ancestor's branch marker sits at a smaller column);
+        # none of them may be an Exchange
+        def _col(line):
+            p = line.find("+-")
+            return p if p >= 0 else line.find(":-")
+
+        col = _col(lines[si])
+        for i in range(si - 1, ji, -1):
+            c = _col(lines[i])
+            if 0 <= c < col:
+                assert "Exchange" not in lines[i], (
+                    f"index side shuffled:\n{plan}"
+                )
+                col = c
+
+        plain = dedup.new_vs_index_edges(
+            new_bands,
+            dedup.build_band_index(b1),
+        )
+        assert _index_rows(edges) == _index_rows(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -569,6 +569,36 @@ def build_band_index(
     )
 
 
+def new_vs_index_edges(new_bands: DataFrame, index: DataFrame) -> DataFrame:
+    """Discovery edges (new doc -> old cluster) for incremental dedup:
+    the (band_id, band_key) equi-join of a batch's bands against the
+    persisted index. Joining against the old CLUSTER label (not the old
+    doc id) suffices — same-cluster old docs are already connected.
+
+    hash-build side = the BATCH: the index grows with the corpus while
+    the batch is one ingest's worth, so the per-partition hash table
+    must be built over the small side (hinting the index would size
+    build memory to the accumulated corpus). When the index is a
+    catalog table bucketed on (band_id, band_key) —
+    ``write_band_index_bucketed`` — the scan itself satisfies the
+    join's distribution and ONLY the batch side shuffles (pinned in
+    tests/test_incremental_dedup.py)."""
+    return (
+        new_bands.alias("n")
+        .hint("shuffle_hash")
+        .join(
+            index.alias("i"),
+            (F.col("n.band_id") == F.col("i.band_id"))
+            & (F.col("n.band_key") == F.col("i.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_a"),
+            F.col("i.cluster").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def dedup_new_batch(
     batch: DataFrame,
     index: DataFrame,
@@ -604,24 +634,7 @@ def dedup_new_batch(
     # Joining against the old CLUSTER label (not the old doc id) is
     # enough — same-cluster old docs are already connected.
     nn = _band_self_pairs(new_bands)
-    # hash-build side = the BATCH: the index grows with the corpus
-    # while the batch is one ingest's worth, so the per-partition hash
-    # table must be built over the small side (hinting the index would
-    # size build memory to the accumulated corpus)
-    no = (
-        new_bands.alias("n")
-        .hint("shuffle_hash")
-        .join(
-            index.alias("i"),
-            (F.col("n.band_id") == F.col("i.band_id"))
-            & (F.col("n.band_key") == F.col("i.band_key")),
-        )
-        .select(
-            F.col("n.doc_id").alias("doc_a"),
-            F.col("i.cluster").alias("doc_b"),
-        )
-        .distinct()
-    )
+    no = new_vs_index_edges(new_bands, index)
     labels = connected_components(nn.unionByName(no))
     assignments = (
         batch.select(F.col(id_col).alias("doc_id"))
@@ -704,6 +717,26 @@ def write_band_index(index: DataFrame, path: str) -> None:
     band rows append-only per batch, label remaps to a fold-at-read
     log (see module note)."""
     index.write.mode("overwrite").parquet(path)
+
+
+def write_band_index_bucketed(
+    index: DataFrame, table: str, n_buckets: int = 32
+) -> None:
+    """The 100 TB index layout: a catalog table bucketed + in-bucket
+    sorted on the discovery join key (band_id, band_key). Every
+    subsequent ``dedup_new_batch`` reads it with ZERO index-side
+    shuffle — the scan's bucket layout satisfies the join's clustered
+    distribution, so only the (small) new batch moves. The same
+    write-once-join-forever trade as sources/bucketed for the
+    fact-fact join; bucket count is fixed at write time, size it for
+    the corpus the index will GROW to."""
+    (
+        index.write.mode("overwrite")
+        .bucketBy(n_buckets, "band_id", "band_key")
+        .sortBy("band_id", "band_key")
+        .format("parquet")
+        .saveAsTable(table)
+    )
 
 
 def read_band_index(spark, path: str) -> DataFrame:
