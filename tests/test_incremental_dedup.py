@@ -222,3 +222,38 @@ def test_bucketed_index_joins_without_index_shuffle(spark, docs):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_capped_incremental_dedup(spark):
+    """Hot-band guard: a boilerplate band shared by many docs is
+    quarantined (no pair explosion through it), docs still cluster
+    through their other, cool bands, and with no oversized bucket the
+    capped variant EQUALS dedup_new_batch exactly."""
+    t1 = "apple banana cherry date elderberry fig grape honeydew"
+    t2 = "kiwi lemon mango nectarine orange papaya quince raspberry"
+    b1 = spark.createDataFrame([(10, t1), (20, t2)], ["doc_id", "text"])
+    index = dedup.build_band_index(b1)
+
+    b2 = spark.createDataFrame([(31, t1), (32, t2)], ["doc_id", "text"])
+    # no hot bucket at cap 100: identical to the uncapped fold
+    a_cap, u_cap, q = dedup.dedup_new_batch_capped(
+        b2, index, max_bucket_size=100
+    )
+    a_ref, u_ref = dedup.dedup_new_batch(b2, index)
+    assert q.count() == 0
+    assert _index_rows(a_cap) == _index_rows(a_ref)
+    assert _index_rows(u_cap) == _index_rows(u_ref)
+
+    # cap 1: EVERY shared bucket (size >= 2 combined) is hot, so no
+    # pairs are discovered — new docs become singletons — but their
+    # band rows still land in the index, and the quarantine reports
+    # the oversized buckets with the member sample
+    a1, u1, q1 = dedup.dedup_new_batch_capped(b2, index, max_bucket_size=1)
+    assert _clusters(a1) == {31: 31, 32: 32}
+    assert u1.filter(F.col("doc_id") == 31).count() == u_ref.filter(
+        F.col("doc_id") == 31
+    ).count()
+    qs = q1.collect()
+    assert qs and all(r.bucket_size >= 2 for r in qs)
+    members = {d for r in qs for d in r.example_doc_ids}
+    assert members <= {10, 20, 31, 32}

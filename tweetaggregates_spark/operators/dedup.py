@@ -635,6 +635,21 @@ def dedup_new_batch(
     # enough — same-cluster old docs are already connected.
     nn = _band_self_pairs(new_bands)
     no = new_vs_index_edges(new_bands, index)
+    return _fold_delta(batch, index, new_bands, nn, no, id_col)
+
+
+def _fold_delta(
+    batch: DataFrame,
+    index: DataFrame,
+    new_bands: DataFrame,
+    nn: DataFrame,
+    no: DataFrame,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared tail of the incremental fold: CC over the delta graph,
+    per-doc assignments, merged-cluster label remap, band append."""
+    from tweetaggregates_spark.operators.cluster import connected_components
+
     labels = connected_components(nn.unionByName(no))
     assignments = (
         batch.select(F.col(id_col).alias("doc_id"))
@@ -660,6 +675,74 @@ def dedup_new_batch(
         assignments.select("doc_id", "cluster"), "doc_id"
     ).select("doc_id", "band_id", "band_key", "cluster")
     return assignments, old_rows.unionByName(new_rows)
+
+
+def dedup_new_batch_capped(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    max_bucket_size: int = 100,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """``dedup_new_batch`` with the hot-band guard the accumulating
+    index needs: a band bucket's COMBINED size (index rows + batch
+    rows) grows monotonically across runs, so one boilerplate band
+    eventually makes the discovery join quadratic in exactly the way
+    ``minhash_lsh_pairs_capped`` guards against for the one-shot pass.
+    Buckets whose combined size exceeds ``max_bucket_size`` are
+    excluded from PAIR DISCOVERY (both new-new and new-vs-index) and
+    reported on the quarantine channel; the index itself stays
+    complete — every new band row is still appended, so a later cap
+    raise or exact-dedup pass over the quarantined content loses
+    nothing.
+
+    Returns ``(assignments, updated_index, quarantine)``; quarantine
+    is one row per oversized bucket (band_id, band_key, bucket_size,
+    example_doc_ids). Capping trades recall for a hard bound on join
+    fan-out — with no oversized bucket the result EQUALS
+    ``dedup_new_batch`` (pinned). At scale the per-bucket index sizes
+    come from a maintained count column, not the re-count here."""
+    new_bands = lsh_bands(
+        minhash_signatures(batch, text_col, id_col, k, n_hashes),
+        n_hashes,
+        n_bands,
+    )
+    combined = new_bands.select("doc_id", "band_id", "band_key").unionByName(
+        index.select("doc_id", "band_id", "band_key")
+    )
+    sizes = combined.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    ok = sizes.filter(F.col("bucket_size") <= max_bucket_size).select(
+        "band_id", "band_key"
+    )
+    quarantine = (
+        combined.join(
+            sizes.filter(F.col("bucket_size") > max_bucket_size),
+            ["band_id", "band_key"],
+        )
+        .groupBy("band_id", "band_key", "bucket_size")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias(
+                "example_doc_ids"
+            )
+        )
+    )
+    nb_ok = new_bands.join(ok, ["band_id", "band_key"]).select(
+        "doc_id", "band_id", "band_key"
+    )
+    ix_ok = index.join(ok, ["band_id", "band_key"]).select(
+        "doc_id", "band_id", "band_key", "cluster"
+    )
+    nn = _band_self_pairs(nb_ok)
+    no = new_vs_index_edges(nb_ok, ix_ok)
+    assignments, updated = _fold_delta(
+        batch, index, new_bands, nn, no, id_col
+    )
+    return assignments, updated, quarantine
 
 
 def exact_dedup_new_batch(
