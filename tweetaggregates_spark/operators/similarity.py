@@ -959,6 +959,7 @@ def knn_ivf_pq(
     k_codes: int = 16,
     coarse_iters: int = 0,
     pq_iters: int = 0,
+    encode_residuals: bool = False,
 ) -> DataFrame:
     """IVF-ADC: the composed billion-scale ANN index (Jegou et al.,
     "Product Quantization for Nearest Neighbor Search", TPAMI 2011
@@ -981,6 +982,15 @@ def knn_ivf_pq(
     * at 100 TB the codes table is written partitioned BY CELL, so a
       probe touches n_probe partitions and partition pruning drops
       the rest at the scan.
+
+    ``encode_residuals=True`` is the canonical IVFADC refinement
+    (TPAMI'11 §V.B): PQ encodes ``x - coarse_centroid(x)`` instead of
+    x, so the codebook spends its k_codes^m capacity on the
+    within-cell noise rather than re-describing the cell layout —
+    the standard recall win on clustered corpora (pinned by pytest on
+    a planted-cluster fixture). The ADC tables become per-(query,
+    probed cell) — |Q| x n_probe x m x k_codes rows, still broadcast
+    — and candidates join on (query, cell, subspace, code).
 
     Determinism mirrors ``kmeans``/``knn_pq`` exactly (sequential
     distance folds, ties by cell/code/neighbor id, DECIMAL-routed
@@ -1019,20 +1029,61 @@ def knn_ivf_pq(
         .select("query_id", "cell")
     )
 
+    if encode_residuals:
+        # PQ source = within-cell residuals; the coarse layout is
+        # already carried by the cell id, so the codes describe only
+        # the remainder (one broadcast join + a zip_with, map-side)
+        pq_src = (
+            corpus.select(F.col(id_col), as_double(vec_col).alias("_v"))
+            .join(assigned.select(F.col(id_col), "cluster"), id_col)
+            .join(F.broadcast(cents), "cluster")
+            .select(
+                F.col(id_col),
+                F.zip_with("_v", "carr", lambda x, c: x - c).alias(vec_col),
+            )
+        )
+    else:
+        pq_src = corpus
     codebook = pq_train(
-        corpus, vec_col, id_col, m_subvectors, k_codes, pq_iters
+        pq_src, vec_col, id_col, m_subvectors, k_codes, pq_iters
     ).localCheckpoint(eager=True)
-    codes = pq_encode(corpus, codebook, vec_col, id_col).withColumnRenamed(
+    codes = pq_encode(pq_src, codebook, vec_col, id_col).withColumnRenamed(
         id_col, "neighbor_id"
     )
 
     sub_dim = codebook.select(F.size("centroid")).first()[0]
-    qsubs = queries.select(
-        F.col(id_col).alias("query_id"),
+    if encode_residuals:
+        # query residual is PER PROBED CELL: the same query gets a
+        # different ADC table in each cell it probes
+        qsrc = (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                as_double(vec_col).alias("_qv"),
+            )
+            .join(F.broadcast(probes), "query_id")
+            .join(
+                F.broadcast(cents.withColumnRenamed("cluster", "cell")),
+                "cell",
+            )
+            .select(
+                "query_id",
+                "cell",
+                F.zip_with("_qv", "carr", lambda x, c: x - c).alias("_sv"),
+            )
+        )
+        key_cols = ["query_id", "cell"]
+    else:
+        qsrc = queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(vec_col).alias("_sv"),
+        )
+        key_cols = ["query_id"]
+    qsubs = qsrc.select(
+        *key_cols,
         F.posexplode(
             F.array(
                 *[
-                    F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
+                    F.slice(F.col("_sv"), s * sub_dim + 1, sub_dim)
                     for s in range(m_subvectors)
                 ]
             )
@@ -1044,7 +1095,7 @@ def knn_ivf_pq(
         lambda acc, d: acc + d,
     )
     dtable = qsubs.join(F.broadcast(codebook), "subspace").select(
-        "query_id", "subspace", "code", dist.alias("dp")
+        *key_cols, "subspace", "code", dist.alias("dp")
     )
 
     # candidate fan-out: codes pick up their cell (map-side broadcast of
@@ -1066,7 +1117,7 @@ def knn_ivf_pq(
         lambda acc, x: acc + x,
     )
     scored = (
-        cand.join(F.broadcast(dtable), ["query_id", "subspace", "code"])
+        cand.join(F.broadcast(dtable), [*key_cols, "subspace", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(part_sum.alias("approx_dist"))
     )
