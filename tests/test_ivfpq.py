@@ -164,3 +164,40 @@ def test_residual_encoding_beats_raw_pq_on_clustered_data(spark):
     r_raw, r_res = _recall(False), _recall(True)
     assert r_res >= r_raw, f"residual {r_res:.2f} < raw {r_raw:.2f}"
     assert r_res >= 0.5, f"residual recall@{k} = {r_res:.2f}"
+
+
+def test_persisted_index_prunes_partitions_and_matches_direct(
+    spark, tmp_path
+):
+    """'Index once, query many': build_ivf_pq_index persists codes
+    partitioned by cell; querying through the index must (a) return
+    exactly what the direct one-shot path returns and (b) plan the
+    code scan with dynamic partition pruning, so unprobed cells never
+    leave storage."""
+    import contextlib
+    import io
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    params = dict(
+        n_cells=4, m_subvectors=4, k_codes=16,
+        coarse_iters=1, pq_iters=1, encode_residuals=True,
+    )
+    idx = similarity.build_ivf_pq_index(
+        emb, str(tmp_path / "ivfpq"), **params
+    )
+    via_index = similarity.knn_ivf_pq(
+        None, queries, k=5, n_probe=2, index=idx
+    )
+    direct = similarity.knn_ivf_pq(
+        emb, queries, k=5, n_probe=2, **params
+    )
+    assert _rows(via_index) == _rows(direct)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        via_index.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), (
+        f"no dynamic partition pruning on the code scan:\n{plan}"
+    )

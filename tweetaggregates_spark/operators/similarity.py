@@ -947,6 +947,107 @@ def knn_pq(
     )
 
 
+class IvfPqIndex:
+    """A persisted IVF-ADC index: coarse centroids, PQ codebook, and
+    the code table carrying each vector's cell. Build once with
+    ``build_ivf_pq_index``; query many times with
+    ``knn_ivf_pq(index=...)`` — the corpus is never rescanned."""
+
+    def __init__(
+        self,
+        centroids: DataFrame,
+        codebook: DataFrame,
+        codes: DataFrame,
+        encode_residuals: bool,
+    ) -> None:
+        self.centroids = centroids
+        self.codebook = codebook
+        self.codes = codes
+        self.encode_residuals = encode_residuals
+
+
+def _pq_source(
+    corpus: DataFrame,
+    assigned: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    encode_residuals: bool,
+) -> DataFrame:
+    """PQ training/encoding input: the corpus, or its within-cell
+    residuals (one broadcast join + a zip_with, map-side)."""
+    if not encode_residuals:
+        return corpus
+    return (
+        corpus.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        .join(assigned.select(F.col(id_col), "cluster"), id_col)
+        .join(F.broadcast(cents), "cluster")
+        .select(
+            F.col(id_col),
+            F.zip_with("_v", "carr", lambda x, c: x - c).alias(vec_col),
+        )
+    )
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    m_subvectors: int = 4,
+    k_codes: int = 16,
+    coarse_iters: int = 2,
+    pq_iters: int = 2,
+    encode_residuals: bool = True,
+) -> IvfPqIndex:
+    """Build and persist the IVF-ADC index — the 'index once, query
+    many' production shape. The code table writes PARTITIONED BY CELL,
+    so a later probe's broadcast cell join triggers dynamic partition
+    pruning: unprobed cells never leave storage (pinned in
+    tests/test_ivfpq.py). Centroids and codebook (k x d doubles total)
+    persist alongside; returns the index re-read from disk so query
+    plans see the partitioned layout."""
+    from tweetaggregates_spark.operators.cluster import kmeans
+
+    assigned, cents = kmeans(
+        corpus, vec_col, id_col, k=n_cells, iters=coarse_iters
+    )
+    cents = cents.select("cluster", F.col("centroid").alias("carr"))
+    cellmap = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col("cluster").alias("cell")
+    )
+    pq_src = _pq_source(
+        corpus, assigned, cents, id_col, vec_col, encode_residuals
+    )
+    codebook = pq_train(
+        pq_src, vec_col, id_col, m_subvectors, k_codes, pq_iters
+    ).localCheckpoint(eager=True)
+    codes = (
+        pq_encode(pq_src, codebook, vec_col, id_col)
+        .withColumnRenamed(id_col, "neighbor_id")
+        .join(cellmap, "neighbor_id")
+    )
+    spark = corpus.sparkSession
+    codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+    spark.createDataFrame(
+        [(encode_residuals,)], "encode_residuals BOOLEAN"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    return read_ivf_pq_index(spark, path)
+
+
+def read_ivf_pq_index(spark, path: str) -> IvfPqIndex:
+    meta = spark.read.parquet(f"{path}/meta").first()
+    return IvfPqIndex(
+        centroids=spark.read.parquet(f"{path}/centroids"),
+        codebook=spark.read.parquet(f"{path}/codebook"),
+        codes=spark.read.parquet(f"{path}/codes"),
+        encode_residuals=bool(meta.encode_residuals),
+    )
+
+
 def knn_ivf_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -960,6 +1061,7 @@ def knn_ivf_pq(
     coarse_iters: int = 0,
     pq_iters: int = 0,
     encode_residuals: bool = False,
+    index: "IvfPqIndex | None" = None,
 ) -> DataFrame:
     """IVF-ADC: the composed billion-scale ANN index (Jegou et al.,
     "Product Quantization for Nearest Neighbor Search", TPAMI 2011
@@ -998,18 +1100,29 @@ def knn_ivf_pq(
     DuckDB twin replays the whole index build + search; the trained
     path (iters>0) is pinned by pytest (full-probe == knn_pq, recall
     vs brute force). Output: (query_id, neighbor_id, approx_dist
-    rounded 6, knn_rank); self excluded."""
+    rounded 6, knn_rank); self excluded.
+
+    ``index=`` supplies a prebuilt ``IvfPqIndex`` (build_ivf_pq_index):
+    the corpus is never touched — probes hit the cell-partitioned code
+    scan directly and dynamic partition pruning drops the unprobed
+    cells (pinned in tests/test_ivfpq.py)."""
     from pyspark.sql import Window as W
 
     from tweetaggregates_spark.operators.cluster import kmeans
 
-    assigned, cents = kmeans(
-        corpus, vec_col, id_col, k=n_cells, iters=coarse_iters
-    )
-    cellmap = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col("cluster").alias("cell")
-    )
-    cents = cents.select("cluster", F.col("centroid").alias("carr"))
+    if index is not None:
+        cents = index.centroids
+        codebook = index.codebook
+        codes_with_cell = index.codes
+        encode_residuals = index.encode_residuals
+    else:
+        assigned, cents = kmeans(
+            corpus, vec_col, id_col, k=n_cells, iters=coarse_iters
+        )
+        cellmap = assigned.select(
+            F.col(id_col).alias("neighbor_id"), F.col("cluster").alias("cell")
+        )
+        cents = cents.select("cluster", F.col("centroid").alias("carr"))
 
     # query probes: n_probe nearest centroids by the SAME squared-L2
     # sequential fold the assignment uses; ties by cell id
@@ -1029,27 +1142,22 @@ def knn_ivf_pq(
         .select("query_id", "cell")
     )
 
-    if encode_residuals:
-        # PQ source = within-cell residuals; the coarse layout is
-        # already carried by the cell id, so the codes describe only
-        # the remainder (one broadcast join + a zip_with, map-side)
-        pq_src = (
-            corpus.select(F.col(id_col), as_double(vec_col).alias("_v"))
-            .join(assigned.select(F.col(id_col), "cluster"), id_col)
-            .join(F.broadcast(cents), "cluster")
-            .select(
-                F.col(id_col),
-                F.zip_with("_v", "carr", lambda x, c: x - c).alias(vec_col),
-            )
+    if index is None:
+        pq_src = _pq_source(
+            corpus, assigned, cents, id_col, vec_col, encode_residuals
+        )
+        codebook = pq_train(
+            pq_src, vec_col, id_col, m_subvectors, k_codes, pq_iters
+        ).localCheckpoint(eager=True)
+        # codes pick up their cell here (production co-writes cell into
+        # the code table — build_ivf_pq_index does exactly that)
+        codes_with_cell = (
+            pq_encode(pq_src, codebook, vec_col, id_col)
+            .withColumnRenamed(id_col, "neighbor_id")
+            .join(cellmap, "neighbor_id")
         )
     else:
-        pq_src = corpus
-    codebook = pq_train(
-        pq_src, vec_col, id_col, m_subvectors, k_codes, pq_iters
-    ).localCheckpoint(eager=True)
-    codes = pq_encode(pq_src, codebook, vec_col, id_col).withColumnRenamed(
-        id_col, "neighbor_id"
-    )
+        m_subvectors = codebook.select(F.max("subspace")).first()[0] + 1
 
     sub_dim = codebook.select(F.size("centroid")).first()[0]
     if encode_residuals:
@@ -1098,15 +1206,12 @@ def knn_ivf_pq(
         *key_cols, "subspace", "code", dist.alias("dp")
     )
 
-    # candidate fan-out: codes pick up their cell (map-side broadcast of
-    # the corpus->cell map is NOT free at scale — production co-writes
-    # cell into the codes table; here the join keys on neighbor_id),
-    # then the broadcast probe list prunes to probed cells before any
-    # distance work
-    cand = (
-        codes.join(cellmap, "neighbor_id")
-        .join(F.broadcast(probes), "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+    # candidate fan-out: the broadcast probe list prunes to probed
+    # cells before any distance work; when the codes come from a
+    # cell-partitioned index on disk, this broadcast join triggers
+    # dynamic partition pruning — unprobed cells never leave storage
+    cand = codes_with_cell.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
     part_sum = F.aggregate(
         F.transform(
