@@ -64,3 +64,40 @@ def test_stream_near_dedup_matches_one_shot_index(spark, tmp_path):
     assert asg.select("doc_id").distinct().count() == n
     # the corpus has planted dups, so the stream actually flagged some
     assert asg.filter(F.col("is_duplicate")).count() > 0
+
+
+def test_stream_near_dedup_quarantines_hot_bands(spark, tmp_path):
+    """With max_bucket_size=1 every shared band bucket is hot: all
+    triggers' docs stay singletons, and each trigger with a shared
+    band writes its oversized buckets to the sibling quarantine
+    tree — the long-running-ingest hot-band guard, end to end."""
+    t1 = "apple banana cherry date elderberry fig grape honeydew"
+    t2 = "kiwi lemon mango nectarine orange papaya quince raspberry"
+    batches = [[(10, t1), (20, t2)], [(31, t1), (32, t2)]]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate(batches):
+        p = in_dir / f"{i}.ndjson"
+        p.write_text(
+            "\n".join(
+                json.dumps({"doc_id": d, "text": t}) for d, t in rows
+            )
+        )
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    out_path = str(tmp_path / "out")
+    run_streaming_near_dedup(
+        spark,
+        str(in_dir),
+        str(tmp_path / "index"),
+        out_path,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        max_bucket_size=1,
+    )
+    asg = spark.read.parquet(out_path)
+    got = {(r.doc_id, r.cluster) for r in asg.collect()}
+    assert got == {(10, 10), (20, 20), (31, 31), (32, 32)}
+    # trigger 2's combined buckets (index rows + its own) are hot
+    q1 = spark.read.parquet(f"{out_path}_quarantine/batch_id=1")
+    qs = q1.collect()
+    assert qs and all(r.bucket_size >= 2 for r in qs)

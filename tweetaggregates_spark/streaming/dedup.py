@@ -61,6 +61,7 @@ def run_streaming_near_dedup(
     checkpoint: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    max_bucket_size: int | None = None,
 ):
     """Content NEAR-dup dedup on an ingest stream: each micro-batch of
     documents is deduped against the accumulated corpus via the
@@ -79,8 +80,19 @@ def run_streaming_near_dedup(
     index EQUAL to a one-shot build over everything ingested,
     regardless of how the stream chopped it into triggers (pinned in
     tests/test_stream_near_dedup.py). Old index versions are retention
-    state — prune all but the last few like any checkpoint dir."""
-    from tweetaggregates_spark.operators.dedup import dedup_new_batch
+    state — prune all but the last few like any checkpoint dir.
+
+    ``max_bucket_size`` enables the hot-band guard (the long-running
+    ingest is exactly where a boilerplate band's bucket grows without
+    bound): pair discovery runs through ``dedup_new_batch_capped`` and
+    each trigger's oversized buckets land at
+    ``<out_path>_quarantine/batch_id=<batch_id>`` (a SIBLING dir — a
+    key=value-only tree keeps partition discovery over ``out_path``
+    intact) for exact-dedup handling/audit."""
+    from tweetaggregates_spark.operators.dedup import (
+        dedup_new_batch,
+        dedup_new_batch_capped,
+    )
 
     def _process(batch_df, batch_id: int) -> None:
         v = _latest_index_version(spark, index_path, below=batch_id)
@@ -88,7 +100,13 @@ def run_streaming_near_dedup(
             index = spark.createDataFrame([], _INDEX_SCHEMA)
         else:
             index = spark.read.parquet(f"{index_path}/v={v}")
-        assignments, updated = dedup_new_batch(batch_df, index)
+        if max_bucket_size is None:
+            assignments, updated = dedup_new_batch(batch_df, index)
+            quarantine = None
+        else:
+            assignments, updated, quarantine = dedup_new_batch_capped(
+                batch_df, index, max_bucket_size=max_bucket_size
+            )
         # materialize assignments BEFORE the index write so both see
         # one consistent CC labeling (the CC loop checkpoints, but the
         # two outputs must not recompute the batch pipeline twice)
@@ -97,6 +115,10 @@ def run_streaming_near_dedup(
         assignments.write.mode("overwrite").parquet(
             f"{out_path}/batch_id={batch_id}"
         )
+        if quarantine is not None:
+            quarantine.write.mode("overwrite").parquet(
+                f"{out_path}_quarantine/batch_id={batch_id}"
+            )
 
     reader = spark.readStream.schema(DOC_SCHEMA)
     if max_files_per_trigger is not None:
