@@ -201,3 +201,54 @@ def test_persisted_index_prunes_partitions_and_matches_direct(
     assert "dynamicpruning" in plan.lower(), (
         f"no dynamic partition pruning on the code scan:\n{plan}"
     )
+
+
+def test_rescore_refine_lifts_recall(spark):
+    """faiss IVFPQ+Refine: exact-L2 rescoring an ADC shortlist of
+    depth d >= k can only improve recall@k over ADC order (it picks
+    the exact-best k of the same candidates) — and on the near-random
+    testdata it must lift it substantially."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    k = 10
+    common = dict(
+        n_cells=4, n_probe=2, m_subvectors=16, k_codes=16,
+        coarse_iters=2, pq_iters=2,
+    )
+    adc = similarity.knn_ivf_pq(emb, queries, k=k, **common)
+    ref = similarity.knn_ivf_pq(
+        emb, queries, k=k, rescore_depth=60, **common
+    )
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    d = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) ** 2),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy("d", "neighbor_id")
+    exact = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    r_adc = len(
+        {(r.query_id, r.neighbor_id) for r in adc.collect()} & truth
+    ) / len(truth)
+    r_ref = len(
+        {(r.query_id, r.neighbor_id) for r in ref.collect()} & truth
+    ) / len(truth)
+    assert r_ref >= r_adc, f"refine {r_ref:.2f} < ADC {r_adc:.2f}"
+    assert r_ref >= 0.7, f"refined recall@{k} = {r_ref:.2f}"

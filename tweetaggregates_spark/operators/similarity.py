@@ -1062,6 +1062,7 @@ def knn_ivf_pq(
     pq_iters: int = 0,
     encode_residuals: bool = False,
     index: "IvfPqIndex | None" = None,
+    rescore_depth: int | None = None,
 ) -> DataFrame:
     """IVF-ADC: the composed billion-scale ANN index (Jegou et al.,
     "Product Quantization for Nearest Neighbor Search", TPAMI 2011
@@ -1227,6 +1228,49 @@ def knn_ivf_pq(
         .agg(part_sum.alias("approx_dist"))
     )
     w = W.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
+    if rescore_depth is not None:
+        # faiss IVFPQ+Refine: ADC shortlists rescore_depth candidates,
+        # exact squared-L2 on the true vectors re-ranks the final k —
+        # only |Q| x rescore_depth float vectors are ever touched, and
+        # recall@k can only improve over picking k by ADC order
+        if corpus is None:
+            raise ValueError(
+                "rescore_depth needs the corpus vectors; an IvfPqIndex "
+                "stores only codes (store the float column alongside "
+                "and pass it as corpus)"
+            )
+        short = scored.withColumn("_sr", F.row_number().over(w)).filter(
+            F.col("_sr") <= rescore_depth
+        )
+        qv = queries.select(
+            F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qx")
+        )
+        cv = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(vec_col).alias("_cx"),
+        )
+        exact = F.aggregate(
+            F.zip_with("_qx", "_cx", lambda a, b: (a - b) ** 2),
+            F.lit(0.0).cast("double"),
+            lambda acc, d: acc + d,
+        )
+        rescored = (
+            short.select("query_id", "neighbor_id")
+            .join(cv, "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select("query_id", "neighbor_id", exact.alias("exact_dist"))
+        )
+        rw = W.partitionBy("query_id").orderBy("exact_dist", "neighbor_id")
+        return (
+            rescored.withColumn("knn_rank", F.row_number().over(rw))
+            .filter(F.col("knn_rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round("exact_dist", 6).alias("exact_dist"),
+                "knn_rank",
+            )
+        )
     return (
         scored.withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
