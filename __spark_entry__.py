@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges_docs": llm.bpe_merges_docs,
         # -- round 5: incremental cross-run dedup + composed IVF-ADC --
         "incremental_dedup_docs": llm.incremental_dedup_docs,
+        "incremental_exact_dedup_docs": llm.incremental_exact_dedup_docs,
         "knn_ivf_pq_embeddings": llm.knn_ivf_pq_embeddings,
         # -- events/windows: anomaly, CDC, profile, concentration --
         "dense_tumbling_counts": ev.dense_tumbling_counts,
@@ -1930,6 +1931,9 @@ def oracle_sql() -> dict[str, str]:
     # (CC under component contraction), so its oracle IS the one-shot
     # transitive closure — the hash gate proves the equivalence
     sql["incremental_dedup_docs"] = sql["dedup_clusters_docs"]
+    # incremental exact dedup: min/sum associativity makes the fold
+    # batching-invariant, so its oracle IS the one-shot exact dedup
+    sql["incremental_exact_dedup_docs"] = sql["exact_dedup_docs"]
     sql["canonical_docs"] = f"""
         WITH RECURSIVE {_lsh_cc_cte},
         cl AS (

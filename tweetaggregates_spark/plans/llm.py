@@ -46,6 +46,25 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("n_copies") > 1)
 
 
+def incremental_exact_dedup_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental EXACT dedup (operators/dedup.exact_dedup_new_batch):
+    the originals are the indexed corpus, the shifted duplicate copies
+    arrive as a later ingest batch and fold into the persisted
+    content-hash index — min/sum associativity makes the fold
+    batching-invariant, so the oracle is exact_dedup_docs' one-shot
+    SQL over the combined corpus (the hash gate proves the
+    equivalence). Dup groups only, like the one-shot query."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    batch2 = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    index = dedup.exact_dedup(docs)
+    _, updated = dedup.exact_dedup_new_batch(batch2, index)
+    return updated.filter(F.col("n_copies") > 1)
+
+
 def minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate near-dup pairs (16 hashes, 4 bands x 4)."""
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
