@@ -252,3 +252,71 @@ def test_rescore_refine_lifts_recall(spark):
     ) / len(truth)
     assert r_ref >= r_adc, f"refine {r_ref:.2f} < ADC {r_adc:.2f}"
     assert r_ref >= 0.7, f"refined recall@{k} = {r_ref:.2f}"
+
+
+def test_append_to_index_without_retraining(spark, tmp_path):
+    """The faiss `add` path: new vectors fold into the persisted index
+    using the EXISTING quantizers — appended codes are bit-identical
+    to a from-scratch encode with the same codebook, queries see
+    neighbors from both ingests, and the build-half codes are
+    untouched."""
+    emb = load_table(spark, SF, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfpq")
+    idx0 = similarity.build_ivf_pq_index(
+        b1, path, n_cells=4, m_subvectors=4, k_codes=16,
+        coarse_iters=1, pq_iters=1, encode_residuals=True,
+    )
+    codes_before = {
+        (r.neighbor_id, r.subspace): (r.code, r.cell)
+        for r in idx0.codes.collect()
+    }
+    idx1 = similarity.append_to_ivf_pq_index(b2, path)
+    codes_after = {
+        (r.neighbor_id, r.subspace): (r.code, r.cell)
+        for r in idx1.codes.collect()
+    }
+    # build-half codes untouched; every new vector encoded (4 codes)
+    for key, val in codes_before.items():
+        assert codes_after[key] == val
+    n2 = b2.count()
+    assert len(codes_after) == len(codes_before) + 4 * n2
+
+    # appended codes == from-scratch encode with the same quantizers
+    # (residual-aware: subtract the assigned cell's centroid first)
+    from tweetaggregates_spark.operators.similarity import (
+        _pq_source,
+        pq_encode,
+    )
+    from pyspark.sql import Window as W
+
+    cents = idx0.centroids
+    bd = b2.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("_v"),
+    ).crossJoin(F.broadcast(cents))
+    cdist = F.aggregate(
+        F.zip_with("_v", "carr", lambda x, c: (x - c) ** 2),
+        F.lit(0.0).cast("double"),
+        lambda acc, d: acc + d,
+    )
+    aw = W.partitionBy("vec_id").orderBy("_cd", "cluster")
+    assigned = (
+        bd.select("vec_id", "cluster", cdist.alias("_cd"))
+        .withColumn("_r", F.row_number().over(aw))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "cluster")
+    )
+    expect = pq_encode(
+        _pq_source(b2, assigned, cents, "vec_id", "embedding", True),
+        idx0.codebook,
+    )
+    for r in expect.collect():
+        assert codes_after[(r.vec_id, r.subspace)][0] == r.code
+
+    # a query from the appended half finds neighbors across BOTH halves
+    queries = b2.filter(F.col("vec_id") < 12)
+    out = similarity.knn_ivf_pq(None, queries, k=8, n_probe=4, index=idx1)
+    neigh = {r.neighbor_id for r in out.collect()}
+    assert any(n % 2 == 0 for n in neigh) and any(n % 2 == 1 for n in neigh)

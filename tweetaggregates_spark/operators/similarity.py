@@ -1048,6 +1048,68 @@ def read_ivf_pq_index(spark, path: str) -> IvfPqIndex:
     )
 
 
+def append_to_ivf_pq_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfPqIndex:
+    """Fold a NEW batch of vectors into an existing persisted index
+    without retraining — the ANN analog of ``dedup_new_batch``:
+    production indexes ingest continuously and re-train quantizers on
+    a schedule, not per batch (the faiss ``add`` path). The batch is
+    assigned to cells by the EXISTING centroids and encoded with the
+    EXISTING codebook (residual-aware), then appended into the
+    cell-partitioned codes tree — one map pass over the batch, never
+    the corpus; only the touched cell partitions gain files.
+
+    Quantizer drift is the explicit trade: cells/codes describe the
+    training-time distribution, so recall on a drifted stream decays
+    until a rebuild — monitor with embedding_health_stats. Appended
+    codes are bit-identical to what a from-scratch encode with the
+    same quantizers produces (pinned in tests/test_ivfpq.py)."""
+    from pyspark.sql import Window as W
+
+    spark = batch.sparkSession
+    idx = read_ivf_pq_index(spark, path)
+    cents = idx.centroids
+    # nearest-cell assignment with the index's centroids: same ordered
+    # fold + (dist, cell) tie-break as kmeans.assign
+    bd = batch.select(
+        F.col(id_col), as_double(vec_col).alias("_v")
+    ).crossJoin(F.broadcast(cents))
+    cdist = F.aggregate(
+        F.zip_with("_v", "carr", lambda x, c: (x - c) ** 2),
+        F.lit(0.0).cast("double"),
+        lambda acc, d: acc + d,
+    )
+    aw = W.partitionBy(id_col).orderBy("_cd", "cluster")
+    assigned = (
+        bd.select(F.col(id_col), "_v", "cluster", cdist.alias("_cd"))
+        .withColumn("_r", F.row_number().over(aw))
+        .filter(F.col("_r") == 1)
+        .select(F.col(id_col), "cluster")
+    )
+    pq_src = _pq_source(
+        batch, assigned, cents, id_col, vec_col, idx.encode_residuals
+    )
+    new_codes = (
+        pq_encode(pq_src, idx.codebook, vec_col, id_col)
+        .withColumnRenamed(id_col, "neighbor_id")
+        .join(
+            assigned.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col("cluster").alias("cell"),
+            ),
+            "neighbor_id",
+        )
+    )
+    new_codes.write.mode("append").partitionBy("cell").parquet(
+        f"{path}/codes"
+    )
+    return read_ivf_pq_index(spark, path)
+
+
 def knn_ivf_pq(
     corpus: DataFrame,
     queries: DataFrame,
