@@ -257,3 +257,20 @@ def test_capped_incremental_dedup(spark):
     assert qs and all(r.bucket_size >= 2 for r in qs)
     members = {d for r in qs for d in r.example_doc_ids}
     assert members <= {10, 20, 31, 32}
+
+
+def test_bandless_batch_folds_cleanly(spark):
+    """Docs too short to emit any band (< k tokens) are implicit
+    singletons: the delta graph is empty, assignments still cover the
+    batch, and the index gains no band rows for them."""
+    b1 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    index = dedup.build_band_index(b1)
+    short = spark.createDataFrame([(50, "hi there")], ["doc_id", "text"])
+    assignments, updated = dedup.dedup_new_batch(short, index)
+    assert _clusters(assignments) == {50: 50}
+    [a] = assignments.collect()
+    assert a.is_duplicate is False
+    assert updated.filter(F.col("doc_id") == 50).count() == 0
+    assert _index_rows(updated) == _index_rows(index)
