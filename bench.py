@@ -86,9 +86,11 @@ HEADLINE = [
     "lm_quality_docs",
     "media_frames_docs",
     "bpe_merges_docs",
-    # round 5: incremental cross-run dedup (two-batch band index path)
-    # + the composed IVF-ADC ANN index
+    # round 5: incremental cross-run dedup (two-batch band index path),
+    # the incremental exact-dedup index fold, and the composed IVF-ADC
+    # ANN index
     "incremental_dedup_docs",
+    "incremental_exact_dedup_docs",
     "knn_ivf_pq_embeddings",
 ]
 
