@@ -1168,7 +1168,11 @@ def knn_ivf_pq(
     ``index=`` supplies a prebuilt ``IvfPqIndex`` (build_ivf_pq_index):
     the corpus is never touched — probes hit the cell-partitioned code
     scan directly and dynamic partition pruning drops the unprobed
-    cells (pinned in tests/test_ivfpq.py)."""
+    cells (pinned in tests/test_ivfpq.py). The build-time parameters
+    (n_cells, m_subvectors, k_codes, *_iters, encode_residuals) are
+    then taken from the index and the arguments ignored; ``corpus``
+    may be None unless ``rescore_depth`` is set (refine needs the
+    float vectors)."""
     from pyspark.sql import Window as W
 
     from tweetaggregates_spark.operators.cluster import kmeans
