@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_docs": llm.incremental_dedup_docs,
         "incremental_exact_dedup_docs": llm.incremental_exact_dedup_docs,
         "knn_ivf_pq_embeddings": llm.knn_ivf_pq_embeddings,
+        "knn_ivf_pq_trained_embeddings": llm.knn_ivf_pq_trained_embeddings,
         # -- events/windows: anomaly, CDC, profile, concentration --
         "dense_tumbling_counts": ev.dense_tumbling_counts,
         "daily_count_anomalies": ev.daily_count_anomalies,
@@ -1836,6 +1837,115 @@ def oracle_sql() -> dict[str, str]:
           FROM subs s JOIN cb c ON s.subspace = c.subspace
           WHERE s.vec_id < 10
         ),
+        scored AS (
+          SELECT t.query_id, e.vec_id AS neighbor_id,
+                 list_sum(list(t.dp ORDER BY t.subspace)) AS approx_dist
+          FROM enc e
+          JOIN cellasg a ON a.vec_id = e.vec_id
+          JOIN probes p ON p.cell = a.cell
+          JOIN dtable t
+            ON t.query_id = p.query_id
+           AND e.subspace = t.subspace AND e.code = t.code
+          WHERE t.query_id <> e.vec_id
+          GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id,
+               round(approx_dist, 6) AS approx_dist,
+               CAST(rnk AS INTEGER) AS knn_rank
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+    """
+    # TRAINED IVF-ADC (knn_ivf_pq_trained_embeddings): one Lloyd
+    # iteration for the coarse quantizer and for each of the m=4
+    # per-subspace PQ codebooks — 5 k-means trainings replayed in SQL.
+    # _km1 emits a 1-iteration chain: seeds (k lowest ids) -> assign ->
+    # DECIMAL-mean rounded update -> trained centroids {p}c1; mirrors
+    # _km_body's mechanics (cluster.kmeans determinism contract).
+    def _km1(p, src, vc, k):
+        d = _KM_DIST(f"e.{vc}", "c.carr")
+        return f"""
+        {p}c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+                 {vc} AS carr
+          FROM (SELECT vec_id, {vc} FROM {src} ORDER BY vec_id LIMIT {k})
+        ),
+        {p}a1 AS (
+          SELECT vec_id, {vc}, cluster FROM (
+            SELECT e.vec_id, e.{vc}, c.cluster,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id ORDER BY {d}, c.cluster) AS rn
+            FROM {src} e CROSS JOIN {p}c0 c) WHERE rn = 1
+        ),
+        {p}u1 AS (
+          SELECT cluster, dim,
+                 round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12)))
+                            AS DOUBLE) / count(*), 6) AS cm
+          FROM (SELECT cluster,
+                       unnest(range(1, len({vc}) + 1)) AS dim,
+                       unnest({vc}) AS x
+                FROM {p}a1)
+          GROUP BY 1, 2
+        ),
+        {p}c1 AS (SELECT cluster, list(cm ORDER BY dim) AS carr
+                  FROM {p}u1 GROUP BY cluster)"""
+
+    _M, _SUB = 4, 16
+    _sub_srcs = ",".join(
+        f"""
+        sub{s} AS (SELECT vec_id,
+                          v[{s * _SUB + 1}:{s * _SUB + _SUB}] AS sv
+                   FROM emb)"""
+        for s in range(_M)
+    )
+    _sub_kms = ",".join(_km1(f"s{s}_", f"sub{s}", "sv", 16) for s in range(_M))
+    _encs = "\n          UNION ALL\n".join(
+        f"""
+          SELECT vec_id, {s} AS subspace, cluster AS code FROM (
+            SELECT e.vec_id, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_KM_DIST("e.sv", "c.carr")}, c.cluster) AS rn
+            FROM sub{s} e CROSS JOIN s{s}_c1 c) WHERE rn = 1"""
+        for s in range(_M)
+    )
+    _dts = "\n          UNION ALL\n".join(
+        f"""
+          SELECT e.vec_id AS query_id, {s} AS subspace,
+                 c.cluster AS code,
+                 {_KM_DIST("e.sv", "c.carr")} AS dp
+          FROM sub{s} e CROSS JOIN s{s}_c1 c
+          WHERE e.vec_id < 10"""
+        for s in range(_M)
+    )
+    sql["knn_ivf_pq_trained_embeddings"] = f"""
+        WITH emb AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+          FROM embeddings
+        ),
+        {_km1("g_", "emb", "v", 8)},
+        gfr AS (
+          SELECT e.vec_id, c.cluster,
+                 {_KM_DIST("e.v", "c.carr")} AS d
+          FROM emb e CROSS JOIN g_c1 c
+        ),
+        cellasg AS (
+          SELECT vec_id, cluster AS cell FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d, cluster) AS rn
+            FROM gfr) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, cluster AS cell FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d, cluster) AS rn
+            FROM gfr WHERE vec_id < 10) WHERE rn <= 2
+        ),
+        {_sub_srcs},
+        {_sub_kms},
+        enc AS ({_encs}),
+        dtable AS ({_dts}),
         scored AS (
           SELECT t.query_id, e.vec_id AS neighbor_id,
                  list_sum(list(t.dp ORDER BY t.subspace)) AS approx_dist

@@ -482,6 +482,35 @@ def knn_ivf_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivf_pq_trained_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The TRAINED IVF-ADC path under the oracle gate: one Lloyd
+    iteration for the coarse quantizer (8 cells) AND for each of the
+    m=4 per-subspace PQ codebooks (16 codes each). Every training
+    step is deterministic (lowest-id seeds, DECIMAL-routed rounded
+    centroid means, sequential distance folds, id tie-breaks), so the
+    DuckDB twin replays the full pipeline: 5 k-means trainings →
+    encode → probes → ADC → top-5. Complements the init-only
+    `knn_ivf_pq_embeddings` twin with the production (trained)
+    quantizers."""
+    from tweetaggregates_spark.operators.similarity import knn_ivf_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_ivf_pq(
+        emb,
+        queries,
+        k=5,
+        n_cells=8,
+        n_probe=2,
+        m_subvectors=4,
+        k_codes=16,
+        coarse_iters=1,
+        pq_iters=1,
+    )
+
+
 def quantized_embeddings_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 symmetric quantization of every embedding: scale + exact
     integer summary stats (the full qvec is checked through q_sum /
