@@ -320,3 +320,146 @@ def test_append_to_index_without_retraining(spark, tmp_path):
     out = similarity.knn_ivf_pq(None, queries, k=8, n_probe=4, index=idx1)
     neigh = {r.neighbor_id for r in out.collect()}
     assert any(n % 2 == 0 for n in neigh) and any(n % 2 == 1 for n in neigh)
+
+
+def test_failed_rebuild_leaves_readable_consistent_index(spark, tmp_path):
+    """Crash-safe rebuild (ADVICE r5): subtrees are build-id suffixed
+    and the meta pointer commits LAST — a rebuild that dies after
+    writing codes must leave readers on the PREVIOUS complete build,
+    never on new codes paired with stale quantizers."""
+    import os
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    idx0 = similarity.build_ivf_pq_index(
+        emb, path, n_cells=4, m_subvectors=4, k_codes=16,
+        coarse_iters=1, pq_iters=1, encode_residuals=True,
+    )
+    before = sorted(
+        (r.neighbor_id, r.subspace, r.code, r.cell)
+        for r in idx0.codes.collect()
+    )
+    # simulate a rebuild that crashed after the codes write but before
+    # the meta commit: a fresh suffixed codes dir with different rows
+    idx0.codes.limit(3).withColumn("ingest", F.lit("base")).write.mode(
+        "overwrite"
+    ).partitionBy("ingest", "cell").parquet(f"{path}/codes_deadbeef0000")
+    idx1 = similarity.read_ivf_pq_index(spark, path)
+    after = sorted(
+        (r.neighbor_id, r.subspace, r.code, r.cell)
+        for r in idx1.codes.collect()
+    )
+    assert after == before  # the orphan build is invisible
+    # a completed rebuild prunes the orphan and re-points meta
+    idx2 = similarity.build_ivf_pq_index(
+        emb, path, n_cells=4, m_subvectors=4, k_codes=16,
+        coarse_iters=1, pq_iters=1, encode_residuals=True,
+    )
+    assert "codes_deadbeef0000" not in os.listdir(path)
+    assert sorted(
+        (r.neighbor_id, r.subspace, r.code, r.cell)
+        for r in idx2.codes.collect()
+    ) == before
+
+
+def test_append_retry_with_same_ingest_id_is_idempotent(spark, tmp_path):
+    """ADVICE r5: a redelivered append batch must not duplicate code
+    rows — same ingest_id overwrites its own partitions."""
+    emb = load_table(spark, SF, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfpq")
+    similarity.build_ivf_pq_index(
+        b1, path, n_cells=4, m_subvectors=4, k_codes=16,
+        coarse_iters=1, pq_iters=1, encode_residuals=True,
+    )
+    idx1 = similarity.append_to_ivf_pq_index(b2, path, ingest_id="batch-7")
+    rows1 = sorted(
+        (r.neighbor_id, r.subspace, r.code, r.cell)
+        for r in idx1.codes.collect()
+    )
+    idx2 = similarity.append_to_ivf_pq_index(b2, path, ingest_id="batch-7")
+    rows2 = sorted(
+        (r.neighbor_id, r.subspace, r.code, r.cell)
+        for r in idx2.codes.collect()
+    )
+    assert rows2 == rows1  # retry replaced, not duplicated
+    # and each appended vector still has exactly m code rows
+    per_vec = idx2.codes.groupBy("neighbor_id").count().collect()
+    assert all(r["count"] == 4 for r in per_vec)
+
+
+def test_drift_detection_recommends_rebuild(spark, tmp_path):
+    """Quantizer-drift wiring (VERDICT r5 #4): an in-distribution batch
+    does NOT flip the rebuild recommendation; a planted drifted batch
+    (far off the training manifold) DOES. The appended-but-drifted
+    index still clears a recall floor (ADC finds the drifted docs via
+    their crowded nearest cell), and a rebuild restores recall to at
+    least the drifted level."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(0.0, 10.0, size=(4, 16))
+    rows = []
+    vid = 0
+    for ci in range(4):
+        for _ in range(30):
+            v = centers[ci] + rng.normal(0.0, 0.5, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    path = str(tmp_path / "ivfpq")
+    idx = similarity.build_ivf_pq_index(
+        emb, path, n_cells=4, m_subvectors=4, k_codes=16,
+        coarse_iters=2, pq_iters=2, encode_residuals=True,
+    )
+    assert idx.avg_assign_dist is not None and idx.avg_assign_dist > 0
+
+    # in-distribution batch: fresh draws around the SAME centers
+    ok_rows = []
+    for ci in range(4):
+        for j in range(10):
+            v = centers[ci] + rng.normal(0.0, 0.5, size=16)
+            ok_rows.append((1000 + ci * 10 + j, [float(x) for x in v]))
+    ok_batch = spark.createDataFrame(ok_rows, ["vec_id", "embedding"])
+    assert idx.needs_rebuild(ok_batch) is False
+
+    # drifted batch: a NEW far-away center the quantizers never saw
+    far = rng.normal(60.0, 1.0, size=16)
+    dr_rows = [
+        (2000 + j, [float(x) for x in far + rng.normal(0.0, 0.5, size=16)])
+        for j in range(20)
+    ]
+    drifted = spark.createDataFrame(dr_rows, ["vec_id", "embedding"])
+    assert idx.needs_rebuild(drifted) is True
+
+    # appended-but-drifted recall floor, and rebuild restores it
+    idx_app = similarity.append_to_ivf_pq_index(
+        drifted, path, ingest_id="drift-1"
+    )
+    queries = drifted.filter(F.col("vec_id") < 2004)
+    truth = {
+        (q, 2000 + j)
+        for q in range(2000, 2004)
+        for j in range(20)
+        if 2000 + j != q
+    }
+
+    def _recall(index) -> float:
+        out = similarity.knn_ivf_pq(
+            None, queries, k=10, n_probe=2, index=index
+        )
+        got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+        inter = {
+            (q, n) for (q, n) in got if (q, n) in truth
+        }
+        return len(inter) / (4 * 10)
+
+    r_app = _recall(idx_app)
+    assert r_app >= 0.3, f"appended-drifted recall {r_app:.2f}"
+    idx_re = similarity.build_ivf_pq_index(
+        emb.unionByName(drifted), path, n_cells=5, m_subvectors=4,
+        k_codes=16, coarse_iters=2, pq_iters=2, encode_residuals=True,
+    )
+    r_re = _recall(idx_re)
+    assert r_re >= r_app, f"rebuild {r_re:.2f} < drifted {r_app:.2f}"

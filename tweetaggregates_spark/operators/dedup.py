@@ -623,8 +623,6 @@ def dedup_new_batch(
     discovery, then connected components over the delta graph (new
     docs + touched old clusters — old cluster labels are themselves
     min doc-ids, so they participate as ordinary nodes)."""
-    from tweetaggregates_spark.operators.cluster import connected_components
-
     new_bands = lsh_bands(
         minhash_signatures(batch, text_col, id_col, k, n_hashes),
         n_hashes,
@@ -705,11 +703,16 @@ def dedup_new_batch_capped(
     fan-out — with no oversized bucket the result EQUALS
     ``dedup_new_batch`` (pinned). At scale the per-bucket index sizes
     come from a maintained count column, not the re-count here."""
+    # the batch's minhash pipeline fans out to four consumers (bucket
+    # sizes, quarantine, discovery join, band append) — materialize it
+    # once so each downstream action replays a tiny scan, not the
+    # signature computation (ADVICE r5; the streaming _process already
+    # does the same for assignments)
     new_bands = lsh_bands(
         minhash_signatures(batch, text_col, id_col, k, n_hashes),
         n_hashes,
         n_bands,
-    )
+    ).localCheckpoint(eager=True)
     combined = new_bands.select("doc_id", "band_id", "band_key").unionByName(
         index.select("doc_id", "band_id", "band_key")
     )

@@ -959,11 +959,65 @@ class IvfPqIndex:
         codebook: DataFrame,
         codes: DataFrame,
         encode_residuals: bool,
+        avg_assign_dist: float | None = None,
+        path: str | None = None,
     ) -> None:
         self.centroids = centroids
         self.codebook = codebook
         self.codes = codes
         self.encode_residuals = encode_residuals
+        # training-time dispersion: mean squared L2 from each corpus
+        # vector to its assigned coarse centroid — the yardstick
+        # quantizer-drift detection compares new batches against
+        self.avg_assign_dist = avg_assign_dist
+        self.path = path
+
+    def batch_drift(self, batch: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> float:
+        """Mean squared L2 from each batch vector to its NEAREST stored
+        coarse centroid (the distance ``append_to_ivf_pq_index`` would
+        assign at) — one broadcast-centroid map pass over the batch +
+        a 1-row aggregate. Compare against ``avg_assign_dist``."""
+        bd = batch.select(
+            F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
+        ).crossJoin(F.broadcast(self.centroids))
+        cdist = F.aggregate(
+            F.zip_with("_v", "carr", lambda x, c: (x - c) ** 2),
+            F.lit(0.0).cast("double"),
+            lambda acc, d: acc + d,
+        )
+        per_vec = bd.select("_id", cdist.alias("_cd")).groupBy("_id").agg(
+            F.min("_cd").alias("_best")
+        )
+        row = per_vec.agg(
+            F.round(
+                F.sum(F.col("_best").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("drift")
+        ).first()
+        return float(row.drift)
+
+    def needs_rebuild(
+        self,
+        batch: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        factor: float = 2.0,
+    ) -> bool:
+        """Quantizer-drift rebuild recommendation (the documented
+        trigger for the ``append_to_ivf_pq_index`` trade): True when
+        the batch's mean nearest-centroid squared distance exceeds
+        ``factor`` x the training-time dispersion — the cells/codebook
+        no longer describe the incoming distribution, so appended
+        vectors crowd mis-fitting cells and ADC recall decays. The
+        check is O(batch) map-side + a 1-row aggregate; wire it into
+        the ingest path and rebuild on a schedule when it fires."""
+        if self.avg_assign_dist is None:
+            return False  # legacy index without training stats
+        return self.batch_drift(batch, id_col, vec_col) > (
+            factor * self.avg_assign_dist
+        )
 
 
 def _pq_source(
@@ -1010,6 +1064,10 @@ def build_ivf_pq_index(
     plans see the partitioned layout."""
     from tweetaggregates_spark.operators.cluster import kmeans
 
+    import os
+    import shutil
+    import uuid
+
     assigned, cents = kmeans(
         corpus, vec_col, id_col, k=n_cells, iters=coarse_iters
     )
@@ -1029,22 +1087,59 @@ def build_ivf_pq_index(
         .join(cellmap, "neighbor_id")
     )
     spark = corpus.sparkSession
-    codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
-    cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+    # training-time dispersion for quantizer-drift detection: mean
+    # squared L2 to the assigned coarse centroid (1-row aggregate)
+    avg_dist = float(
+        assigned.agg(
+            F.round(
+                F.sum(F.col("dist").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("d")
+        ).first().d
+    )
+    # crash-safe rebuild (ADVICE r5): every subtree of this build is
+    # suffixed with a fresh build id, and the meta pointer is written
+    # LAST — a failure mid-rebuild leaves meta pointing at the previous
+    # complete build, so readers never see new codes paired with stale
+    # quantizers. Stale builds are pruned after the commit. The codes
+    # carry an ``ingest`` partition ahead of ``cell`` so later appends
+    # can overwrite their own partitions idempotently (cell stays a
+    # partition column, so probe-time dynamic pruning is unchanged).
+    bid = uuid.uuid4().hex[:12]
+    codes.withColumn("ingest", F.lit("base")).write.mode(
+        "overwrite"
+    ).partitionBy("ingest", "cell").parquet(f"{path}/codes_{bid}")
+    cents.write.mode("overwrite").parquet(f"{path}/centroids_{bid}")
+    codebook.write.mode("overwrite").parquet(f"{path}/codebook_{bid}")
     spark.createDataFrame(
-        [(encode_residuals,)], "encode_residuals BOOLEAN"
+        [(encode_residuals, bid, avg_dist)],
+        "encode_residuals BOOLEAN, build_id STRING, avg_assign_dist DOUBLE",
     ).write.mode("overwrite").parquet(f"{path}/meta")
+    for name in os.listdir(path):
+        stale = (
+            name.rsplit("_", 1)[0] in ("codes", "centroids", "codebook")
+            and not name.endswith(f"_{bid}")
+        )
+        if stale:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
     return read_ivf_pq_index(spark, path)
 
 
 def read_ivf_pq_index(spark, path: str) -> IvfPqIndex:
     meta = spark.read.parquet(f"{path}/meta").first()
+    bid = getattr(meta, "build_id", None)
+    suffix = f"_{bid}" if bid else ""  # legacy layout: unsuffixed dirs
+    codes = spark.read.parquet(f"{path}/codes{suffix}")
+    if "ingest" in codes.columns:
+        codes = codes.drop("ingest")
     return IvfPqIndex(
-        centroids=spark.read.parquet(f"{path}/centroids"),
-        codebook=spark.read.parquet(f"{path}/codebook"),
-        codes=spark.read.parquet(f"{path}/codes"),
+        centroids=spark.read.parquet(f"{path}/centroids{suffix}"),
+        codebook=spark.read.parquet(f"{path}/codebook{suffix}"),
+        codes=codes,
         encode_residuals=bool(meta.encode_residuals),
+        avg_assign_dist=getattr(meta, "avg_assign_dist", None),
+        path=path,
     )
 
 
@@ -1053,6 +1148,7 @@ def append_to_ivf_pq_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ingest_id: str | None = None,
 ) -> IvfPqIndex:
     """Fold a NEW batch of vectors into an existing persisted index
     without retraining — the ANN analog of ``dedup_new_batch``:
@@ -1065,9 +1161,17 @@ def append_to_ivf_pq_index(
 
     Quantizer drift is the explicit trade: cells/codes describe the
     training-time distribution, so recall on a drifted stream decays
-    until a rebuild — monitor with embedding_health_stats. Appended
-    codes are bit-identical to what a from-scratch encode with the
-    same quantizers produces (pinned in tests/test_ivfpq.py)."""
+    until a rebuild — check ``IvfPqIndex.needs_rebuild`` per batch.
+    Appended codes are bit-identical to what a from-scratch encode
+    with the same quantizers produces (pinned in tests/test_ivfpq.py).
+
+    ``ingest_id`` keys the append's partitions (ADVICE r5): the write
+    lands under ``ingest=<id>`` with dynamic partition overwrite, so a
+    RETRIED batch replaces its own earlier rows instead of duplicating
+    them — pass the upstream batch id for exactly-once folds; when
+    None a fresh uuid is used (unique, but a retry then duplicates)."""
+    import uuid
+
     from pyspark.sql import Window as W
 
     spark = batch.sparkSession
@@ -1104,9 +1208,21 @@ def append_to_ivf_pq_index(
             "neighbor_id",
         )
     )
-    new_codes.write.mode("append").partitionBy("cell").parquet(
-        f"{path}/codes"
-    )
+    meta = spark.read.parquet(f"{path}/meta").first()
+    bid = getattr(meta, "build_id", None)
+    if bid:
+        # versioned layout: overwrite ONLY this ingest's partitions —
+        # retries with the same ingest_id are idempotent
+        iid = ingest_id if ingest_id is not None else uuid.uuid4().hex[:12]
+        new_codes.withColumn("ingest", F.lit(str(iid))).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "ingest", "cell"
+        ).parquet(f"{path}/codes_{bid}")
+    else:  # legacy cell-only layout: plain append (documented trade)
+        new_codes.write.mode("append").partitionBy("cell").parquet(
+            f"{path}/codes"
+        )
     return read_ivf_pq_index(spark, path)
 
 
