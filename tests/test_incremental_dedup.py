@@ -274,3 +274,193 @@ def test_bandless_batch_folds_cleanly(spark):
     assert a.is_duplicate is False
     assert updated.filter(F.col("doc_id") == 50).count() == 0
     assert _index_rows(updated) == _index_rows(index)
+
+
+def test_delta_fold_equals_full_rewrite_across_four_batches(
+    spark, tmp_path
+):
+    """The append-only maintenance path (VERDICT r5 #1): per-ingest
+    band appends + a chain-forming remap log, folded at read, must
+    equal both the full-rewrite chain and the one-shot build — and
+    each append's bytes must be O(batch + merged clusters)."""
+    import os
+
+    t1 = "apple banana cherry date elderberry fig grape honeydew"
+    t2 = "kiwi lemon mango nectarine orange papaya quince raspberry"
+    path = str(tmp_path / "band_index")
+    b1 = spark.createDataFrame([(10, t1), (20, t2)], ["doc_id", "text"])
+    first = dedup.build_band_index(b1)
+    dedup.append_band_index_delta(
+        first,
+        spark.createDataFrame([], dedup.REMAP_SCHEMA),
+        path,
+        0,
+    )
+    batches = {
+        1: [(31, t1), (32, t2)],   # joins clusters 10 and 20, no remap
+        2: [(5, t1)],              # takes over cluster 10 -> 5
+        3: [(2, t1)],              # takes over cluster 5 -> 2 (CHAIN)
+    }
+    all_docs = b1
+    for v, rows in batches.items():
+        batch = spark.createDataFrame(rows, ["doc_id", "text"])
+        index = dedup.read_band_index(spark, path)
+        assignments, new_rows, remap = dedup.dedup_new_batch_delta(
+            batch, index
+        )
+        dedup.append_band_index_delta(new_rows, remap, path, v)
+        all_docs = all_docs.unionByName(batch)
+
+    folded = dedup.read_band_index(spark, path)
+    one_shot = dedup.build_band_index(all_docs)
+    assert _index_rows(folded) == _index_rows(one_shot)
+    # chain actually formed and folds transitively: v=2 logged 10->5,
+    # v=3 logged 5->2, and every band row of docs {2,5,10,31} reads
+    # back as cluster 2
+    r2 = {
+        (r.old_cluster, r.new_cluster)
+        for r in spark.read.parquet(f"{path}/remap/v=2").collect()
+    }
+    r3 = {
+        (r.old_cluster, r.new_cluster)
+        for r in spark.read.parquet(f"{path}/remap/v=3").collect()
+    }
+    assert r2 == {(10, 5)} and r3 == {(5, 2)}
+    assert _clusters(folded) == {2: 2, 5: 2, 10: 2, 31: 2, 20: 20, 32: 20}
+    # O(batch) appends: each bands/v=N holds only that batch's rows
+    n_bands_per_doc = dedup.N_BANDS
+    for v, rows in batches.items():
+        cnt = spark.read.parquet(f"{path}/bands/v={v}").count()
+        assert cnt == n_bands_per_doc * len(rows)
+    # replay contract: below=N reproduces the pre-batch index
+    pre3 = dedup.read_band_index(spark, path, below=3)
+    assert _clusters(pre3) == {5: 5, 10: 5, 31: 5, 20: 20, 32: 20}
+
+
+def test_compact_band_index_rebases_and_appends_continue(
+    spark, tmp_path
+):
+    """Compaction materializes the fold as a crash-safe base, clears
+    the log, and later appends stack on top of the base."""
+    import os
+
+    t1 = "apple banana cherry date elderberry fig grape honeydew"
+    t2 = "kiwi lemon mango nectarine orange papaya quince raspberry"
+    path = str(tmp_path / "band_index")
+    b1 = spark.createDataFrame([(10, t1), (20, t2)], ["doc_id", "text"])
+    dedup.append_band_index_delta(
+        dedup.build_band_index(b1),
+        spark.createDataFrame([], dedup.REMAP_SCHEMA),
+        path,
+        0,
+    )
+    b2 = spark.createDataFrame([(5, t1)], ["doc_id", "text"])
+    _, new_rows, remap = dedup.dedup_new_batch_delta(
+        b2, dedup.read_band_index(spark, path)
+    )
+    dedup.append_band_index_delta(new_rows, remap, path, 1)
+
+    compacted = dedup.compact_band_index(spark, path)
+    assert os.path.isdir(f"{path}/base/v=1")
+    assert not any(
+        d.startswith("v=") for d in os.listdir(f"{path}/bands")
+    )
+    assert not any(
+        d.startswith("v=") for d in os.listdir(f"{path}/remap")
+    )
+    expect12 = dedup.build_band_index(b1.unionByName(b2))
+    assert _index_rows(compacted) == _index_rows(expect12)
+    assert _index_rows(dedup.read_band_index(spark, path)) == _index_rows(
+        expect12
+    )
+    # appends continue on top of the base
+    b3 = spark.createDataFrame([(3, t2)], ["doc_id", "text"])
+    _, new_rows3, remap3 = dedup.dedup_new_batch_delta(
+        b3, dedup.read_band_index(spark, path)
+    )
+    dedup.append_band_index_delta(new_rows3, remap3, path, 2)
+    folded = dedup.read_band_index(spark, path)
+    assert _index_rows(folded) == _index_rows(
+        dedup.build_band_index(
+            b1.unionByName(b2).unionByName(b3)
+        )
+    )
+
+
+def test_compaction_readmits_cooled_quarantine_buckets(spark, tmp_path):
+    """Quarantine re-admission (VERDICT r5 #8): ingests capped at
+    max_bucket_size=1 quarantine every shared bucket (docs stay
+    singletons), but the index keeps every band row — compacting with
+    a big-enough cap replays the skipped discovery, merges the
+    clusters, and the result equals the UNCAPPED one-shot build. The
+    quarantine trees merge into one compacted dir holding only
+    still-hot buckets (none here)."""
+    import os
+
+    t1 = "apple banana cherry date elderberry fig grape honeydew"
+    t2 = "kiwi lemon mango nectarine orange papaya quince raspberry"
+    path = str(tmp_path / "band_index")
+    qpath = str(tmp_path / "quarantine")
+    batches = {0: [(10, t1), (20, t2)], 1: [(31, t1)], 2: [(5, t1)]}
+    all_rows = [r for rows in batches.values() for r in rows]
+    for v, rows in batches.items():
+        batch = spark.createDataFrame(rows, ["doc_id", "text"])
+        index = dedup.read_band_index(spark, path, below=v)
+        asg, new_rows, remap, quarantine = (
+            dedup.dedup_new_batch_capped_delta(
+                batch, index, max_bucket_size=1
+            )
+        )
+        dedup.append_band_index_delta(new_rows, remap, path, v)
+        quarantine.write.mode("overwrite").parquet(
+            f"{qpath}/batch_id={v}"
+        )
+    # capped ingest left everything singleton
+    capped = dedup.read_band_index(spark, path)
+    assert _clusters(capped) == {10: 10, 20: 20, 31: 31, 5: 5}
+    assert spark.read.parquet(qpath).count() > 0
+
+    compacted = dedup.compact_band_index(
+        spark, path, quarantine_path=qpath, max_bucket_size=100
+    )
+    expect = dedup.build_band_index(
+        spark.createDataFrame(all_rows, ["doc_id", "text"])
+    )
+    assert _index_rows(compacted) == _index_rows(expect)
+    assert _clusters(compacted) == {5: 5, 10: 5, 31: 5, 20: 20}
+    # quarantine merged to ONE compacted dir, and no still-hot buckets
+    # survive the raised cap
+    dirs = [d for d in os.listdir(qpath) if d.startswith("batch_id=")]
+    assert len(dirs) == 1
+    assert spark.read.parquet(qpath).count() == 0
+
+
+def test_compaction_keeps_still_hot_buckets_quarantined(spark, tmp_path):
+    """Buckets still over the cap at compaction time stay quarantined
+    (merged, re-counted) and their pairs stay undiscovered."""
+    t1 = "apple banana cherry date elderberry fig grape honeydew"
+    path = str(tmp_path / "band_index")
+    qpath = str(tmp_path / "quarantine")
+    batches = {0: [(10, t1), (20, t1)], 1: [(31, t1), (32, t1)]}
+    for v, rows in batches.items():
+        batch = spark.createDataFrame(rows, ["doc_id", "text"])
+        index = dedup.read_band_index(spark, path, below=v)
+        asg, new_rows, remap, quarantine = (
+            dedup.dedup_new_batch_capped_delta(
+                batch, index, max_bucket_size=1
+            )
+        )
+        dedup.append_band_index_delta(new_rows, remap, path, v)
+        quarantine.write.mode("overwrite").parquet(
+            f"{qpath}/batch_id={v}"
+        )
+    # cap=3 at compaction: the 4-doc bucket is STILL hot
+    compacted = dedup.compact_band_index(
+        spark, path, quarantine_path=qpath, max_bucket_size=3
+    )
+    assert _clusters(compacted) == {10: 10, 20: 20, 31: 31, 32: 32}
+    q = spark.read.parquet(qpath)
+    rows = q.collect()
+    assert rows and all(r.bucket_size == 4 for r in rows)
+    members = {d for r in rows for d in r.example_doc_ids}
+    assert members == {10, 20, 31, 32}

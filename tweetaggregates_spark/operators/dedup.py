@@ -636,16 +636,19 @@ def dedup_new_batch(
     return _fold_delta(batch, index, new_bands, nn, no, id_col)
 
 
-def _fold_delta(
+def _delta_parts(
     batch: DataFrame,
-    index: DataFrame,
     new_bands: DataFrame,
     nn: DataFrame,
     no: DataFrame,
     id_col: str,
-) -> tuple[DataFrame, DataFrame]:
-    """Shared tail of the incremental fold: CC over the delta graph,
-    per-doc assignments, merged-cluster label remap, band append."""
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared core of the incremental fold: CC over the delta graph,
+    then the three O(batch) outputs — per-doc assignments, the batch's
+    band rows (labeled with their final cluster as of this ingest), and
+    the (old_cluster -> new_cluster) remap entries for old clusters
+    this batch merged. Returns (labels, assignments, new_rows,
+    remap_delta)."""
     from tweetaggregates_spark.operators.cluster import connected_components
 
     labels = connected_components(nn.unionByName(no))
@@ -658,6 +661,41 @@ def _fold_delta(
         )
         .withColumn("is_duplicate", F.col("cluster") != F.col("doc_id"))
     )
+    new_rows = new_bands.join(
+        assignments.select("doc_id", "cluster"), "doc_id"
+    ).select("doc_id", "band_id", "band_key", "cluster")
+    # remap entries ONLY for old clusters this batch touched (they enter
+    # the delta graph exclusively through the new->old-cluster edges),
+    # and only when their component min actually changed — so the log
+    # grows with merges, never with the corpus
+    touched = no.select(F.col("doc_b").alias("node")).distinct()
+    remap_delta = (
+        labels.join(touched, "node")
+        .filter(F.col("cluster_id") != F.col("node"))
+        .select(
+            F.col("node").alias("old_cluster"),
+            F.col("cluster_id").alias("new_cluster"),
+        )
+    )
+    return labels, assignments, new_rows, remap_delta
+
+
+def _fold_delta(
+    batch: DataFrame,
+    index: DataFrame,
+    new_bands: DataFrame,
+    nn: DataFrame,
+    no: DataFrame,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Full-rewrite tail of the incremental fold: CC over the delta
+    graph, per-doc assignments, merged-cluster label remap applied to
+    EVERY old row, band append. O(corpus) output by construction — the
+    batch-scale oracle path; production uses the delta tail
+    (``dedup_new_batch_delta`` + ``append_band_index_delta``)."""
+    labels, assignments, new_rows, _ = _delta_parts(
+        batch, new_bands, nn, no, id_col
+    )
     # remap old cluster labels that merged (their label node's component
     # min changed); rows of untouched clusters pass through unchanged
     remap = labels.select(
@@ -669,10 +707,45 @@ def _fold_delta(
         "band_key",
         F.coalesce(F.col("_new"), F.col("cluster")).alias("cluster"),
     )
-    new_rows = new_bands.join(
-        assignments.select("doc_id", "cluster"), "doc_id"
-    ).select("doc_id", "band_id", "band_key", "cluster")
     return assignments, old_rows.unionByName(new_rows)
+
+
+def dedup_new_batch_delta(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """``dedup_new_batch`` with O(batch) OUTPUTS — the at-scale ingest
+    path (VERDICT r5 #1): instead of materializing the full updated
+    index (an O(corpus) rewrite per ingest), return only the DELTA —
+    ``(assignments, new_rows, remap_delta)`` where new_rows is the
+    batch's band rows labeled with their final cluster and remap_delta
+    is one (old_cluster -> new_cluster) row per existing cluster this
+    batch merged. Persist with ``append_band_index_delta`` and read
+    back with ``read_band_index`` (which folds the remap log); run
+    ``compact_band_index`` on a schedule to rebase.
+
+    Assumes new doc ids are disjoint from existing ids (every ingest
+    pipeline here satisfies this); the fold-at-read then reproduces
+    ``dedup_new_batch``'s full rewrite exactly — pinned in
+    tests/test_incremental_dedup.py. Analog: the reference persists
+    each window as an incremental WriteBatch, never a full-store
+    rewrite (RocksDBStore.cs:99-109)."""
+    new_bands = lsh_bands(
+        minhash_signatures(batch, text_col, id_col, k, n_hashes),
+        n_hashes,
+        n_bands,
+    ).localCheckpoint(eager=True)
+    nn = _band_self_pairs(new_bands)
+    no = new_vs_index_edges(new_bands, index)
+    _, assignments, new_rows, remap_delta = _delta_parts(
+        batch, new_bands, nn, no, id_col
+    )
+    return assignments, new_rows, remap_delta
 
 
 def dedup_new_batch_capped(
@@ -703,6 +776,29 @@ def dedup_new_batch_capped(
     fan-out — with no oversized bucket the result EQUALS
     ``dedup_new_batch`` (pinned). At scale the per-bucket index sizes
     come from a maintained count column, not the re-count here."""
+    new_bands, nn, no, quarantine = _capped_discovery(
+        batch, index, text_col, id_col, k, n_hashes, n_bands,
+        max_bucket_size,
+    )
+    assignments, updated = _fold_delta(
+        batch, index, new_bands, nn, no, id_col
+    )
+    return assignments, updated, quarantine
+
+
+def _capped_discovery(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    n_hashes: int,
+    n_bands: int,
+    max_bucket_size: int,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Hot-band-guarded delta-graph discovery shared by the full and
+    delta capped folds: returns (new_bands, nn_edges, no_edges,
+    quarantine)."""
     # the batch's minhash pipeline fans out to four consumers (bucket
     # sizes, quarantine, discovery join, band append) — materialize it
     # once so each downstream action replays a tiny scan, not the
@@ -742,10 +838,31 @@ def dedup_new_batch_capped(
     )
     nn = _band_self_pairs(nb_ok)
     no = new_vs_index_edges(nb_ok, ix_ok)
-    assignments, updated = _fold_delta(
-        batch, index, new_bands, nn, no, id_col
+    return new_bands, nn, no, quarantine
+
+
+def dedup_new_batch_capped_delta(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    max_bucket_size: int = 100,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """``dedup_new_batch_capped`` with O(batch) outputs (the streaming
+    ingest path): returns (assignments, new_rows, remap_delta,
+    quarantine) — see ``dedup_new_batch_delta`` for the delta contract
+    and ``dedup_new_batch_capped`` for the hot-band guard."""
+    new_bands, nn, no, quarantine = _capped_discovery(
+        batch, index, text_col, id_col, k, n_hashes, n_bands,
+        max_bucket_size,
     )
-    return assignments, updated, quarantine
+    _, assignments, new_rows, remap_delta = _delta_parts(
+        batch, new_bands, nn, no, id_col
+    )
+    return assignments, new_rows, remap_delta, quarantine
 
 
 def exact_dedup_new_batch(
@@ -797,11 +914,15 @@ def exact_dedup_new_batch(
     return assignments, updated
 
 
+INDEX_SCHEMA = "doc_id BIGINT, band_id INT, band_key STRING, cluster BIGINT"
+REMAP_SCHEMA = "old_cluster BIGINT, new_cluster BIGINT"
+
+
 def write_band_index(index: DataFrame, path: str) -> None:
-    """Persist the band index. Test-scale: one overwrite. At 100 TB:
-    bucketBy(band_key) so dedup_new_batch's discovery join co-locates,
-    band rows append-only per batch, label remaps to a fold-at-read
-    log (see module note)."""
+    """Persist the band index as ONE flat parquet overwrite — the
+    batch-scale oracle path. The production layout is the versioned
+    append-only tree below (``append_band_index_delta`` /
+    ``read_band_index`` / ``compact_band_index``)."""
     index.write.mode("overwrite").parquet(path)
 
 
@@ -825,5 +946,275 @@ def write_band_index_bucketed(
     )
 
 
-def read_band_index(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def _versions(path: str) -> list[int]:
+    import os
+    import re
+
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        int(m.group(1))
+        for name in os.listdir(path)
+        if (m := re.fullmatch(r"v=(\d+)", name))
+    )
+
+
+def append_band_index_delta(
+    new_rows: DataFrame,
+    remap_delta: DataFrame,
+    path: str,
+    version: int,
+) -> None:
+    """Persist one ingest's O(batch) delta (VERDICT r5 #1 — the
+    at-scale alternative to the full-index rewrite): the batch's band
+    rows land at ``bands/v=<version>`` and the (old_cluster ->
+    new_cluster) merge log at ``remap/v=<version>``. Bytes written per
+    ingest are O(batch + merged clusters), never O(corpus); per-version
+    overwrite makes a redelivered ingest idempotent. Reference analog:
+    the per-window atomic WriteBatch (RocksDBStore.cs:99-109) —
+    incremental, never a full-store rewrite."""
+    new_rows.write.mode("overwrite").parquet(f"{path}/bands/v={version}")
+    remap_delta.write.mode("overwrite").parquet(f"{path}/remap/v={version}")
+
+
+def read_band_index(spark, path: str, below: int | None = None) -> DataFrame:
+    """Read the band index, folding the remap log at read time.
+
+    Layouts: the versioned tree (``base/v=N`` compacted bases +
+    ``bands/v=N`` per-ingest appends + ``remap/v=N`` merge logs) when
+    present, else a legacy flat parquet dir. ``below`` restricts to
+    versions < below — the streaming replay contract (a redelivered
+    batch must see exactly the pre-batch index).
+
+    The fold: band rows union (newest base + later appends); the remap
+    log (merged-clusters-sized — it grows with cluster MERGES, not the
+    corpus, and compaction clears it) is chain-resolved with V-1 tiny
+    broadcast self-joins (a chain gains at most one hop per ingest, so
+    V remap versions bound chain length) and broadcast-joined onto the
+    band rows. The corpus-sized side is never shuffled."""
+    import os
+
+    if not (
+        os.path.isdir(f"{path}/bands") or os.path.isdir(f"{path}/base")
+    ):
+        if os.path.isdir(path):
+            return spark.read.parquet(path)  # legacy flat layout
+        return spark.createDataFrame([], INDEX_SCHEMA)
+
+    def _keep(v: int) -> bool:
+        return below is None or v < below
+
+    base_vs = [v for v in _versions(f"{path}/base") if _keep(v)]
+    base = max(base_vs) if base_vs else None
+    parts = []
+    if base is not None:
+        parts.append(spark.read.parquet(f"{path}/base/v={base}"))
+    band_vs = [
+        v
+        for v in _versions(f"{path}/bands")
+        if _keep(v) and (base is None or v > base)
+    ]
+    for v in band_vs:
+        parts.append(spark.read.parquet(f"{path}/bands/v={v}"))
+    if not parts:
+        return spark.createDataFrame([], INDEX_SCHEMA)
+    bands = parts[0]
+    for p in parts[1:]:
+        bands = bands.unionByName(p)
+
+    remap_vs = [
+        v
+        for v in _versions(f"{path}/remap")
+        if _keep(v) and (base is None or v > base)
+    ]
+    if not remap_vs:
+        return bands
+    logs = [spark.read.parquet(f"{path}/remap/v={v}") for v in remap_vs]
+    log = logs[0]
+    for l in logs[1:]:
+        log = log.unionByName(l)
+    # chain resolution: old->mid (v_i), mid->new (v_j>i) folds to
+    # old->new; one hop per extra remap version suffices because each
+    # version's entries already point at that ingest's FINAL labels
+    resolved = log
+    for _ in range(len(remap_vs) - 1):
+        resolved = (
+            resolved.alias("r")
+            .join(
+                F.broadcast(
+                    log.select(
+                        F.col("old_cluster").alias("_o"),
+                        F.col("new_cluster").alias("_n"),
+                    )
+                ),
+                F.col("r.new_cluster") == F.col("_o"),
+                "left",
+            )
+            .select(
+                F.col("r.old_cluster").alias("old_cluster"),
+                F.coalesce(F.col("_n"), F.col("r.new_cluster")).alias(
+                    "new_cluster"
+                ),
+            )
+        )
+    return (
+        bands.join(
+            F.broadcast(
+                resolved.withColumnRenamed("old_cluster", "cluster")
+            ),
+            "cluster",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "band_id",
+            "band_key",
+            F.coalesce(F.col("new_cluster"), F.col("cluster")).alias(
+                "cluster"
+            ),
+        )
+    )
+
+
+def compact_band_index(
+    spark,
+    path: str,
+    quarantine_path: str | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Offline maintenance for the versioned band index: materialize
+    the folded index as a new base and clear the appends + remap log,
+    so read-time fold cost resets to one scan. Returns the compacted
+    index DataFrame.
+
+    Crash-safe: the base writes to a hidden temp dir and COMMITS via
+    an atomic rename into ``base/v=<newest folded version>``; a crash
+    before the rename leaves the old tree fully readable, a crash
+    after it leaves stale deltas <= base that readers already ignore.
+    (On an object store without atomic rename, commit via a manifest
+    instead — same pattern as the aggregate store's swap.)
+
+    With ``quarantine_path`` + ``max_bucket_size`` (VERDICT r5 #8) the
+    pass also RE-ADMITS quarantined hot bands that now fit the cap
+    (the cap was raised, or the corpus cooled relative to it): for
+    each re-admitted bucket the skipped pair discovery replays over
+    the complete index — the index keeps every band row even for
+    quarantined buckets, so nothing was lost — connecting the
+    clusters it should have merged; still-hot buckets are merged into
+    one compacted quarantine dir with re-counted sizes."""
+    import os
+    import shutil
+
+    from tweetaggregates_spark.operators.cluster import connected_components
+
+    folded = read_band_index(spark, path)
+    q_merged = None
+    if quarantine_path is not None and os.path.isdir(quarantine_path):
+        assert max_bucket_size is not None, (
+            "quarantine re-admission needs max_bucket_size"
+        )
+        quarantined = (
+            spark.read.parquet(quarantine_path)
+            .select("band_id", "band_key")
+            .distinct()
+        )
+        sizes = (
+            folded.join(quarantined, ["band_id", "band_key"])
+            .groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("bucket_size"))
+        )
+        cool = sizes.filter(F.col("bucket_size") <= max_bucket_size)
+        # replay the skipped discovery for re-admitted buckets at
+        # CLUSTER level: docs inside one bucket whose clusters differ
+        # should have merged — the edge list is cluster x cluster
+        # within each re-admitted bucket, bounded by the cap
+        rows = folded.join(
+            cool.select("band_id", "band_key"), ["band_id", "band_key"]
+        ).select("band_id", "band_key", "cluster")
+        a = rows.alias("a")
+        b = rows.alias("b").hint("shuffle_hash")
+        edges = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.cluster") < F.col("b.cluster")),
+            )
+            .select(
+                F.col("a.cluster").alias("doc_a"),
+                F.col("b.cluster").alias("doc_b"),
+            )
+            .distinct()
+        )
+        labels = connected_components(edges)
+        folded = (
+            folded.join(
+                F.broadcast(labels.withColumnRenamed("node", "cluster")),
+                "cluster",
+                "left",
+            )
+            .select(
+                "doc_id",
+                "band_id",
+                "band_key",
+                F.coalesce(F.col("cluster_id"), F.col("cluster")).alias(
+                    "cluster"
+                ),
+            )
+        )
+        # merged quarantine tree: still-hot buckets only, sizes
+        # re-counted from the index, example samples merged
+        hot = sizes.filter(F.col("bucket_size") > max_bucket_size)
+        q_merged = (
+            folded.join(
+                hot, ["band_id", "band_key"]
+            )
+            .groupBy("band_id", "band_key", "bucket_size")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_set("doc_id")), 1, 10
+                ).alias("example_doc_ids")
+            )
+        ).localCheckpoint(eager=True)
+
+    all_vs = (
+        _versions(f"{path}/bands")
+        + _versions(f"{path}/remap")
+        + _versions(f"{path}/base")
+    )
+    if not all_vs:
+        return folded
+    newv = max(all_vs)
+    tmp = f"{path}/.compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    folded.write.mode("overwrite").parquet(tmp)
+    os.makedirs(f"{path}/base", exist_ok=True)
+    target = f"{path}/base/v={newv}"
+    shutil.rmtree(target, ignore_errors=True)
+    os.rename(tmp, target)  # the commit point
+    for sub in ("bands", "remap"):
+        for v in _versions(f"{path}/{sub}"):
+            if v <= newv:
+                shutil.rmtree(f"{path}/{sub}/v={v}", ignore_errors=True)
+    for v in _versions(f"{path}/base"):
+        if v < newv:
+            shutil.rmtree(f"{path}/base/v={v}", ignore_errors=True)
+
+    if q_merged is not None:
+        import re
+
+        batch_dirs = [
+            d
+            for d in os.listdir(quarantine_path)
+            if re.fullmatch(r"batch_id=\d+", d)
+        ]
+        maxbatch = max(
+            int(d.split("=")[1]) for d in batch_dirs
+        ) if batch_dirs else 0
+        qtmp = f"{quarantine_path}/.compact_tmp"
+        shutil.rmtree(qtmp, ignore_errors=True)
+        q_merged.write.mode("overwrite").parquet(qtmp)
+        for d in batch_dirs:
+            shutil.rmtree(f"{quarantine_path}/{d}", ignore_errors=True)
+        os.rename(qtmp, f"{quarantine_path}/batch_id={maxbatch}")
+    return spark.read.parquet(target)

@@ -33,24 +33,6 @@ def dedup_events_stream(
 # -- streaming NEAR-dup ingest over the persisted band index ----------------
 
 DOC_SCHEMA = "doc_id BIGINT, text STRING"
-_INDEX_SCHEMA = (
-    "doc_id BIGINT, band_id INT, band_key STRING, cluster BIGINT"
-)
-
-
-def _latest_index_version(spark: SparkSession, index_path: str, below: int):
-    import os
-    import re
-
-    if not os.path.isdir(index_path):
-        return None
-    vs = [
-        int(m.group(1))
-        for name in os.listdir(index_path)
-        if (m := re.fullmatch(r"v=(\d+)", name))
-    ]
-    vs = [v for v in vs if v < below]
-    return max(vs) if vs else None
 
 
 def run_streaming_near_dedup(
@@ -65,53 +47,61 @@ def run_streaming_near_dedup(
 ):
     """Content NEAR-dup dedup on an ingest stream: each micro-batch of
     documents is deduped against the accumulated corpus via the
-    persisted MinHash band index (operators/dedup.dedup_new_batch),
-    never recomputing prior batches — the production training-data
-    ingest shape (batch analog: build_band_index; the reference's
-    incremental-persist analog is RocksDBStore.cs:70-135).
+    persisted MinHash band index (operators/dedup), never recomputing
+    prior batches — the production training-data ingest shape (batch
+    analog: build_band_index; the reference's incremental-persist
+    analog is RocksDBStore.cs:70-135).
 
-    foreachBatch per trigger: load the latest index version BELOW this
-    batch id (replay-safe: a redelivered batch re-reads the same
+    foreachBatch per trigger: fold the index from every version BELOW
+    this batch id (replay-safe: a redelivered batch re-reads the same
     pre-batch index and overwrites the same outputs — exactly-once
-    downstream), run the delta-graph dedup, write the updated index to
-    ``index_path/v=<batch_id>`` and the batch's assignments (doc_id,
-    cluster, is_duplicate) to ``out_path/batch_id=<batch_id>``.
-    Batching-invariance of the underlying operator makes the final
-    index EQUAL to a one-shot build over everything ingested,
-    regardless of how the stream chopped it into triggers (pinned in
-    tests/test_stream_near_dedup.py). Old index versions are retention
-    state — prune all but the last few like any checkpoint dir.
+    downstream), run the delta-graph dedup, and APPEND only the delta
+    (VERDICT r5 #1): the batch's band rows to
+    ``index_path/bands/v=<batch_id>`` and the (old_cluster ->
+    new_cluster) merge log to ``index_path/remap/v=<batch_id>`` —
+    bytes written per trigger are O(batch + merged clusters), never a
+    full-index rewrite. Assignments (doc_id, cluster, is_duplicate) go
+    to ``out_path/batch_id=<batch_id>``. Batching-invariance makes the
+    FOLDED index (operators/dedup.read_band_index) equal to a one-shot
+    build over everything ingested, regardless of how the stream
+    chopped it into triggers (pinned in tests/test_stream_near_dedup).
+    Run ``compact_band_index`` on a schedule to rebase the log.
 
     ``max_bucket_size`` enables the hot-band guard (the long-running
     ingest is exactly where a boilerplate band's bucket grows without
-    bound): pair discovery runs through ``dedup_new_batch_capped`` and
-    each trigger's oversized buckets land at
+    bound): pair discovery runs through ``dedup_new_batch_capped_delta``
+    and each trigger's oversized buckets land at
     ``<out_path>_quarantine/batch_id=<batch_id>`` (a SIBLING dir — a
     key=value-only tree keeps partition discovery over ``out_path``
-    intact) for exact-dedup handling/audit."""
+    intact). ``compact_band_index(quarantine_path=...)`` later merges
+    those trees and re-admits buckets that fit the (possibly raised)
+    cap."""
     from tweetaggregates_spark.operators.dedup import (
-        dedup_new_batch,
-        dedup_new_batch_capped,
+        append_band_index_delta,
+        dedup_new_batch_capped_delta,
+        dedup_new_batch_delta,
+        read_band_index,
     )
 
     def _process(batch_df, batch_id: int) -> None:
-        v = _latest_index_version(spark, index_path, below=batch_id)
-        if v is None:
-            index = spark.createDataFrame([], _INDEX_SCHEMA)
-        else:
-            index = spark.read.parquet(f"{index_path}/v={v}")
+        index = read_band_index(spark, index_path, below=batch_id)
         if max_bucket_size is None:
-            assignments, updated = dedup_new_batch(batch_df, index)
+            assignments, new_rows, remap = dedup_new_batch_delta(
+                batch_df, index
+            )
             quarantine = None
         else:
-            assignments, updated, quarantine = dedup_new_batch_capped(
-                batch_df, index, max_bucket_size=max_bucket_size
+            assignments, new_rows, remap, quarantine = (
+                dedup_new_batch_capped_delta(
+                    batch_df, index, max_bucket_size=max_bucket_size
+                )
             )
-        # materialize assignments BEFORE the index write so both see
-        # one consistent CC labeling (the CC loop checkpoints, but the
-        # two outputs must not recompute the batch pipeline twice)
+        # materialize assignments BEFORE the delta writes so all three
+        # outputs see one consistent CC labeling (the CC loop
+        # checkpoints, but the outputs must not recompute the batch
+        # pipeline independently)
         assignments = assignments.localCheckpoint(eager=True)
-        updated.write.mode("overwrite").parquet(f"{index_path}/v={batch_id}")
+        append_band_index_delta(new_rows, remap, index_path, batch_id)
         assignments.write.mode("overwrite").parquet(
             f"{out_path}/batch_id={batch_id}"
         )
