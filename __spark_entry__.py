@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_exact_dedup_docs": llm.incremental_exact_dedup_docs,
         "knn_ivf_pq_embeddings": llm.knn_ivf_pq_embeddings,
         "knn_ivf_pq_trained_embeddings": llm.knn_ivf_pq_trained_embeddings,
+        "knn_ivf_pq_refined_embeddings": llm.knn_ivf_pq_refined_embeddings,
         # -- events/windows: anomaly, CDC, profile, concentration --
         "dense_tumbling_counts": ev.dense_tumbling_counts,
         "daily_count_anomalies": ev.daily_count_anomalies,
@@ -1919,7 +1920,12 @@ def oracle_sql() -> dict[str, str]:
           WHERE e.vec_id < 10"""
         for s in range(_M)
     )
-    sql["knn_ivf_pq_trained_embeddings"] = f"""
+    # shared WITH-body through the ADC `scored` CTE: the trained twin
+    # ranks it directly; the REFINED twin (knn_ivf_pq_refined_
+    # embeddings, VERDICT r5 #6 — the faiss IVFPQ+Refine pattern)
+    # shortlists depth-20 by ADC order and re-ranks the final 5 by
+    # EXACT squared L2 over the true vectors.
+    _trained_with = f"""
         WITH emb AS (
           SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
           FROM embeddings
@@ -1957,7 +1963,8 @@ def oracle_sql() -> dict[str, str]:
            AND e.subspace = t.subspace AND e.code = t.code
           WHERE t.query_id <> e.vec_id
           GROUP BY 1, 2
-        )
+        )"""
+    sql["knn_ivf_pq_trained_embeddings"] = _trained_with + """
         SELECT query_id, neighbor_id,
                round(approx_dist, 6) AS approx_dist,
                CAST(rnk AS INTEGER) AS knn_rank
@@ -1966,6 +1973,31 @@ def oracle_sql() -> dict[str, str]:
             PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS rnk
           FROM scored)
         WHERE rnk <= 5
+    """
+    sql["knn_ivf_pq_refined_embeddings"] = _trained_with + f"""
+        , short AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY approx_dist, neighbor_id
+            ) AS rnk
+            FROM scored)
+          WHERE rnk <= 20
+        ),
+        ex AS (
+          SELECT s.query_id, s.neighbor_id,
+                 {_KM_DIST("q.v", "c.v")} AS exact_dist
+          FROM short s
+          JOIN emb q ON q.vec_id = s.query_id
+          JOIN emb c ON c.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id,
+               round(exact_dist, 6) AS exact_dist,
+               CAST(rnk2 AS INTEGER) AS knn_rank
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY exact_dist, neighbor_id) AS rnk2
+          FROM ex)
+        WHERE rnk2 <= 5
     """
     # cross-document substring dedup: positional 8-token shingles,
     # hash equi-join, gaps-and-islands longest-run per (pair, diagonal)

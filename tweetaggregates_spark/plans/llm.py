@@ -511,6 +511,35 @@ def knn_ivf_pq_trained_embeddings(
     )
 
 
+def knn_ivf_pq_refined_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The faiss IVFPQ+Refine production pattern under the oracle gate
+    (VERDICT r5 #6): the TRAINED IVF-ADC pipeline shortlists
+    rescore_depth=20 candidates per query by ADC order, then exact
+    squared L2 over the |Q| x 20 true vectors re-ranks the final
+    top-5 — quantization error caps the shortlist's recall, the exact
+    re-rank restores ordering within it. The DuckDB twin is the
+    trained twin (5 unrolled k-means trainings) plus an
+    exact-distance re-rank CTE."""
+    from tweetaggregates_spark.operators.similarity import knn_ivf_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_ivf_pq(
+        emb,
+        queries,
+        k=5,
+        n_cells=8,
+        n_probe=2,
+        m_subvectors=4,
+        k_codes=16,
+        coarse_iters=1,
+        pq_iters=1,
+        rescore_depth=20,
+    )
+
+
 def quantized_embeddings_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 symmetric quantization of every embedding: scale + exact
     integer summary stats (the full qvec is checked through q_sum /
