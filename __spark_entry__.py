@@ -116,91 +116,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate samples the
-    # FIRST 50 entries. ROUND-5 ROTATION (VERDICT r4 #1): the head now
-    # holds the 11 entries that had never had a driver-side row after
-    # round 4's rotation, plus the new round-5 incremental-dedup entry
-    # — with this block green, EVERY registered query has at least one
-    # driver CORRECTNESS row across rounds 1-5. The rest of the first
-    # 50 re-checks round-4's block; all 50 are hash-checkable (the
-    # rows-only HLL-sketch entry stays after position 50).
+    # FIRST 50 entries. ROUND-6 ROTATION (VERDICT r5 #7): entries are
+    # ordered STALEST-FIRST by the round of their most recent driver
+    # CORRECTNESS row (r1 oldest ... r5 newest; the new refined-ANN
+    # registration leads with no prior row), so every entry's driver
+    # row stays at most a few rounds old as the gate rotates. The
+    # rows-only HLL-sketch entry (approx_users_daily) sits just after
+    # position 50 so the whole gated block stays hash-checkable.
     return {
-        # -- the 11 never-driver-checked entries (VERDICT r4 #1) --
-        "shuffle_order_docs": llm.shuffle_order_docs,
-        "time_weighted_value_daily": sequence.time_weighted_value_daily,
-        "daily_growth_by_type": sequence.daily_growth_by_type,
-        "cumulative_new_users": sequence.cumulative_new_users,
-        "kmeans_clusters_embeddings": llm.kmeans_clusters_embeddings,
-        "semantic_dup_embeddings": llm.semantic_dup_embeddings,
-        "knn_pq_embeddings": llm.knn_pq_embeddings,
-        "lm_quality_docs": llm.lm_quality_docs,
-        "media_frames_docs": llm.media_frames_docs,
-        "media_waveform_docs": llm.media_waveform_docs,
-        "bpe_merges_docs": llm.bpe_merges_docs,
-        # -- round 5: incremental cross-run dedup + composed IVF-ADC --
-        "incremental_dedup_docs": llm.incremental_dedup_docs,
-        "incremental_exact_dedup_docs": llm.incremental_exact_dedup_docs,
-        "knn_ivf_pq_embeddings": llm.knn_ivf_pq_embeddings,
-        "knn_ivf_pq_trained_embeddings": llm.knn_ivf_pq_trained_embeddings,
+        # -- never driver-checked --
         "knn_ivf_pq_refined_embeddings": llm.knn_ivf_pq_refined_embeddings,
-        # -- events/windows: anomaly, CDC, profile, concentration --
-        "dense_tumbling_counts": ev.dense_tumbling_counts,
-        "daily_count_anomalies": ev.daily_count_anomalies,
-        "latest_events_snapshot": ev.latest_events_snapshot,
-        "viewers_never_erroring": ev.viewers_never_erroring,
-        "events_profile": ev.events_profile,
-        "user_activity_concentration": ev.user_activity_concentration,
-        "winsorized_value_stats": ev.winsorized_value_stats,
-        "revenue_grouping_sets": ev.revenue_grouping_sets,
-        # -- TPC-H: the queries without a prior driver row --
-        "q2_min_cost_supplier": star.q2_min_cost_supplier,
-        "q4_priority_counts": star.q4_priority_counts,
-        "q7_nation_volume": star.q7_nation_volume,
-        "q8_market_share": star.q8_market_share,
-        "q11_part_revenue_share": star.q11_part_revenue_share,
-        "q12_late_priority_counts": star.q12_late_priority_counts,
-        "q15_top_supplier": star.q15_top_supplier,
-        "q16_supplier_counts": star.q16_supplier_counts,
-        "q17_small_quantity_revenue": star.q17_small_quantity_revenue,
-        "q19_disjunctive_revenue": star.q19_disjunctive_revenue,
-        "q22_idle_customers": star.q22_idle_customers,
-        # -- mergeable sketches: HLL + rank-quantile + CMS daily --
-        "hll_users_daily": ev.hll_users_daily,
-        "hll_users_monthly_rollup": ev.hll_users_monthly_rollup,
-        "value_quantile_sketch_daily": ev.value_quantile_sketch_daily,
-        "value_quantile_sketch_monthly": ev.value_quantile_sketch_monthly,
-        "cms_heavy_hitters_daily": ev.cms_heavy_hitters_daily,
-        # -- dedup / similarity --
-        "substring_dup_docs": llm.substring_dup_docs,
-        "dup_cluster_size_histogram": llm.dup_cluster_size_histogram,
-        "cosine_near_dups_banded": llm.cosine_near_dups_banded,
-        "cosine_near_dups_blocked": llm.cosine_near_dups_blocked,
-        "quantized_embeddings": llm.quantized_embeddings_docs,
-        "embedding_stats": llm.embedding_stats,
-        "label_centroids": llm.label_centroids_query,
-        # -- text index / curation --
-        "vocab_docs": llm.vocab_docs,
-        "tfidf_docs": llm.tfidf_docs,
-        "inverted_index_docs": llm.inverted_index_docs,
-        "repeated_ngrams_docs": llm.repeated_ngrams_docs,
-        "chunk_docs": llm.chunk_docs,
-        "curation_funnel_docs": llm.curation_funnel_docs,
-        # -- sampling / packing --
-        "weighted_sample_docs": llm.weighted_sample_docs,
-        # ---- entries 51+ (driver-green in rounds 1-4, plus the
-        #      rows-only sketch entry; all still in the full local
-        #      oracle sweep every session) ----
-        "mixture_plan_docs": llm.mixture_plan_docs,
-        "split_docs": llm.split_docs,
-        "pack_sequences_docs": llm.pack_sequences_docs,
-        "user_event_gaps": sequence.user_event_gaps,
-        "event_type_transitions": sequence.event_type_transitions,
-        "value_ntile_quartiles": sequence.value_ntile_quartiles,
-        "acctbal_rank_percentiles": sequence.acctbal_rank_percentiles,
-        "rolling_user_value_avg": sequence.rolling_user_value_avg,
-        "value_bucket_histogram": sequence.value_bucket_histogram,
-        "retention_cohorts": sequence.retention_cohorts,
-        "user_value_skyline": sequence.user_value_skyline,
-        "click_purchase_correlation": sequence.click_purchase_correlation,
+        # -- last driver row: round 1 --
+        "clickers_without_purchase": ev.clickers_without_purchase,
+        "cosine_near_dups": llm.cosine_near_dups,
+        "simhash_pairs_docs": llm.simhash_pairs_docs,
+        "clickers_who_purchased": ev.clickers_who_purchased,
+        "value_quantiles_by_type": ev.value_quantiles_by_type,
+        "purchase_asof_click": ev.purchase_asof_click,
+        # -- last driver row: round 2 --
+        "q14_promo_revenue": star.q14_promo_revenue,
+        "customers_without_orders": star.customers_without_orders,
+        "customers_with_orders_semi": star.customers_with_orders_semi,
+        "brand_supplier_stats": star.brand_supplier_stats,
+        "top_orders_per_customer": star.top_orders_per_customer,
+        "minhash_lsh_capped": llm.minhash_lsh_capped_docs,
+        "simhash_docs": llm.simhash_docs,
+        "normalize_docs": llm.normalize_docs,
+        "repetition_docs": llm.repetition_docs,
+        "contamination_docs": llm.contamination_docs,
+        "domain_stats_docs": llm.domain_stats_docs,
+        "fingerprint_docs": llm.fingerprint_docs,
+        "media_meta_docs": llm.media_meta_docs,
+        "distinct_users_daily": ev.distinct_users_daily,
+        "kmv_users_monthly_rollup": ev.kmv_users_monthly_rollup,
+        # -- last driver row: round 3 --
         "tumbling_counts": ev.tumbling_counts,
         "hopping_counts": ev.hopping_counts,
         "top_users_hopping": ev.top_users_hopping,
@@ -229,6 +178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_latency_distribution": star.order_latency_distribution,
         "revenue_rollup": star.revenue_rollup,
         "revenue_cube": star.revenue_cube,
+        # -- last driver row: round 2 --
+        "approx_users_daily": ev.approx_users_daily,
+        # -- last driver row: round 3 --
         "order_status_pivot": star.order_status_pivot,
         "returnflag_measures_unpivot": star.returnflag_measures_unpivot,
         "exact_dedup_docs": llm.exact_dedup_docs,
@@ -251,28 +203,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_users_daily": ev.kmv_users_daily,
         "cms_heavy_hitters_monthly_rollup": ev.cms_heavy_hitters_monthly_rollup,
         "conversion_funnel": sequence.conversion_funnel,
-        "q14_promo_revenue": star.q14_promo_revenue,
-        "customers_without_orders": star.customers_without_orders,
-        "customers_with_orders_semi": star.customers_with_orders_semi,
-        "brand_supplier_stats": star.brand_supplier_stats,
-        "top_orders_per_customer": star.top_orders_per_customer,
-        "minhash_lsh_capped": llm.minhash_lsh_capped_docs,
-        "simhash_docs": llm.simhash_docs,
-        "normalize_docs": llm.normalize_docs,
-        "repetition_docs": llm.repetition_docs,
-        "contamination_docs": llm.contamination_docs,
-        "domain_stats_docs": llm.domain_stats_docs,
-        "fingerprint_docs": llm.fingerprint_docs,
-        "media_meta_docs": llm.media_meta_docs,
-        "distinct_users_daily": ev.distinct_users_daily,
-        "approx_users_daily": ev.approx_users_daily,  # rows-only: HLL sketch
-        "kmv_users_monthly_rollup": ev.kmv_users_monthly_rollup,
-        "clickers_without_purchase": ev.clickers_without_purchase,
-        "cosine_near_dups": llm.cosine_near_dups,
-        "simhash_pairs_docs": llm.simhash_pairs_docs,
-        "clickers_who_purchased": ev.clickers_who_purchased,
-        "value_quantiles_by_type": ev.value_quantiles_by_type,
-        "purchase_asof_click": ev.purchase_asof_click,
+        # -- last driver row: round 4 --
+        "chunk_docs": llm.chunk_docs,
+        "curation_funnel_docs": llm.curation_funnel_docs,
+        "weighted_sample_docs": llm.weighted_sample_docs,
+        "mixture_plan_docs": llm.mixture_plan_docs,
+        "split_docs": llm.split_docs,
+        "pack_sequences_docs": llm.pack_sequences_docs,
+        "user_event_gaps": sequence.user_event_gaps,
+        "event_type_transitions": sequence.event_type_transitions,
+        "value_ntile_quartiles": sequence.value_ntile_quartiles,
+        "acctbal_rank_percentiles": sequence.acctbal_rank_percentiles,
+        "rolling_user_value_avg": sequence.rolling_user_value_avg,
+        "value_bucket_histogram": sequence.value_bucket_histogram,
+        "retention_cohorts": sequence.retention_cohorts,
+        "user_value_skyline": sequence.user_value_skyline,
+        "click_purchase_correlation": sequence.click_purchase_correlation,
+        # -- last driver row: round 5 --
+        "shuffle_order_docs": llm.shuffle_order_docs,
+        "time_weighted_value_daily": sequence.time_weighted_value_daily,
+        "daily_growth_by_type": sequence.daily_growth_by_type,
+        "cumulative_new_users": sequence.cumulative_new_users,
+        "kmeans_clusters_embeddings": llm.kmeans_clusters_embeddings,
+        "semantic_dup_embeddings": llm.semantic_dup_embeddings,
+        "knn_pq_embeddings": llm.knn_pq_embeddings,
+        "lm_quality_docs": llm.lm_quality_docs,
+        "media_frames_docs": llm.media_frames_docs,
+        "media_waveform_docs": llm.media_waveform_docs,
+        "bpe_merges_docs": llm.bpe_merges_docs,
+        "incremental_dedup_docs": llm.incremental_dedup_docs,
+        "incremental_exact_dedup_docs": llm.incremental_exact_dedup_docs,
+        "knn_ivf_pq_embeddings": llm.knn_ivf_pq_embeddings,
+        "knn_ivf_pq_trained_embeddings": llm.knn_ivf_pq_trained_embeddings,
+        "dense_tumbling_counts": ev.dense_tumbling_counts,
+        "daily_count_anomalies": ev.daily_count_anomalies,
+        "latest_events_snapshot": ev.latest_events_snapshot,
+        "viewers_never_erroring": ev.viewers_never_erroring,
+        "events_profile": ev.events_profile,
+        "user_activity_concentration": ev.user_activity_concentration,
+        "winsorized_value_stats": ev.winsorized_value_stats,
+        "revenue_grouping_sets": ev.revenue_grouping_sets,
+        "q2_min_cost_supplier": star.q2_min_cost_supplier,
+        "q4_priority_counts": star.q4_priority_counts,
+        "q7_nation_volume": star.q7_nation_volume,
+        "q8_market_share": star.q8_market_share,
+        "q11_part_revenue_share": star.q11_part_revenue_share,
+        "q12_late_priority_counts": star.q12_late_priority_counts,
+        "q15_top_supplier": star.q15_top_supplier,
+        "q16_supplier_counts": star.q16_supplier_counts,
+        "q17_small_quantity_revenue": star.q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": star.q19_disjunctive_revenue,
+        "q22_idle_customers": star.q22_idle_customers,
+        "hll_users_daily": ev.hll_users_daily,
+        "hll_users_monthly_rollup": ev.hll_users_monthly_rollup,
+        "value_quantile_sketch_daily": ev.value_quantile_sketch_daily,
+        "value_quantile_sketch_monthly": ev.value_quantile_sketch_monthly,
+        "cms_heavy_hitters_daily": ev.cms_heavy_hitters_daily,
+        "substring_dup_docs": llm.substring_dup_docs,
+        "dup_cluster_size_histogram": llm.dup_cluster_size_histogram,
+        "cosine_near_dups_banded": llm.cosine_near_dups_banded,
+        "cosine_near_dups_blocked": llm.cosine_near_dups_blocked,
+        "quantized_embeddings": llm.quantized_embeddings_docs,
+        "embedding_stats": llm.embedding_stats,
+        "label_centroids": llm.label_centroids_query,
+        "vocab_docs": llm.vocab_docs,
+        "tfidf_docs": llm.tfidf_docs,
+        "inverted_index_docs": llm.inverted_index_docs,
+        "repeated_ngrams_docs": llm.repeated_ngrams_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
