@@ -1,0 +1,87 @@
+"""Streaming ANN-index ingest: fold embedding micro-batches into a
+persisted IVF-ADC index with the quantizer-drift guard in the loop.
+
+The production shape (faiss ``add`` path, per trigger): an index is
+built offline (``similarity.build_ivf_pq_index``); the ingest stream
+appends each micro-batch with the EXISTING quantizers — one map pass
+over the batch, never the corpus — and evaluates
+``IvfPqIndex.needs_rebuild`` against the pre-batch index FIRST, so a
+drifting stream is flagged before its vectors crowd mis-fitting
+cells. Appends are idempotent under trigger replay (the batch id keys
+the code partitions via ``ingest_id``); the drift report is the
+monitoring channel an operator watches to schedule the offline
+rebuild (the explicit trade documented on ``append_to_ivf_pq_index``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+EMB_SCHEMA = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+
+
+def run_streaming_ann_ingest(
+    spark: SparkSession,
+    in_dir: str,
+    index_path: str,
+    report_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    drift_factor: float = 2.0,
+):
+    """Ingest an embedding NDJSON stream into the persisted IVF-ADC
+    index at ``index_path`` (built beforehand). Per trigger:
+
+    1. measure the batch's drift against the PRE-batch index
+       (``batch_drift``: mean nearest-centroid squared distance, one
+       broadcast map pass) and the resulting rebuild recommendation;
+    2. append the batch with the existing quantizers
+       (``append_to_ivf_pq_index``, ``ingest_id=batch_id`` — replayed
+       triggers overwrite their own partitions, never duplicate);
+    3. write one report row to ``report_path/batch_id=<id>``:
+       (n_vectors, batch_drift, train_avg_dist, needs_rebuild).
+
+    The recommendation is advisory by design: ingest keeps absorbing
+    batches (the index stays complete), and the operator schedules
+    ``build_ivf_pq_index`` when the report flips — recall on drifted
+    regions is quantization-bound until then."""
+    from tweetaggregates_spark.operators.similarity import (
+        append_to_ivf_pq_index,
+        read_ivf_pq_index,
+    )
+
+    def _process(batch_df, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        n = batch_df.count()
+        if n == 0:
+            return
+        idx = read_ivf_pq_index(spark, index_path)
+        drift = idx.batch_drift(batch_df)
+        rebuild = (
+            idx.avg_assign_dist is not None
+            and drift > drift_factor * idx.avg_assign_dist
+        )
+        append_to_ivf_pq_index(batch_df, index_path, ingest_id=str(batch_id))
+        spark.createDataFrame(
+            [(int(n), float(drift), idx.avg_assign_dist, bool(rebuild))],
+            "n_vectors BIGINT, batch_drift DOUBLE, "
+            "train_avg_dist DOUBLE, needs_rebuild BOOLEAN",
+        ).write.mode("overwrite").parquet(
+            f"{report_path}/batch_id={batch_id}"
+        )
+
+    reader = spark.readStream.schema(EMB_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.json(in_dir)
+    writer = (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
