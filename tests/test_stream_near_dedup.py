@@ -116,3 +116,52 @@ def test_stream_near_dedup_quarantines_hot_bands(spark, tmp_path):
     q1 = spark.read.parquet(f"{out_path}_quarantine/batch_id=1")
     qs = q1.collect()
     assert qs and all(r.bucket_size >= 2 for r in qs)
+
+
+def test_inline_compaction_bounds_log_depth(spark, tmp_path):
+    """compact_every=2: the stream rebases the index inline at the
+    start of trigger 2 (folding only committed triggers), the final
+    folded index still equals the one-shot build, and the bands/remap
+    trees hold only post-base versions — the remap-log fold depth
+    stays bounded on a long-running ingest."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    n = len(rows)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        p = in_dir / f"{i}.ndjson"
+        p.write_text(
+            "\n".join(
+                json.dumps({"doc_id": r.doc_id, "text": r.text})
+                for r in rows[cuts[i] : cuts[i + 1]]
+            )
+        )
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    index_path = str(tmp_path / "index")
+    run_streaming_near_dedup(
+        spark,
+        str(in_dir),
+        index_path,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        max_files_per_trigger=1,
+        compact_every=2,
+    )
+    # trigger 2 compacted versions {0, 1} into base/v=1; deltas 0-1
+    # are gone, delta 2 sits on top of the base
+    assert os.path.isdir(f"{index_path}/base/v=1")
+    assert sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{index_path}/bands")
+        if d.startswith("v=")
+    ) == [2]
+    final = dedup.read_band_index(spark, index_path)
+    expect = dedup.build_band_index(docs)
+    key = ["doc_id", "band_id", "band_key", "cluster"]
+    assert sorted(map(tuple, final.select(*key).collect())) == sorted(
+        map(tuple, expect.select(*key).collect())
+    )

@@ -1081,6 +1081,7 @@ def compact_band_index(
     path: str,
     quarantine_path: str | None = None,
     max_bucket_size: int | None = None,
+    below: int | None = None,
 ) -> DataFrame:
     """Offline maintenance for the versioned band index: materialize
     the folded index as a new base and clear the appends + remap log,
@@ -1101,13 +1102,20 @@ def compact_band_index(
     the complete index — the index keeps every band row even for
     quarantined buckets, so nothing was lost — connecting the
     clusters it should have merged; still-hot buckets are merged into
-    one compacted quarantine dir with re-counted sizes."""
+    one compacted quarantine dir with re-counted sizes.
+
+    ``below`` bounds the fold to versions < below — the INLINE
+    compaction contract for a running stream: compacting at the START
+    of trigger N with ``below=N`` folds only fully-committed triggers,
+    so a replay of trigger N (which reads ``below=N``) still sees
+    exactly the pre-batch index. Never inline-compact through the
+    trigger currently being processed."""
     import os
     import shutil
 
     from tweetaggregates_spark.operators.cluster import connected_components
 
-    folded = read_band_index(spark, path)
+    folded = read_band_index(spark, path, below=below)
     q_merged = None
     if quarantine_path is not None and os.path.isdir(quarantine_path):
         assert max_bucket_size is not None, (
@@ -1177,11 +1185,15 @@ def compact_band_index(
             )
         ).localCheckpoint(eager=True)
 
-    all_vs = (
-        _versions(f"{path}/bands")
-        + _versions(f"{path}/remap")
-        + _versions(f"{path}/base")
-    )
+    all_vs = [
+        v
+        for v in (
+            _versions(f"{path}/bands")
+            + _versions(f"{path}/remap")
+            + _versions(f"{path}/base")
+        )
+        if below is None or v < below
+    ]
     if not all_vs:
         return folded
     newv = max(all_vs)

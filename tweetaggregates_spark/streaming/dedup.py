@@ -44,6 +44,7 @@ def run_streaming_near_dedup(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     max_bucket_size: int | None = None,
+    compact_every: int | None = None,
 ):
     """Content NEAR-dup dedup on an ingest stream: each micro-batch of
     documents is deduped against the accumulated corpus via the
@@ -75,15 +76,29 @@ def run_streaming_near_dedup(
     key=value-only tree keeps partition discovery over ``out_path``
     intact). ``compact_band_index(quarantine_path=...)`` later merges
     those trees and re-admits buckets that fit the (possibly raised)
-    cap."""
+    cap.
+
+    ``compact_every=N`` bounds the remap-log fold depth on a
+    long-running ingest: every N triggers the index rebases INLINE at
+    the START of the trigger with ``below=batch_id`` — only
+    fully-committed triggers fold, so a replayed trigger still reads
+    exactly its pre-batch index (the crash-safe atomic-rename commit
+    makes the compaction itself replay-proof)."""
     from tweetaggregates_spark.operators.dedup import (
         append_band_index_delta,
+        compact_band_index,
         dedup_new_batch_capped_delta,
         dedup_new_batch_delta,
         read_band_index,
     )
 
     def _process(batch_df, batch_id: int) -> None:
+        if (
+            compact_every is not None
+            and batch_id > 0
+            and batch_id % compact_every == 0
+        ):
+            compact_band_index(spark, index_path, below=batch_id)
         index = read_band_index(spark, index_path, below=batch_id)
         if max_bucket_size is None:
             assignments, new_rows, remap = dedup_new_batch_delta(
