@@ -94,3 +94,99 @@ def test_proto3_optional_presence():
     dec = sm.TimerInfo()
     dec.ParseFromString(enc)
     assert dec.HasField("key") and dec.key == b"" and dec.timestampMs == 7
+
+
+def test_fuzz_roundtrip_all_message_types():
+    """Deterministic fuzz: for every message type in the state
+    protocol, build an instance with every field populated (scalars at
+    awkward values, nested messages one level deep, repeated fields
+    with 0/1/3 elements), then SerializeToString -> ParseFromString
+    must reproduce the populated fields exactly."""
+    # import under the SAME module name the generated pb2 used, so we
+    # see the pool instance it populated
+    from google.protobuf import descriptor_pool
+    from google.protobuf.internal import runtime
+
+    pool = descriptor_pool.Default()
+
+    def _sample(f, depth, salt):
+        t = f.type
+        if t == runtime.T_BOOL:
+            return salt % 2 == 0
+        if t in (runtime.T_INT32,):
+            return [0, -1, 2**31 - 1, -(2**31)][salt % 4]
+        if t in (runtime.T_INT64,):
+            return [0, -1, 2**63 - 1, -(2**63)][salt % 4]
+        if t in (runtime.T_UINT32, runtime.T_UINT64):
+            return [0, 1, 300][salt % 3]
+        if t == runtime.T_STRING:
+            return ["", "héllo", "x" * 200][salt % 3]
+        if t == runtime.T_BYTES:
+            return [b"", bytes(range(7)), b"\x00\xff" * 64][salt % 3]
+        if t == runtime.T_DOUBLE:
+            return [0.0, -1.5, 3.25e300][salt % 3]
+        if t == runtime.T_FLOAT:
+            return [0.0, -0.5][salt % 2]
+        if t == runtime.T_ENUM:
+            vals = sorted(f.enum_type.values_by_name.values())
+            return vals[salt % len(vals)]
+        if t == runtime.T_MESSAGE:
+            if depth >= 2:
+                return None
+            return _build(f.message_type, depth + 1, salt)
+        return None
+
+    def _build(desc, depth, salt):
+        cls = runtime.make_message_class(desc)
+        kwargs = {}
+        seen_oneof = set()
+        for i, f in enumerate(desc.fields):
+            if f.oneof_index is not None:
+                # one member per oneof (later assignments would be a
+                # real-protobuf overwrite; keep construction simple)
+                if f.oneof_index in seen_oneof:
+                    continue
+                seen_oneof.add(f.oneof_index)
+            v = _sample(f, depth, salt + i)
+            if v is None:
+                continue
+            if f.is_repeated:
+                n = (salt + i) % 3
+                kwargs[f.name] = [v] * n if n else []
+            else:
+                kwargs[f.name] = v
+        return cls(**kwargs)
+
+    def _assert_equal(a, b, desc):
+        for name, v in a._values.items():
+            got = getattr(b, name)
+            f = desc.fields_by_name[name]
+            if f.type == runtime.T_MESSAGE:
+                items = v if f.is_repeated else [v]
+                gots = got if f.is_repeated else [got]
+                assert len(items) == len(gots), name
+                for x, y in zip(items, gots):
+                    _assert_equal(x, y, f.message_type)
+            elif f.type == runtime.T_FLOAT:
+                vv = v if f.is_repeated else [v]
+                gg = got if f.is_repeated else [got]
+                for x, y in zip(vv, gg):
+                    assert abs(x - y) < 1e-6, name
+            else:
+                if f.is_repeated:
+                    assert list(got) == list(v), name
+                elif not f.has_presence and v == f.default():
+                    assert got == v, name  # default round-trips as default
+                else:
+                    assert got == v, name
+
+    checked = 0
+    for full_name, desc in sorted(pool.messages.items()):
+        for salt in range(4):
+            msg = _build(desc, 0, salt)
+            enc = msg.SerializeToString()
+            dec = runtime.make_message_class(desc)()
+            dec.ParseFromString(enc)
+            _assert_equal(msg, dec, desc)
+            checked += 1
+    assert checked >= 4 * 30  # the protocol has 30+ message types
