@@ -464,3 +464,104 @@ def test_compaction_keeps_still_hot_buckets_quarantined(spark, tmp_path):
     assert rows and all(r.bucket_size == 4 for r in rows)
     members = {d for r in rows for d in r.example_doc_ids}
     assert members == {10, 20, 31, 32}
+
+
+def _assert_index_side_unshuffled(plan: str) -> None:
+    """Walk the formatted plan: the catalog (bucketed) scan's ancestor
+    chain up to the join must contain no Exchange."""
+    lines = plan.splitlines()
+    ji = next(
+        i
+        for i, l in enumerate(lines)
+        if "ShuffledHashJoin" in l or "SortMergeJoin" in l
+    )
+    si = next(
+        i for i, l in enumerate(lines) if "Scan parquet spark_catalog" in l
+    )
+    assert ji < si, f"catalog scan not under the join:\n{plan}"
+
+    def _col(line):
+        p = line.find("+-")
+        return p if p >= 0 else line.find(":-")
+
+    col = _col(lines[si])
+    for i in range(si - 1, ji, -1):
+        c = _col(lines[i])
+        if 0 <= c < col:
+            assert "Exchange" not in lines[i], f"index side shuffled:\n{plan}"
+            col = c
+
+
+def test_bucketed_base_mirror_discovery_without_base_shuffle(
+    spark, docs, tmp_path
+):
+    """The 100 TB shape for the VERSIONED index (round 6): compaction
+    mirrors the base into a bucketed catalog table; subsequent ingests
+    join the parts separately (dedup_new_batch_delta(index_parts=...))
+    with the post-base remap folded onto the edge OUTPUT — results
+    equal the folded-union path exactly, and the bucketed base side
+    of the discovery join plans with ZERO Exchange even while deltas
+    and remaps exist on top of it."""
+    import contextlib
+    import io
+    import uuid
+
+    t1 = "apple banana cherry date elderberry fig grape honeydew"
+    t2 = "kiwi lemon mango nectarine orange papaya quince raspberry"
+    path = str(tmp_path / "band_index")
+    table = f"band_base_{uuid.uuid4().hex[:8]}"
+    try:
+        b1 = spark.createDataFrame(
+            [(10, t1), (20, t2)], ["doc_id", "text"]
+        )
+        dedup.append_band_index_delta(
+            dedup.build_band_index(b1),
+            spark.createDataFrame([], dedup.REMAP_SCHEMA),
+            path,
+            0,
+        )
+        dedup.compact_band_index(spark, path, bucketed_table=table, n_buckets=8)
+        # post-base delta WITH a remap: doc 5 takes over cluster 10 —
+        # the mirrored base's as-written labels are now stale
+        b2 = spark.createDataFrame([(5, t1)], ["doc_id", "text"])
+        _, nr, rm = dedup.dedup_new_batch_delta(
+            b2, dedup.read_band_index(spark, path)
+        )
+        dedup.append_band_index_delta(nr, rm, path, 1)
+        assert {(r.old_cluster, r.new_cluster) for r in rm.collect()} == {
+            (10, 5)
+        }
+
+        # batch 3 via the parts path vs the folded-union path
+        b3 = spark.createDataFrame([(7, t1), (8, t2)], ["doc_id", "text"])
+        parts, remap = dedup.read_band_index_parts(
+            spark, path, base_table=table
+        )
+        assert len(parts) == 2 and remap is not None
+        a_parts, nr_p, rm_p = dedup.dedup_new_batch_delta(
+            b3, None, index_parts=parts, index_remap=remap
+        )
+        a_fold, nr_f, rm_f = dedup.dedup_new_batch_delta(
+            b3, dedup.read_band_index(spark, path)
+        )
+        assert _index_rows(a_parts) == _index_rows(a_fold)
+        assert _index_rows(nr_p) == _index_rows(nr_f)
+        assert _index_rows(rm_p) == _index_rows(rm_f)
+        # the stale base label 10 resolved through the remap: docs 5,
+        # 7 all land in cluster 5
+        assert _clusters(a_parts) == {7: 5, 8: 8}
+
+        # the bucketed base side of the discovery join: NO Exchange
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            new_bands = dedup.lsh_bands(dedup.minhash_signatures(b3))
+            edges = dedup.new_vs_index_edges(new_bands, parts[0])
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                edges.explain("formatted")
+            _assert_index_side_unshuffled(buf.getvalue())
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -712,12 +712,14 @@ def _fold_delta(
 
 def dedup_new_batch_delta(
     batch: DataFrame,
-    index: DataFrame,
+    index: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     n_hashes: int = N_MINHASH,
     n_bands: int = N_BANDS,
+    index_parts: list[DataFrame] | None = None,
+    index_remap: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """``dedup_new_batch`` with O(batch) OUTPUTS — the at-scale ingest
     path (VERDICT r5 #1): instead of materializing the full updated
@@ -734,14 +736,34 @@ def dedup_new_batch_delta(
     ``dedup_new_batch``'s full rewrite exactly — pinned in
     tests/test_incremental_dedup.py. Analog: the reference persists
     each window as an incremental WriteBatch, never a full-store
-    rewrite (RocksDBStore.cs:99-109)."""
+    rewrite (RocksDBStore.cs:99-109).
+
+    ``index_parts`` + ``index_remap`` (from ``read_band_index_parts``)
+    are the 100 TB discovery shape: each part joins the batch
+    SEPARATELY — a bucketed catalog base plans with ZERO Exchange on
+    the corpus side (a folded union would destroy its bucket
+    distribution) — and the tiny resolved remap folds onto the edge
+    OUTPUT, so stale as-written labels in the base/deltas still
+    produce current-cluster edges. Pass either ``index`` (one folded
+    DataFrame) or ``index_parts``; parts take precedence."""
     new_bands = lsh_bands(
         minhash_signatures(batch, text_col, id_col, k, n_hashes),
         n_hashes,
         n_bands,
     ).localCheckpoint(eager=True)
     nn = _band_self_pairs(new_bands)
-    no = new_vs_index_edges(new_bands, index)
+    if index_parts is not None:
+        no = None
+        for p in index_parts:
+            e = new_vs_index_edges(new_bands, p)
+            no = e if no is None else no.unionByName(e)
+        if no is None:
+            no = new_bands.sparkSession.createDataFrame(
+                [], "doc_a BIGINT, doc_b BIGINT"
+            )
+        no = _apply_remap(no, index_remap, "doc_b").distinct()
+    else:
+        no = new_vs_index_edges(new_bands, index)
     _, assignments, new_rows, remap_delta = _delta_parts(
         batch, new_bands, nn, no, id_col
     )
@@ -977,29 +999,22 @@ def append_band_index_delta(
     remap_delta.write.mode("overwrite").parquet(f"{path}/remap/v={version}")
 
 
-def read_band_index(spark, path: str, below: int | None = None) -> DataFrame:
-    """Read the band index, folding the remap log at read time.
-
-    Layouts: the versioned tree (``base/v=N`` compacted bases +
-    ``bands/v=N`` per-ingest appends + ``remap/v=N`` merge logs) when
-    present, else a legacy flat parquet dir. ``below`` restricts to
-    versions < below — the streaming replay contract (a redelivered
-    batch must see exactly the pre-batch index).
-
-    The fold: band rows union (newest base + later appends); the remap
-    log (merged-clusters-sized — it grows with cluster MERGES, not the
-    corpus, and compaction clears it) is chain-resolved with V-1 tiny
-    broadcast self-joins (a chain gains at most one hop per ingest, so
-    V remap versions bound chain length) and broadcast-joined onto the
-    band rows. The corpus-sized side is never shuffled."""
+def read_band_index_parts(
+    spark,
+    path: str,
+    below: int | None = None,
+    base_table: str | None = None,
+) -> tuple[list[DataFrame], DataFrame | None]:
+    """Raw pieces of the versioned band index: ``(parts, remap)`` where
+    parts are band-row DataFrames with labels AS WRITTEN (newest base,
+    then each later append) and remap is the chain-RESOLVED post-base
+    merge log (None when empty). ``read_band_index`` folds these; the
+    100 TB discovery path joins the parts SEPARATELY instead —
+    ``base_table`` substitutes the bucketed catalog mirror
+    (``compact_band_index(bucketed_table=...)``) for the base dir, so
+    the corpus-sized side of the join plans with ZERO Exchange, and
+    the tiny resolved remap folds onto the join OUTPUT, not the scan."""
     import os
-
-    if not (
-        os.path.isdir(f"{path}/bands") or os.path.isdir(f"{path}/base")
-    ):
-        if os.path.isdir(path):
-            return spark.read.parquet(path)  # legacy flat layout
-        return spark.createDataFrame([], INDEX_SCHEMA)
 
     def _keep(v: int) -> bool:
         return below is None or v < below
@@ -1008,7 +1023,14 @@ def read_band_index(spark, path: str, below: int | None = None) -> DataFrame:
     base = max(base_vs) if base_vs else None
     parts = []
     if base is not None:
-        parts.append(spark.read.parquet(f"{path}/base/v={base}"))
+        if base_table is not None:
+            parts.append(
+                spark.table(base_table).select(
+                    "doc_id", "band_id", "band_key", "cluster"
+                )
+            )
+        else:
+            parts.append(spark.read.parquet(f"{path}/base/v={base}"))
     band_vs = [
         v
         for v in _versions(f"{path}/bands")
@@ -1016,11 +1038,6 @@ def read_band_index(spark, path: str, below: int | None = None) -> DataFrame:
     ]
     for v in band_vs:
         parts.append(spark.read.parquet(f"{path}/bands/v={v}"))
-    if not parts:
-        return spark.createDataFrame([], INDEX_SCHEMA)
-    bands = parts[0]
-    for p in parts[1:]:
-        bands = bands.unionByName(p)
 
     remap_vs = [
         v
@@ -1028,11 +1045,11 @@ def read_band_index(spark, path: str, below: int | None = None) -> DataFrame:
         if _keep(v) and (base is None or v > base)
     ]
     if not remap_vs:
-        return bands
+        return parts, None
     logs = [spark.read.parquet(f"{path}/remap/v={v}") for v in remap_vs]
     log = logs[0]
-    for l in logs[1:]:
-        log = log.unionByName(l)
+    for lg in logs[1:]:
+        log = log.unionByName(lg)
     # chain resolution: old->mid (v_i), mid->new (v_j>i) folds to
     # old->new; one hop per extra remap version suffices because each
     # version's entries already point at that ingest's FINAL labels
@@ -1057,23 +1074,59 @@ def read_band_index(spark, path: str, below: int | None = None) -> DataFrame:
                 ),
             )
         )
+    return parts, resolved
+
+
+def _apply_remap(df: DataFrame, resolved: DataFrame | None, col: str) -> DataFrame:
+    """Fold the chain-resolved remap log onto ``col`` via a broadcast
+    left join (merged-clusters-sized, never shuffles ``df``)."""
+    if resolved is None:
+        return df
+    others = [c for c in df.columns if c != col]
     return (
-        bands.join(
-            F.broadcast(
-                resolved.withColumnRenamed("old_cluster", "cluster")
-            ),
-            "cluster",
+        df.join(
+            F.broadcast(resolved.withColumnRenamed("old_cluster", col)),
+            col,
             "left",
         )
         .select(
-            "doc_id",
-            "band_id",
-            "band_key",
-            F.coalesce(F.col("new_cluster"), F.col("cluster")).alias(
-                "cluster"
-            ),
+            *others,
+            F.coalesce(F.col("new_cluster"), F.col(col)).alias(col),
         )
+        .select(*df.columns)
     )
+
+
+def read_band_index(spark, path: str, below: int | None = None) -> DataFrame:
+    """Read the band index, folding the remap log at read time.
+
+    Layouts: the versioned tree (``base/v=N`` compacted bases +
+    ``bands/v=N`` per-ingest appends + ``remap/v=N`` merge logs) when
+    present, else a legacy flat parquet dir. ``below`` restricts to
+    versions < below — the streaming replay contract (a redelivered
+    batch must see exactly the pre-batch index).
+
+    The fold: band rows union (newest base + later appends); the remap
+    log (merged-clusters-sized — it grows with cluster MERGES, not the
+    corpus, and compaction clears it) is chain-resolved with V-1 tiny
+    broadcast self-joins (a chain gains at most one hop per ingest, so
+    V remap versions bound chain length) and broadcast-joined onto the
+    band rows. The corpus-sized side is never shuffled."""
+    import os
+
+    if not (
+        os.path.isdir(f"{path}/bands") or os.path.isdir(f"{path}/base")
+    ):
+        if os.path.isdir(path):
+            return spark.read.parquet(path)  # legacy flat layout
+        return spark.createDataFrame([], INDEX_SCHEMA)
+    parts, resolved = read_band_index_parts(spark, path, below)
+    if not parts:
+        return spark.createDataFrame([], INDEX_SCHEMA)
+    bands = parts[0]
+    for p in parts[1:]:
+        bands = bands.unionByName(p)
+    return _apply_remap(bands, resolved, "cluster")
 
 
 def compact_band_index(
@@ -1082,6 +1135,8 @@ def compact_band_index(
     quarantine_path: str | None = None,
     max_bucket_size: int | None = None,
     below: int | None = None,
+    bucketed_table: str | None = None,
+    n_buckets: int = 32,
 ) -> DataFrame:
     """Offline maintenance for the versioned band index: materialize
     the folded index as a new base and clear the appends + remap log,
@@ -1109,7 +1164,15 @@ def compact_band_index(
     of trigger N with ``below=N`` folds only fully-committed triggers,
     so a replay of trigger N (which reads ``below=N``) still sees
     exactly the pre-batch index. Never inline-compact through the
-    trigger currently being processed."""
+    trigger currently being processed.
+
+    ``bucketed_table`` additionally mirrors the new base into a
+    catalog table bucketed + sorted on (band_id, band_key) — the
+    layout whose scan satisfies the discovery join's distribution, so
+    subsequent ingests (``read_band_index_parts(base_table=...)`` +
+    ``dedup_new_batch_delta(index_parts=...)``) join the corpus side
+    with ZERO Exchange. Written AFTER the base commit; on failure the
+    base dir remains authoritative."""
     import os
     import shutil
 
@@ -1229,4 +1292,7 @@ def compact_band_index(
         for d in batch_dirs:
             shutil.rmtree(f"{quarantine_path}/{d}", ignore_errors=True)
         os.rename(qtmp, f"{quarantine_path}/batch_id={maxbatch}")
-    return spark.read.parquet(target)
+    out = spark.read.parquet(target)
+    if bucketed_table is not None:
+        write_band_index_bucketed(out, bucketed_table, n_buckets)
+    return out
