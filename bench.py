@@ -95,6 +95,9 @@ HEADLINE = [
     # cross-round comparison uses the amortized entry.
     "incremental_exact_dedup_docs",
     "knn_ivf_pq_embeddings",
+    # round 6: the newly oracle-registered refined (exact-rescore)
+    # trained IVF-ADC path
+    "knn_ivf_pq_refined_embeddings",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

@@ -141,6 +141,65 @@ def bench_fold_depth(spark) -> None:
             shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_fixed_batch(spark) -> None:
+    """THE production question: a FIXED-size ingest batch against a
+    GROWING corpus index — does per-ingest cost track the batch or the
+    corpus? Times both discovery paths per index scale: the folded
+    union (index side shuffles) and the bucketed-base parts path
+    (zero-Exchange base side, remap folded onto edges)."""
+    import uuid
+
+    batch_src = load_table(
+        spark, "/root/testdata/sf0.01", "documents"
+    ).select("doc_id", "text")
+    batch = batch_src.filter(F.col("doc_id") % 20 == 1).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+    )
+    nb = batch.count()
+    print(f"fixed batch: {nb} docs", flush=True)
+    for sf, sf_dir in SFS:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        root = tempfile.mkdtemp(prefix="scale_fixed_")
+        table = f"band_base_{uuid.uuid4().hex[:8]}"
+        try:
+            path = os.path.join(root, "index")
+            dd.append_band_index_delta(  # untimed corpus index build
+                dd.build_band_index(docs),
+                spark.createDataFrame([], dd.REMAP_SCHEMA),
+                path,
+                0,
+            )
+            dd.compact_band_index(spark, path, bucketed_table=table)
+            folded_best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                index = dd.read_band_index(spark, path)
+                asg, _nr, _rm = dd.dedup_new_batch_delta(batch, index)
+                asg.write.format("noop").mode("overwrite").save()
+                folded_best = min(folded_best, time.time() - t0)
+            parts_best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                parts, remap = dd.read_band_index_parts(
+                    spark, path, base_table=table
+                )
+                asg, _nr, _rm = dd.dedup_new_batch_delta(
+                    batch, None, index_parts=parts, index_remap=remap
+                )
+                asg.write.format("noop").mode("overwrite").save()
+                parts_best = min(parts_best, time.time() - t0)
+            print(
+                f"{sf} fixed-batch ingest: folded {folded_best:.3f}s  "
+                f"bucketed-parts {parts_best:.3f}s",
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def bench_refined(spark) -> None:
     qs = entry_mod.queries()
     r: dict[str, float] = {}
@@ -158,7 +217,7 @@ def bench_refined(spark) -> None:
 
 
 def main() -> int:
-    which = set(sys.argv[1:]) or {"amortized", "fold", "refined"}
+    which = set(sys.argv[1:]) or {"amortized", "fold", "refined", "fixed"}
     spark = get_spark("scale-r6")
     spark.sparkContext.setLogLevel("ERROR")
     if "amortized" in which:
@@ -167,6 +226,8 @@ def main() -> int:
         bench_fold_depth(spark)
     if "refined" in which:
         bench_refined(spark)
+    if "fixed" in which:
+        bench_fixed_batch(spark)
     return 0
 
 
