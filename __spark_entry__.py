@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-checked --
         "knn_ivf_pq_refined_embeddings": llm.knn_ivf_pq_refined_embeddings,
+        "incremental_dedup_delta_docs": llm.incremental_dedup_delta_docs,
         # -- last driver row: round 1 --
         "clickers_without_purchase": ev.clickers_without_purchase,
         "cosine_near_dups": llm.cosine_near_dups,
@@ -2070,6 +2071,17 @@ def oracle_sql() -> dict[str, str]:
     # (CC under component contraction), so its oracle IS the one-shot
     # transitive closure — the hash gate proves the equivalence
     sql["incremental_dedup_docs"] = sql["dedup_clusters_docs"]
+    # the O(batch) DELTA path (round 6): per-batch assignments equal
+    # the one-shot closure restricted to the batch's docs
+    sql["incremental_dedup_delta_docs"] = f"""
+        WITH RECURSIVE {_lsh_cc_cte}
+        SELECT d.doc_id,
+               coalesce(l.cluster_id, d.doc_id) AS cluster,
+               (coalesce(l.cluster_id, d.doc_id) <> d.doc_id)
+                 AS is_duplicate
+        FROM documents d LEFT JOIN labels l USING (doc_id)
+        WHERE d.doc_id % 2 = 1
+    """
     # incremental exact dedup: min/sum associativity makes the fold
     # batching-invariant, so its oracle IS the one-shot exact dedup
     sql["incremental_exact_dedup_docs"] = sql["exact_dedup_docs"]

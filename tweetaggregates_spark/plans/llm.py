@@ -266,6 +266,28 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_dedup_delta_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The O(batch) DELTA path under the oracle gate (round 6): the
+    odd half dedups against the even half's band index via
+    ``dedup_new_batch_delta`` — the production per-ingest pipeline
+    whose outputs are the batch's assignments + band rows + remap log,
+    never a full-index rewrite. Batching-invariance means each odd
+    doc's assigned cluster equals its component min over the COMBINED
+    corpus, so the oracle is the one-shot transitive closure
+    restricted to the odd docs — the hash gate proves the delta path
+    lands on exactly the full-recompute clusters."""
+    from tweetaggregates_spark.operators import dedup as dd
+
+    docs = _docs(spark, sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    index = dd.build_band_index(b1)
+    assignments, _, _ = dd.dedup_new_batch_delta(b2, index)
+    return assignments
+
+
 def canonical_docs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup resolution: one kept doc per near-dup cluster (highest
     n_chars, ties to lowest doc_id) with the cluster size."""
