@@ -565,3 +565,84 @@ def test_bucketed_base_mirror_discovery_without_base_shuffle(
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_maintained_bucket_counts_match_recount(spark, tmp_path):
+    """The maintained counts side table: per-version count deltas sum
+    to exactly the folded index's bucket sizes across appends AND a
+    compaction; the counts-driven capped fold produces identical
+    assignments/new-rows/remaps and identical hot-bucket keys+sizes
+    to the corpus re-count path (examples narrow to batch docs)."""
+    t1 = "apple banana cherry date elderberry fig grape honeydew"
+    t2 = "kiwi lemon mango nectarine orange papaya quince raspberry"
+    path = str(tmp_path / "band_index")
+    b1 = spark.createDataFrame(
+        [(10, t1), (20, t2), (11, t1)], ["doc_id", "text"]
+    )
+    dedup.append_band_index_delta(
+        dedup.build_band_index(b1),
+        spark.createDataFrame([], dedup.REMAP_SCHEMA),
+        path,
+        0,
+    )
+    b2 = spark.createDataFrame([(31, t1)], ["doc_id", "text"])
+    _, nr, rm = dedup.dedup_new_batch_delta(
+        b2, dedup.read_band_index(spark, path)
+    )
+    dedup.append_band_index_delta(nr, rm, path, 1)
+
+    def _counts_equal():
+        counts = dedup.read_bucket_counts(spark, path)
+        assert counts is not None
+        maintained = sorted(map(tuple, counts.collect()))
+        recount = sorted(
+            map(
+                tuple,
+                dedup.bucket_counts(
+                    dedup.read_band_index(spark, path)
+                ).collect(),
+            )
+        )
+        assert maintained == recount
+
+    _counts_equal()
+    dedup.compact_band_index(spark, path)
+    _counts_equal()
+
+    # counts-driven capped fold == recount-driven (pair outputs)
+    index = dedup.read_band_index(spark, path)
+    counts = dedup.read_bucket_counts(spark, path)
+    b3 = spark.createDataFrame([(47, t1), (48, t2)], ["doc_id", "text"])
+    a_c, nr_c, rm_c, q_c = dedup.dedup_new_batch_capped_delta(
+        b3, index, max_bucket_size=3, index_counts=counts
+    )
+    a_r, nr_r, rm_r, q_r = dedup.dedup_new_batch_capped_delta(
+        b3, index, max_bucket_size=3
+    )
+    assert _index_rows(a_c) == _index_rows(a_r)
+    assert _index_rows(nr_c) == _index_rows(nr_r)
+    assert _index_rows(rm_c) == _index_rows(rm_r)
+    kc = {
+        (r.band_id, r.band_key, r.bucket_size) for r in q_c.collect()
+    }
+    kr = {
+        (r.band_id, r.band_key, r.bucket_size) for r in q_r.collect()
+    }
+    # both paths agree on every batch-touched hot bucket; the recount
+    # path may additionally re-list hot buckets the batch never
+    # touches (none exist in this fixture, so the sets coincide)
+    assert kc  # the guard actually fired
+    assert kc <= kr
+    # counts-path examples come from the batch
+    for r in q_c.collect():
+        assert set(r.example_doc_ids) <= {47, 48}
+    # cluster outcome: doc 47 quarantined away from t1's hot bucket
+    # (10, 11, 31 + batch > cap) -> singleton; doc 48 joins t2's cool
+    # cluster 20
+    assert _clusters(a_c)[47] == 47 and _clusters(a_c)[48] == 20
+
+    # a missing counts version forces the None fallback
+    import shutil
+
+    shutil.rmtree(f"{path}/counts", ignore_errors=True)
+    assert dedup.read_bucket_counts(spark, path) is None

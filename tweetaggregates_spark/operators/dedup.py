@@ -817,10 +817,21 @@ def _capped_discovery(
     n_hashes: int,
     n_bands: int,
     max_bucket_size: int,
+    index_counts: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Hot-band-guarded delta-graph discovery shared by the full and
     delta capped folds: returns (new_bands, nn_edges, no_edges,
-    quarantine)."""
+    quarantine).
+
+    ``index_counts`` (from ``read_bucket_counts``) supplies the
+    index's per-bucket sizes from the MAINTAINED side table, so the
+    combined-size computation aggregates O(buckets + batch) rows
+    instead of re-counting the corpus each ingest — the at-scale
+    shape. Pair discovery and the band append are identical either
+    way; only the quarantine report narrows to buckets the BATCH
+    touches (its examples sample batch docs) — per-ingest reporting
+    of exactly the pairs this ingest skipped, rather than re-listing
+    every historically hot bucket each trigger."""
     # the batch's minhash pipeline fans out to four consumers (bucket
     # sizes, quarantine, discovery join, band append) — materialize it
     # once so each downstream action replays a tiny scan, not the
@@ -831,27 +842,56 @@ def _capped_discovery(
         n_hashes,
         n_bands,
     ).localCheckpoint(eager=True)
-    combined = new_bands.select("doc_id", "band_id", "band_key").unionByName(
-        index.select("doc_id", "band_id", "band_key")
-    )
-    sizes = combined.groupBy("band_id", "band_key").agg(
-        F.count(F.lit(1)).alias("bucket_size")
-    )
+    if index_counts is not None:
+        sizes = (
+            bucket_counts(new_bands)
+            .unionByName(index_counts)
+            .groupBy("band_id", "band_key")
+            .agg(F.sum("n_rows").alias("bucket_size"))
+        )
+        quarantine = (
+            new_bands.join(
+                sizes.filter(F.col("bucket_size") > max_bucket_size),
+                ["band_id", "band_key"],
+            )
+            .groupBy("band_id", "band_key", "bucket_size")
+            .agg(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias(
+                    "example_doc_ids"
+                )
+            )
+        )
+    else:
+        combined = new_bands.select(
+            "doc_id", "band_id", "band_key"
+        ).unionByName(index.select("doc_id", "band_id", "band_key"))
+        sizes = combined.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("bucket_size")
+        )
+        quarantine = (
+            combined.join(
+                sizes.filter(F.col("bucket_size") > max_bucket_size),
+                ["band_id", "band_key"],
+            )
+            .groupBy("band_id", "band_key", "bucket_size")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")), 1, 10
+                ).alias("example_doc_ids")
+            )
+        )
     ok = sizes.filter(F.col("bucket_size") <= max_bucket_size).select(
         "band_id", "band_key"
     )
-    quarantine = (
-        combined.join(
-            sizes.filter(F.col("bucket_size") > max_bucket_size),
+    if index_counts is not None:
+        # discovery only involves buckets the BATCH touches — restrict
+        # the cool-bucket list to them so ix_ok below filters the
+        # corpus with a batch-sized key set (edges are identical: nn
+        # and no edges can only come from batch buckets)
+        ok = ok.join(
+            new_bands.select("band_id", "band_key").distinct(),
             ["band_id", "band_key"],
         )
-        .groupBy("band_id", "band_key", "bucket_size")
-        .agg(
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias(
-                "example_doc_ids"
-            )
-        )
-    )
     nb_ok = new_bands.join(ok, ["band_id", "band_key"]).select(
         "doc_id", "band_id", "band_key"
     )
@@ -872,14 +912,18 @@ def dedup_new_batch_capped_delta(
     n_hashes: int = N_MINHASH,
     n_bands: int = N_BANDS,
     max_bucket_size: int = 100,
+    index_counts: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """``dedup_new_batch_capped`` with O(batch) outputs (the streaming
     ingest path): returns (assignments, new_rows, remap_delta,
     quarantine) — see ``dedup_new_batch_delta`` for the delta contract
-    and ``dedup_new_batch_capped`` for the hot-band guard."""
+    and ``dedup_new_batch_capped`` for the hot-band guard.
+    ``index_counts`` (``read_bucket_counts``) replaces the per-ingest
+    corpus re-count with the maintained bucket-size table — see
+    ``_capped_discovery``."""
     new_bands, nn, no, quarantine = _capped_discovery(
         batch, index, text_col, id_col, k, n_hashes, n_bands,
-        max_bucket_size,
+        max_bucket_size, index_counts,
     )
     _, assignments, new_rows, remap_delta = _delta_parts(
         batch, new_bands, nn, no, id_col
@@ -938,6 +982,16 @@ def exact_dedup_new_batch(
 
 INDEX_SCHEMA = "doc_id BIGINT, band_id INT, band_key STRING, cluster BIGINT"
 REMAP_SCHEMA = "old_cluster BIGINT, new_cluster BIGINT"
+COUNTS_SCHEMA = "band_id INT, band_key STRING, n_rows BIGINT"
+
+
+def bucket_counts(bands_df: DataFrame) -> DataFrame:
+    """Per-(band_id, band_key) row counts of a band-row DataFrame —
+    the maintained side table the hot-band guard consults instead of
+    re-aggregating the corpus every ingest."""
+    return bands_df.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
 
 
 def write_band_index(index: DataFrame, path: str) -> None:
@@ -994,9 +1048,17 @@ def append_band_index_delta(
     ingest are O(batch + merged clusters), never O(corpus); per-version
     overwrite makes a redelivered ingest idempotent. Reference analog:
     the per-window atomic WriteBatch (RocksDBStore.cs:99-109) —
-    incremental, never a full-store rewrite."""
+    incremental, never a full-store rewrite.
+
+    A per-version bucket-count delta also lands at
+    ``counts/v=<version>`` (O(batch buckets) rows): summed at read
+    (``read_bucket_counts``) it gives the hot-band guard the combined
+    bucket sizes WITHOUT re-aggregating the corpus every ingest."""
     new_rows.write.mode("overwrite").parquet(f"{path}/bands/v={version}")
     remap_delta.write.mode("overwrite").parquet(f"{path}/remap/v={version}")
+    bucket_counts(new_rows).write.mode("overwrite").parquet(
+        f"{path}/counts/v={version}"
+    )
 
 
 def read_band_index_parts(
@@ -1094,6 +1156,43 @@ def _apply_remap(df: DataFrame, resolved: DataFrame | None, col: str) -> DataFra
             F.coalesce(F.col("new_cluster"), F.col(col)).alias(col),
         )
         .select(*df.columns)
+    )
+
+
+def read_bucket_counts(
+    spark, path: str, below: int | None = None
+) -> DataFrame | None:
+    """The maintained bucket-size side table: sum of the per-version
+    count deltas covering the current index state (newest base + later
+    appends, < ``below``). Returns None when any needed version's
+    counts are missing (older layouts, or a crash between a base
+    commit and its counts write) — callers fall back to re-counting
+    from the band rows. The summed table is #distinct-buckets-sized
+    and the fold is one groupBy over O(buckets) rows, never a corpus
+    aggregation."""
+
+    def _keep(v: int) -> bool:
+        return below is None or v < below
+
+    base_vs = [v for v in _versions(f"{path}/base") if _keep(v)]
+    base = max(base_vs) if base_vs else None
+    needed = [base] if base is not None else []
+    needed += [
+        v
+        for v in _versions(f"{path}/bands")
+        if _keep(v) and (base is None or v > base)
+    ]
+    if not needed:
+        return spark.createDataFrame([], COUNTS_SCHEMA)
+    have = set(_versions(f"{path}/counts"))
+    if any(v not in have for v in needed):
+        return None
+    out = None
+    for v in needed:
+        part = spark.read.parquet(f"{path}/counts/v={v}")
+        out = part if out is None else out.unionByName(part)
+    return out.groupBy("band_id", "band_key").agg(
+        F.sum("n_rows").alias("n_rows")
     )
 
 
@@ -1267,13 +1366,18 @@ def compact_band_index(
     target = f"{path}/base/v={newv}"
     shutil.rmtree(target, ignore_errors=True)
     os.rename(tmp, target)  # the commit point
-    for sub in ("bands", "remap"):
+    for sub in ("bands", "remap", "counts"):
         for v in _versions(f"{path}/{sub}"):
             if v <= newv:
                 shutil.rmtree(f"{path}/{sub}/v={v}", ignore_errors=True)
     for v in _versions(f"{path}/base"):
         if v < newv:
             shutil.rmtree(f"{path}/base/v={v}", ignore_errors=True)
+    # the base's bucket counts (a crash before this write just makes
+    # read_bucket_counts return None and callers re-count)
+    bucket_counts(spark.read.parquet(target)).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/counts/v={newv}")
 
     if q_merged is not None:
         import re

@@ -90,6 +90,7 @@ def run_streaming_near_dedup(
         dedup_new_batch_capped_delta,
         dedup_new_batch_delta,
         read_band_index,
+        read_bucket_counts,
     )
 
     def _process(batch_df, batch_id: int) -> None:
@@ -106,9 +107,15 @@ def run_streaming_near_dedup(
             )
             quarantine = None
         else:
+            # the maintained bucket-count table replaces the corpus
+            # re-count (None on older layouts -> re-count fallback)
+            counts = read_bucket_counts(spark, index_path, below=batch_id)
             assignments, new_rows, remap, quarantine = (
                 dedup_new_batch_capped_delta(
-                    batch_df, index, max_bucket_size=max_bucket_size
+                    batch_df,
+                    index,
+                    max_bucket_size=max_bucket_size,
+                    index_counts=counts,
                 )
             )
         # materialize assignments BEFORE the delta writes so all three
