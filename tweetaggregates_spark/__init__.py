@@ -11,7 +11,11 @@ Layout:
   plans/       — end-to-end query compositions (tweet pipeline, star
                  schema, LLM-data-pipeline)
   store        — aggregate table sink + REPL query surface (§2.8)
-  streaming/   — Structured Streaming wrapper (watermark + foreachBatch)
+  streaming/   — Structured Streaming wrapper (watermark + foreachBatch),
+                 streaming near-dup / ANN-index ingest loops
+  pbshim/      — pure-Python google.protobuf wire-format fallback
+                 (transformWithState state-server protocol; activate
+                 with pbshim.ensure_protobuf() before the session)
 """
 
 __version__ = "0.1.0"
