@@ -1277,6 +1277,11 @@ def compact_band_index(
 
     from tweetaggregates_spark.operators.cluster import connected_components
 
+    assert not (below is not None and quarantine_path is not None), (
+        "quarantine re-admission is an OFFLINE maintenance pass — an "
+        "inline (below-bounded) compaction would merge/delete "
+        "quarantine trees of triggers not yet committed"
+    )
     folded = read_band_index(spark, path, below=below)
     q_merged = None
     if quarantine_path is not None and os.path.isdir(quarantine_path):

@@ -1116,9 +1116,14 @@ def build_ivf_pq_index(
         [(encode_residuals, bid, avg_dist)],
         "encode_residuals BOOLEAN, build_id STRING, avg_assign_dist DOUBLE",
     ).write.mode("overwrite").parquet(f"{path}/meta")
+    import re
+
     for name in os.listdir(path):
+        # prune ONLY build-id-shaped siblings (12-hex suffix) plus the
+        # legacy unsuffixed dirs a completed rebuild supersedes —
+        # never arbitrary user dirs that merely share the prefix
         stale = (
-            name.rsplit("_", 1)[0] in ("codes", "centroids", "codebook")
+            re.fullmatch(r"(codes|centroids|codebook)(_[0-9a-f]{12})?", name)
             and not name.endswith(f"_{bid}")
         )
         if stale:
