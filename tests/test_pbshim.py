@@ -5,9 +5,15 @@ on independently-verified encode/decode."""
 
 from __future__ import annotations
 
+import pytest
+
 from tweetaggregates_spark.pbshim import ensure_protobuf
 
-ensure_protobuf()
+# True when the SHIM was activated (no real protobuf). The wire-byte
+# pins below are runtime-agnostic — under real protobuf they
+# cross-validate the shim's expected encodings against the genuine
+# library; only the shim-internals fuzz test is shim-specific.
+SHIM_ACTIVE = ensure_protobuf()
 
 import pyspark.sql.streaming.proto.StateMessage_pb2 as sm  # noqa: E402
 
@@ -96,6 +102,11 @@ def test_proto3_optional_presence():
     assert dec.HasField("key") and dec.key == b"" and dec.timestampMs == 7
 
 
+@pytest.mark.skipif(
+    not SHIM_ACTIVE,
+    reason="exercises shim internals (google.protobuf.internal.runtime); "
+    "with real protobuf installed the shim is inactive by design",
+)
 def test_fuzz_roundtrip_all_message_types():
     """Deterministic fuzz: for every message type in the state
     protocol, build an instance with every field populated (scalars at
