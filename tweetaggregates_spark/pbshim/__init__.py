@@ -39,9 +39,11 @@ def ensure_protobuf() -> bool:
     Must run before the SparkSession/JVM starts so worker processes
     inherit the path."""
     try:
-        import google.protobuf  # noqa: F401
+        import google.protobuf as _gp
 
-        return False
+        # already importable: the real library (False), or the shim a
+        # prior call put on the path (True) — idempotent either way
+        return "pbshim" in (getattr(_gp, "__file__", "") or "")
     except ImportError:
         pass
     shim_root = os.path.dirname(os.path.abspath(__file__))
