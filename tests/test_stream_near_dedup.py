@@ -165,3 +165,55 @@ def test_inline_compaction_bounds_log_depth(spark, tmp_path):
     assert sorted(map(tuple, final.select(*key).collect())) == sorted(
         map(tuple, expect.select(*key).collect())
     )
+
+
+def test_capped_stream_with_inline_compaction(spark, tmp_path):
+    """max_bucket_size + compact_every together: the counts side table
+    survives the inline rebase (base counts rewritten), the guard
+    keeps firing, and the final folded index equals the uncapped
+    expectations for this fixture (everything singleton at cap=1,
+    every band row retained)."""
+    t1 = "apple banana cherry date elderberry fig grape honeydew"
+    batches = [[(10, t1)], [(21, t1)], [(32, t1)]]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate(batches):
+        p = in_dir / f"{i}.ndjson"
+        p.write_text(
+            "\n".join(json.dumps({"doc_id": d, "text": t}) for d, t in rows)
+        )
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    index_path = str(tmp_path / "index")
+    out_path = str(tmp_path / "out")
+    run_streaming_near_dedup(
+        spark,
+        str(in_dir),
+        index_path,
+        out_path,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        max_bucket_size=1,
+        compact_every=2,
+    )
+    # trigger 2 rebased inline; trigger 2's delta sits on the base
+    assert os.path.isdir(f"{index_path}/base/v=1")
+    assert os.path.isdir(f"{index_path}/counts/v=1")
+    # cap=1: every shared bucket hot from trigger 1 on -> all singleton
+    asg = spark.read.parquet(out_path)
+    assert {(r.doc_id, r.cluster) for r in asg.collect()} == {
+        (10, 10),
+        (21, 21),
+        (32, 32),
+    }
+    # the index keeps every band row (quarantine never drops rows) and
+    # the maintained counts still match a recount after the rebase
+    final = dedup.read_band_index(spark, index_path)
+    assert final.count() == 3 * dedup.N_BANDS
+    counts = dedup.read_bucket_counts(spark, index_path)
+    assert counts is not None
+    assert sorted(map(tuple, counts.collect())) == sorted(
+        map(tuple, dedup.bucket_counts(final).collect())
+    )
+    # triggers 1 and 2 quarantined their hot buckets
+    q = spark.read.parquet(f"{out_path}_quarantine")
+    assert q.count() > 0 and q.select("batch_id").distinct().count() == 2
