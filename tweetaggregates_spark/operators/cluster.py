@@ -480,6 +480,130 @@ def kmeans(
     return final, centroids.select("cluster", F.col("carr").alias("centroid"))
 
 
+def grouped_kmeans(
+    df: DataFrame,
+    group_col: str = "grp",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: "int | dict[int, int]" = 8,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Many independent k-means problems trained in ONE Lloyd loop —
+    each distinct ``group_col`` value is its own clustering (its own
+    seeds, its own centroids), but every iteration runs as a single
+    Spark job over the union of all groups instead of one sequential
+    driver loop per group.
+
+    Motivation: PQ codebook training (pq_train) is m independent
+    k-means over subvector slices, and IVF-ADC index building adds a
+    coarse quantizer on top — 5 sequential Lloyd loops at m=4, each
+    with its own per-iteration driver barrier and full-corpus scan.
+    Keyed on the group column they collapse to ONE loop: per iteration
+    the (sum-of-groups k) x d centroid table broadcasts, assignment is
+    map-side, and the centroid update is one shuffle keyed
+    (group, cluster, dim). Vector lengths may differ BETWEEN groups
+    (coarse trains on d dims, subspaces on d/m) — distances fold
+    within a group only, so mixed dims are fine.
+
+    Per-group math is IDENTICAL to :func:`kmeans` (same lowest-id
+    seeds, DECIMAL(28,12)-routed round-6 centroid means, sequential
+    distance folds, (dist, cluster-id) tie-breaks, empty clusters
+    drop), so a DuckDB twin that unrolls the per-group trainings
+    replays this fused loop unchanged — pinned in tests/test_pq.py /
+    test_ivfpq.py by equality against the sequential path.
+
+    ``k``: one size for every group, or a {group: k} dict when groups
+    train different widths (the IVF coarse quantizer vs the PQ
+    subspaces). Returns (assignments, centroids):
+    (group, id, cluster, dist) after the final assignment and
+    (group, cluster, centroid)."""
+    from pyspark.sql import Window as W
+
+    if isinstance(k, dict):
+        k_expr = None
+        for g, kg in k.items():
+            cond = F.col(group_col) == F.lit(g)
+            k_expr = (
+                F.when(cond, kg) if k_expr is None else k_expr.when(cond, kg)
+            )
+    else:
+        k_expr = F.lit(k)
+
+    vec = F.col(vec_col)
+    sw = W.partitionBy(group_col).orderBy(id_col)
+    centroids = (
+        df.select(group_col, id_col, vec)
+        .withColumn("_rn", F.row_number().over(sw))
+        .filter(F.col("_rn") <= k_expr)
+        .select(
+            group_col,
+            (F.col("_rn") - 1).alias("cluster"),
+            F.transform(vec, lambda x: x.cast("double")).alias("carr"),
+        )
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        j = df.select(
+            group_col, F.col(id_col).alias("_id"), vec.alias("_v")
+        ).join(F.broadcast(cents), group_col)
+        dist = F.aggregate(
+            F.zip_with(
+                "_v", "carr", lambda x, c: (x.cast("double") - c) ** 2
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, d: acc + d,
+        )
+        ranked = j.select(group_col, "_id", "_v", "cluster", dist.alias("_d"))
+        best = ranked.groupBy(group_col, "_id").agg(
+            F.min(F.struct("_d", "cluster")).alias("_m"),
+            F.first("_v").alias("_v"),
+        )
+        return best.select(
+            group_col,
+            F.col("_id"),
+            F.col("_v"),
+            F.col("_m.cluster").alias("cluster"),
+            F.col("_m._d").alias("dist"),
+        )
+
+    for _ in range(iters):
+        assigned = assign(centroids)
+        centroids = (
+            assigned.select(
+                group_col, "cluster", F.posexplode("_v").alias("dim", "x")
+            )
+            .groupBy(group_col, "cluster", "dim")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("x").cast("double").cast("decimal(28,12)")
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("c")
+            )
+            .groupBy(group_col, "cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda s: s["c"],
+                ).alias("carr")
+            )
+        )
+        # one eager checkpoint per iteration for ALL groups (the fused
+        # win: the sequential path pays this barrier once per group)
+        centroids = centroids.localCheckpoint(eager=True)
+    final = assign(centroids).select(
+        group_col,
+        F.col("_id").alias(id_col),
+        "cluster",
+        F.round("dist", 6).alias("dist"),
+    )
+    return final, centroids.select(
+        group_col, "cluster", F.col("carr").alias("centroid")
+    )
+
+
 def semantic_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

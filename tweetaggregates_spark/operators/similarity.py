@@ -747,35 +747,38 @@ def pq_train(
     deterministic distributed Lloyd). Returns the codebook as a small
     DataFrame (subspace, code, centroid: array<double>) of m x k rows.
 
-    Scale shape: each subspace's training is the kmeans loop (broadcast
-    centroids, map-side assign, k x d/m shuffle state); the m trainings
-    are independent jobs over column slices of the SAME scan. The
-    codebook is m*k*(d/m) doubles = k*d total — always broadcastable."""
+    Scale shape: the m trainings are INDEPENDENT k-means problems, so
+    they fuse into ONE keyed Lloyd loop (cluster.grouped_kmeans) over
+    the subspace-exploded corpus — one scan and one driver barrier per
+    iteration for all m subspaces, instead of m sequential loops. The
+    per-subspace math (lowest-id seeds, DECIMAL-routed round-6 means,
+    ordered folds, id tie-breaks) is bit-identical to the sequential
+    kmeans calls, pinned by tests/test_pq.py. The codebook is
+    m*k*(d/m) doubles = k*d total — always broadcastable."""
     from pyspark.sql import functions as F
 
-    from tweetaggregates_spark.operators.cluster import kmeans
+    from tweetaggregates_spark.operators.cluster import grouped_kmeans
 
     dim = len(df.select(vec_col).first()[0])
     assert dim % m_subvectors == 0, "dim must divide into m subvectors"
     sub = dim // m_subvectors
-    books = []
-    for s in range(m_subvectors):
-        part = df.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
-        )
-        _, cents = kmeans(part, k=k_codes, iters=iters)
-        books.append(
-            cents.select(
-                F.lit(s).alias("subspace"),
-                F.col("cluster").alias("code"),
-                F.col("centroid"),
+    subs = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col), s * sub + 1, sub)
+                    for s in range(m_subvectors)
+                ]
             )
-        )
-    out = books[0]
-    for b in books[1:]:
-        out = out.unionByName(b)
-    return out
+        ).alias("subspace", "embedding"),
+    )
+    _, cents = grouped_kmeans(
+        subs, "subspace", "embedding", "vec_id", k=k_codes, iters=iters
+    )
+    return cents.select(
+        "subspace", F.col("cluster").alias("code"), F.col("centroid")
+    )
 
 
 def pq_encode(
@@ -1303,6 +1306,70 @@ def knn_ivf_pq(
         codebook = index.codebook
         codes_with_cell = index.codes
         encode_residuals = index.encode_residuals
+    elif not encode_residuals and coarse_iters == pq_iters:
+        # FUSED training (round 7): the coarse quantizer and the m PQ
+        # subspace codebooks are m+1 independent k-means problems over
+        # the same corpus scan, so they train in ONE keyed Lloyd loop
+        # (grouped_kmeans: group -1 = full-vector coarse cells, groups
+        # 0..m-1 = subvector slices) — one driver barrier per iteration
+        # instead of m+1 sequential trainings. The grouped final
+        # assignment doubles as the PQ encode (same argmin + tie-break
+        # as pq_encode), so the separate encode pass disappears too.
+        # Per-group math is identical to the sequential path (pinned in
+        # tests/test_ivfpq.py), so every DuckDB twin that unrolls the
+        # trainings replays this plan unchanged. Residual encoding
+        # can't fuse (PQ trains on coarse-assignment output), so it
+        # keeps the sequential path below.
+        from tweetaggregates_spark.operators.cluster import grouped_kmeans
+
+        dim = len(corpus.select(vec_col).first()[0])
+        assert dim % m_subvectors == 0, "dim must divide into m subvectors"
+        sub = dim // m_subvectors
+        train = corpus.select(
+            F.col(id_col).alias("_tid"),
+            F.lit(-1).alias("_grp"),
+            F.col(vec_col).alias("_tv"),
+        ).unionByName(
+            corpus.select(
+                F.col(id_col).alias("_tid"),
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.slice(F.col(vec_col), s * sub + 1, sub)
+                            for s in range(m_subvectors)
+                        ]
+                    )
+                ).alias("_grp", "_tv"),
+            )
+        )
+        ks = {-1: n_cells, **{s: k_codes for s in range(m_subvectors)}}
+        assigned_all, cents_all = grouped_kmeans(
+            train, "_grp", "_tv", "_tid", k=ks, iters=coarse_iters
+        )
+        # one materialization serves both consumers (cells + codes):
+        # (grp, id, cluster, dist) is 4 scalars x (m+1) rows per vector
+        assigned_all = assigned_all.localCheckpoint(eager=True)
+        cents = cents_all.filter(F.col("_grp") == -1).select(
+            "cluster", F.col("centroid").alias("carr")
+        )
+        cellmap = assigned_all.filter(F.col("_grp") == -1).select(
+            F.col("_tid").alias("neighbor_id"),
+            F.col("cluster").alias("cell"),
+        )
+        codebook = (
+            cents_all.filter(F.col("_grp") >= 0)
+            .select(
+                F.col("_grp").alias("subspace"),
+                F.col("cluster").alias("code"),
+                "centroid",
+            )
+            .localCheckpoint(eager=True)
+        )
+        codes_with_cell = assigned_all.filter(F.col("_grp") >= 0).select(
+            F.col("_tid").alias("neighbor_id"),
+            F.col("_grp").alias("subspace"),
+            F.col("cluster").alias("code"),
+        ).join(cellmap, "neighbor_id")
     else:
         assigned, cents = kmeans(
             corpus, vec_col, id_col, k=n_cells, iters=coarse_iters
@@ -1311,6 +1378,7 @@ def knn_ivf_pq(
             F.col(id_col).alias("neighbor_id"), F.col("cluster").alias("cell")
         )
         cents = cents.select("cluster", F.col("centroid").alias("carr"))
+        codebook = None
 
     # query probes: n_probe nearest centroids by the SAME squared-L2
     # sequential fold the assignment uses; ties by cell id
@@ -1330,7 +1398,7 @@ def knn_ivf_pq(
         .select("query_id", "cell")
     )
 
-    if index is None:
+    if index is None and codebook is None:
         pq_src = _pq_source(
             corpus, assigned, cents, id_col, vec_col, encode_residuals
         )
@@ -1344,7 +1412,7 @@ def knn_ivf_pq(
             .withColumnRenamed(id_col, "neighbor_id")
             .join(cellmap, "neighbor_id")
         )
-    else:
+    elif index is not None:
         m_subvectors = codebook.select(F.max("subspace")).first()[0] + 1
 
     sub_dim = codebook.select(F.size("centroid")).first()[0]
@@ -1442,7 +1510,9 @@ def knn_ivf_pq(
             lambda acc, d: acc + d,
         )
         rescored = (
-            short.select("query_id", "neighbor_id")
+            # |Q| x rescore_depth rows — broadcast so the corpus float
+            # scan is pruned map-side instead of shuffling
+            F.broadcast(short.select("query_id", "neighbor_id"))
             .join(cv, "neighbor_id")
             .join(F.broadcast(qv), "query_id")
             .select("query_id", "neighbor_id", exact.alias("exact_dist"))
