@@ -116,72 +116,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate samples the
-    # FIRST 50 entries. ROUND-6 ROTATION (VERDICT r5 #7): entries are
-    # ordered STALEST-FIRST by the round of their most recent driver
-    # CORRECTNESS row (r1 oldest ... r5 newest; the new refined-ANN
-    # registration leads with no prior row), so every entry's driver
-    # row stays at most a few rounds old as the gate rotates. The
-    # rows-only HLL-sketch entry (approx_users_daily) sits just after
-    # position 50 so the whole gated block stays hash-checkable.
+    # FIRST 50 entries. ROUND-7 ROTATION (VERDICT r5 #7 policy): the
+    # four never-checked round-7 registrations lead, then entries run
+    # STALEST-FIRST by the round of their most recent driver
+    # CORRECTNESS row (r3 oldest remaining ... r6 newest), so every
+    # entry's driver row stays at most a few rounds old as the gate
+    # rotates. The rows-only HLL-sketch entry (approx_users_daily)
+    # sits just past position 50 so the whole gated block stays
+    # hash-checkable.
     return {
-        # -- never driver-checked --
-        "knn_ivf_pq_refined_embeddings": llm.knn_ivf_pq_refined_embeddings,
-        "incremental_dedup_delta_docs": llm.incremental_dedup_delta_docs,
-        # -- last driver row: round 1 --
-        "clickers_without_purchase": ev.clickers_without_purchase,
-        "cosine_near_dups": llm.cosine_near_dups,
-        "simhash_pairs_docs": llm.simhash_pairs_docs,
-        "clickers_who_purchased": ev.clickers_who_purchased,
-        "value_quantiles_by_type": ev.value_quantiles_by_type,
-        "purchase_asof_click": ev.purchase_asof_click,
-        # -- last driver row: round 2 --
-        "q14_promo_revenue": star.q14_promo_revenue,
-        "customers_without_orders": star.customers_without_orders,
-        "customers_with_orders_semi": star.customers_with_orders_semi,
-        "brand_supplier_stats": star.brand_supplier_stats,
-        "top_orders_per_customer": star.top_orders_per_customer,
-        "minhash_lsh_capped": llm.minhash_lsh_capped_docs,
-        "simhash_docs": llm.simhash_docs,
-        "normalize_docs": llm.normalize_docs,
-        "repetition_docs": llm.repetition_docs,
-        "contamination_docs": llm.contamination_docs,
-        "domain_stats_docs": llm.domain_stats_docs,
-        "fingerprint_docs": llm.fingerprint_docs,
-        "media_meta_docs": llm.media_meta_docs,
-        "distinct_users_daily": ev.distinct_users_daily,
-        "kmv_users_monthly_rollup": ev.kmv_users_monthly_rollup,
+        # -- never driver-checked (round-7 registrations) --
+        "bloom_dedup_new_docs": llm.bloom_dedup_new_docs,
+        "random_projection_embeddings": llm.random_projection_embeddings,
+        "domain_quality_filter_docs": llm.domain_quality_filter_docs,
+        "coreset_embeddings": llm.coreset_embeddings,
         # -- last driver row: round 3 --
-        "tumbling_counts": ev.tumbling_counts,
-        "hopping_counts": ev.hopping_counts,
-        "top_users_hopping": ev.top_users_hopping,
-        "top_event_types_tumbling": ev.top_event_types_tumbling,
-        "top_users_with_examples": ev.top_users_with_examples,
-        "top_retweets_shape": ev.top_retweets_shape,
-        "session_windows": ev.session_windows,
-        "throughput_5min": ev.throughput_5min,
-        "events_summary": ev.events_summary,
-        "counts_range": ev.counts_range,
-        "top_users_for_entity": ev.top_users_for_entity,
-        "recent_counts": ev.recent_counts,
-        "running_total_counts": ev.running_total_counts,
-        "daily_rollup_counts": ev.daily_rollup_counts,
-        "json_props_daily": ev.json_props_daily,
-        "q1_pricing_summary": star.q1_pricing_summary,
-        "q3_shipping_priority": star.q3_shipping_priority,
-        "q5_region_revenue": star.q5_region_revenue,
-        "q6_revenue_change": star.q6_revenue_change,
-        "q10_returned_items": star.q10_returned_items,
-        "q18_large_orders": star.q18_large_orders,
-        "q9_profit_by_nation": star.q9_profit_by_nation,
-        "q13_order_count_distribution": star.q13_order_count_distribution,
-        "q20_heavy_suppliers": star.q20_heavy_suppliers,
-        "q21_last_shipper": star.q21_last_shipper,
-        "order_latency_distribution": star.order_latency_distribution,
-        "revenue_rollup": star.revenue_rollup,
         "revenue_cube": star.revenue_cube,
-        # -- last driver row: round 2 --
-        "approx_users_daily": ev.approx_users_daily,
-        # -- last driver row: round 3 --
         "order_status_pivot": star.order_status_pivot,
         "returnflag_measures_unpivot": star.returnflag_measures_unpivot,
         "exact_dedup_docs": llm.exact_dedup_docs,
@@ -229,6 +179,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dup_embeddings": llm.semantic_dup_embeddings,
         "knn_pq_embeddings": llm.knn_pq_embeddings,
         "lm_quality_docs": llm.lm_quality_docs,
+        # -- last driver row: round 2 --
+        # rows-only HLL entry pinned just past the gated first-50 block
+        "approx_users_daily": ev.approx_users_daily,
+        # -- last driver row: round 5 --
         "media_frames_docs": llm.media_frames_docs,
         "media_waveform_docs": llm.media_waveform_docs,
         "bpe_merges_docs": llm.bpe_merges_docs,
@@ -271,6 +225,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_docs": llm.tfidf_docs,
         "inverted_index_docs": llm.inverted_index_docs,
         "repeated_ngrams_docs": llm.repeated_ngrams_docs,
+        # -- last driver row: round 6 --
+        "knn_ivf_pq_refined_embeddings": llm.knn_ivf_pq_refined_embeddings,
+        "incremental_dedup_delta_docs": llm.incremental_dedup_delta_docs,
+        "clickers_without_purchase": ev.clickers_without_purchase,
+        "cosine_near_dups": llm.cosine_near_dups,
+        "simhash_pairs_docs": llm.simhash_pairs_docs,
+        "clickers_who_purchased": ev.clickers_who_purchased,
+        "value_quantiles_by_type": ev.value_quantiles_by_type,
+        "purchase_asof_click": ev.purchase_asof_click,
+        "q14_promo_revenue": star.q14_promo_revenue,
+        "customers_without_orders": star.customers_without_orders,
+        "customers_with_orders_semi": star.customers_with_orders_semi,
+        "brand_supplier_stats": star.brand_supplier_stats,
+        "top_orders_per_customer": star.top_orders_per_customer,
+        "minhash_lsh_capped": llm.minhash_lsh_capped_docs,
+        "simhash_docs": llm.simhash_docs,
+        "normalize_docs": llm.normalize_docs,
+        "repetition_docs": llm.repetition_docs,
+        "contamination_docs": llm.contamination_docs,
+        "domain_stats_docs": llm.domain_stats_docs,
+        "fingerprint_docs": llm.fingerprint_docs,
+        "media_meta_docs": llm.media_meta_docs,
+        "distinct_users_daily": ev.distinct_users_daily,
+        "kmv_users_monthly_rollup": ev.kmv_users_monthly_rollup,
+        "tumbling_counts": ev.tumbling_counts,
+        "hopping_counts": ev.hopping_counts,
+        "top_users_hopping": ev.top_users_hopping,
+        "top_event_types_tumbling": ev.top_event_types_tumbling,
+        "top_users_with_examples": ev.top_users_with_examples,
+        "top_retweets_shape": ev.top_retweets_shape,
+        "session_windows": ev.session_windows,
+        "throughput_5min": ev.throughput_5min,
+        "events_summary": ev.events_summary,
+        "counts_range": ev.counts_range,
+        "top_users_for_entity": ev.top_users_for_entity,
+        "recent_counts": ev.recent_counts,
+        "running_total_counts": ev.running_total_counts,
+        "daily_rollup_counts": ev.daily_rollup_counts,
+        "json_props_daily": ev.json_props_daily,
+        "q1_pricing_summary": star.q1_pricing_summary,
+        "q3_shipping_priority": star.q3_shipping_priority,
+        "q5_region_revenue": star.q5_region_revenue,
+        "q6_revenue_change": star.q6_revenue_change,
+        "q10_returned_items": star.q10_returned_items,
+        "q18_large_orders": star.q18_large_orders,
+        "q9_profit_by_nation": star.q9_profit_by_nation,
+        "q13_order_count_distribution": star.q13_order_count_distribution,
+        "q20_heavy_suppliers": star.q20_heavy_suppliers,
+        "q21_last_shipper": star.q21_last_shipper,
+        "order_latency_distribution": star.order_latency_distribution,
+        "revenue_rollup": star.revenue_rollup,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2994,5 +2999,96 @@ def oracle_sql() -> dict[str, str]:
         FROM counts c JOIN supplier s ON c.l_suppkey = s.s_suppkey
         ORDER BY numwait DESC, s_suppkey ASC
         LIMIT 10
+    """
+    # -- round 7 registrations --
+    # Bloom-prefiltered incremental exact dedup: the bloom is a pure
+    # performance prefilter (operators/dedup.bloom_dedup_new_batch);
+    # the SEMANTICS are an exact anti-join on the content hash, which
+    # is what the twin states directly.
+    sql["bloom_dedup_new_docs"] = f"""
+        WITH hist AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        ),
+        batch AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          WHERE doc_id % 4 = 0
+        )
+        SELECT b.doc_id, {_D_HASH.format(x="b.text")} AS content_hash
+        FROM batch b
+        WHERE {_D_HASH.format(x="b.text")} NOT IN (
+          SELECT {_D_HASH.format(x="text")} FROM hist)
+    """
+    # Achlioptas sparse random projection: the sign matrix is a
+    # deterministic integer mix of (input dim i, output dim j), sums
+    # route through DECIMAL(28,12) — both engines replay it exactly.
+    _RP_SIGN = (
+        "(CASE ((i*131 + {j}*977) * 2654435761) % 6"
+        " WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END)"
+    )
+    _rp_cols = ",\n               ".join(
+        f"round(sqrt(3.0/8) * CAST(sum(CAST(x * {_RP_SIGN.format(j=j)}"
+        f" AS DECIMAL(28,12))) AS DOUBLE), 6) AS p{j}"
+        for j in range(8)
+    )
+    sql["random_projection_embeddings"] = f"""
+        WITH ex AS (
+          SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
+          FROM embeddings, UNNEST(range(0, len(embedding))) AS t(i)
+        )
+        SELECT vec_id,
+               {_rp_cols}
+        FROM ex GROUP BY vec_id
+    """
+    # Per-source quality-percentile curation: the quality_docs score
+    # formula + percent_rank within source, keep the top half.
+    sql["domain_quality_filter_docs"] = f"""
+        WITH t AS (SELECT doc_id, source, text, {_D_TOKS} AS toks
+                   FROM documents),
+        q AS (
+          SELECT doc_id, source,
+                 round((length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / greatest(length(text), 1)) * 0.5
+                   + least(len(toks) / 100.0, 1.0) * 0.5, 6) AS quality_score
+          FROM t
+        )
+        SELECT doc_id, source, quality_score,
+               round(percent_rank() OVER (
+                 PARTITION BY source
+                 ORDER BY quality_score DESC, doc_id ASC), 6) AS q_pct
+        FROM q QUALIFY q_pct <= 0.5
+    """
+    # Greedy k-center coreset (k=5): the k rounds unroll verbatim —
+    # seed = lowest id, then argmax of min-distance-to-chosen with
+    # (mind DESC, vec_id ASC) ties, least-folded distance updates.
+    _kc_stages = []
+    for r in range(1, 5):
+        prev = "d1" if r == 1 else f"d{r}"
+        _kc_stages.append(f"""
+        p{r} AS (SELECT vec_id, v, mind FROM {prev}
+                 ORDER BY mind DESC, vec_id ASC LIMIT 1)""")
+        if r < 4:
+            _kc_stages.append(f"""
+        d{r + 1} AS (
+          SELECT d.vec_id, d.v,
+                 least(d.mind, {_KM_DIST("d.v", "c.v")}) AS mind
+          FROM {prev} d CROSS JOIN p{r} c)""")
+    sql["coreset_embeddings"] = f"""
+        WITH e AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+          FROM embeddings
+        ),
+        c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+        d1 AS (
+          SELECT e.vec_id, e.v, {_KM_DIST("e.v", "c.v")} AS mind
+          FROM e CROSS JOIN c0 c
+        ),{",".join(_kc_stages)}
+        SELECT CAST(0 AS INTEGER) AS center_rank, vec_id,
+               0.0 AS min_dist FROM c0
+        UNION ALL SELECT 1, vec_id, round(mind, 6) FROM p1
+        UNION ALL SELECT 2, vec_id, round(mind, 6) FROM p2
+        UNION ALL SELECT 3, vec_id, round(mind, 6) FROM p3
+        UNION ALL SELECT 4, vec_id, round(mind, 6) FROM p4
     """
     return sql

@@ -1,0 +1,193 @@
+"""Round-7 operators: bloom-prefiltered dedup, random projection,
+per-domain quality percentile filter, greedy k-center coreset."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tweetaggregates_spark.operators.cluster import kcenter_coreset
+from tweetaggregates_spark.operators.dedup import (
+    bloom_build,
+    bloom_dedup_new_batch,
+    bloom_might_contain,
+)
+from tweetaggregates_spark.operators.similarity import random_projection
+from tweetaggregates_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _hist_batch(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).unionAll(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    return history, batch
+
+
+def _plain_anti(batch, history):
+    from tweetaggregates_spark.functions.hashing import hash64
+
+    bh = batch.select("doc_id", hash64(F.col("text")).alias("content_hash"))
+    hh = history.select(hash64(F.col("text")).alias("content_hash"))
+    return bh.join(hh, "content_hash", "left_anti").select(
+        "doc_id", "content_hash"
+    )
+
+
+def test_bloom_dedup_equals_plain_anti_join(spark):
+    history, batch = _hist_batch(spark)
+    got = sorted(
+        (r.doc_id, r.content_hash)
+        for r in bloom_dedup_new_batch(batch, history).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.content_hash)
+        for r in _plain_anti(batch, history).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bloom_dedup_exact_under_forced_false_positives(spark):
+    # 64-bit filter over ~250 history hashes: saturated, FPs guaranteed
+    # — the result must STILL be the exact anti-join
+    history, batch = _hist_batch(spark)
+    got = sorted(
+        r.doc_id
+        for r in bloom_dedup_new_batch(
+            batch, history, n_bits=64, n_hashes=2
+        ).collect()
+    )
+    want = sorted(r.doc_id for r in _plain_anti(batch, history).collect())
+    assert got == want
+
+
+def test_bloom_no_false_negatives(spark):
+    # every inserted element must test positive
+    history, _ = _hist_batch(spark)
+    from tweetaggregates_spark.functions.hashing import hash64
+
+    hh = history.select(hash64(F.col("text")).alias("h"))
+    bloom = bloom_build(hh, "h", n_bits=1 << 14, n_hashes=5)
+    n_neg = (
+        hh.crossJoin(F.broadcast(bloom))
+        .filter(
+            ~bloom_might_contain(F.col("h"), F.col("bloom"), 1 << 14, 5)
+        )
+        .count()
+    )
+    assert n_neg == 0
+
+
+def test_bloom_prunes_most_nonmembers(spark):
+    # bloom-negative rows bypass the join: with a well-sized filter the
+    # surviving probe side is the true dups plus a small FP tail
+    history, batch = _hist_batch(spark)
+    from tweetaggregates_spark.functions.hashing import hash64
+
+    hh = history.select(hash64(F.col("text")).alias("h"))
+    bloom = bloom_build(hh, "h", n_bits=1 << 16, n_hashes=5)
+    bh = batch.select(hash64(F.col("text")).alias("h"))
+    n_pos = (
+        bh.crossJoin(F.broadcast(bloom))
+        .filter(bloom_might_contain(F.col("h"), F.col("bloom"), 1 << 16, 5))
+        .count()
+    )
+    n_true_dups = bh.join(hh, "h", "left_semi").count()
+    n_batch = bh.count()
+    assert n_true_dups <= n_pos < n_batch
+    # FP tail under 10% of the non-member population
+    assert (n_pos - n_true_dups) <= 0.1 * (n_batch - n_true_dups)
+
+
+def test_random_projection_shape_and_determinism(spark):
+    emb = load_table(spark, SF, "embeddings")
+    a = random_projection(emb, out_dim=4)
+    assert a.columns == ["vec_id", "p0", "p1", "p2", "p3"]
+    r1 = sorted(map(tuple, a.collect()))
+    r2 = sorted(map(tuple, random_projection(emb, out_dim=4).collect()))
+    assert r1 == r2 and len(r1) == emb.count()
+
+
+def test_random_projection_unit_vector(spark):
+    # a 1-hot input isolates one sign-matrix entry per output dim
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 1.0, 0.0])], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    row = random_projection(df, out_dim=2).first()
+    scale = math.sqrt(3.0 / 2)
+    for j, got in ((0, row.p0), (1, row.p1)):
+        m = ((2 * 131 + j * 977) * 2654435761) % 6
+        sign = 1 if m == 0 else (-1 if m == 1 else 0)
+        assert got == round(scale * sign, 6)
+
+
+def test_kcenter_coreset_picks_planted_corners(spark):
+    # 4 far corners + tight blobs around them: greedy k-center must
+    # select one point per corner before any blob-internal point
+    pts = []
+    corners = [(0.0, 0.0), (100.0, 0.0), (0.0, 100.0), (100.0, 100.0)]
+    i = 0
+    for cx, cy in corners:
+        for dx in (0.0, 0.5, 1.0):
+            pts.append((i, [cx + dx, cy + dx]))
+            i += 1
+    df = spark.createDataFrame(pts, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    out = kcenter_coreset(df, k=4).collect()
+    picked_corners = {r.vec_id // 3 for r in out}
+    assert picked_corners == {0, 1, 2, 3}
+    assert [r.center_rank for r in sorted(out, key=lambda r: r.center_rank)] \
+        == [0, 1, 2, 3]
+    assert out[0].vec_id != out[1].vec_id
+
+
+def test_kcenter_radius_sequence_non_increasing(spark):
+    emb = load_table(spark, SF, "embeddings")
+    rows = sorted(
+        kcenter_coreset(emb, k=5).collect(), key=lambda r: r.center_rank
+    )
+    assert rows[0].min_dist == 0.0
+    assert rows[0].vec_id == emb.agg(F.min("vec_id")).first()[0]
+    dists = [r.min_dist for r in rows[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    assert len({r.vec_id for r in rows}) == 5
+
+
+def test_domain_quality_filter_keeps_top_half_per_source(spark):
+    from tweetaggregates_spark.plans.llm import domain_quality_filter_docs
+
+    kept = domain_quality_filter_docs(spark, SF)
+    docs = load_table(spark, SF, "documents")
+    totals = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    kept_counts = {
+        r.source: r.n
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, n in totals.items():
+        # percent_rank <= 0.5 keeps floor(n/2)+1 of n (rank 0 included)
+        assert kept_counts[src] == n // 2 + 1
+    # within a source every kept score >= every dropped score
+    from tweetaggregates_spark.operators.text import quality_score
+
+    q = quality_score(docs, keep_cols=("source",)).select(
+        "doc_id", "source", "quality_score"
+    )
+    dropped = q.join(kept.select("doc_id"), "doc_id", "left_anti")
+    mins = {
+        r.source: r.m
+        for r in kept.groupBy("source")
+        .agg(F.min("quality_score").alias("m"))
+        .collect()
+    }
+    for r in dropped.groupBy("source").agg(
+        F.max("quality_score").alias("mx")
+    ).collect():
+        assert r.mx <= mins[r.source]

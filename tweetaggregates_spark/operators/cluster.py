@@ -669,3 +669,60 @@ def semantic_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Greedy k-center coreset (farthest-point traversal, Gonzalez,
+    TCS 1985): seed with the lowest-id vector, then k-1 times pick the
+    point FARTHEST from the chosen set — a 2-approximation of the
+    k-center objective and the standard diversity-sampling pass for
+    training-data selection (pick maximally-spread exemplars, the
+    dual of SemDeDup's drop-the-near-duplicates).
+
+    Scale shape: the chosen set is k vectors — always driver-sized
+    (the rule IS the model, like the BPE argmax); each round updates
+    the per-point min-distance-to-chosen with ONE broadcast literal
+    (the newest center) and takes one 1-row argmax action — O(k)
+    driver rows total, all heavy work map-side over the corpus, the
+    running min column localCheckpointed so lineage stays flat.
+    Determinism: squared-L2 sequential folds in array order, argmax
+    ties by lowest id — a DuckDB twin unrolls the k rounds verbatim.
+
+    Output: (center_rank, vec_id, min_dist) — min_dist is the
+    point's distance to the PREVIOUSLY chosen set when picked
+    (rank 0 seed: 0.0), i.e. the classic k-center radius sequence."""
+    state = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    seed = state.orderBy("_id").limit(1).first()
+
+    def d2_to(center_vec: list[float]):
+        arr = F.array(*[F.lit(float(x)) for x in center_vec])
+        return F.aggregate(
+            F.zip_with("_v", arr, lambda x, c: (x - c) ** 2),
+            F.lit(0.0).cast("double"),
+            lambda acc, d: acc + d,
+        )
+
+    chosen = [(0, seed["_id"], 0.0)]
+    state = state.withColumn("_mind", d2_to(seed["_v"]))
+    for r in range(1, k):
+        state = state.localCheckpoint(eager=False)
+        far = state.orderBy(F.desc("_mind"), "_id").limit(1).first()
+        chosen.append((r, far["_id"], float(far["_mind"])))
+        if r + 1 < k:
+            state = state.withColumn(
+                "_mind", F.least(F.col("_mind"), d2_to(far["_v"]))
+            )
+    out = df.sparkSession.createDataFrame(
+        chosen, "center_rank INT, vec_id BIGINT, min_dist DOUBLE"
+    )
+    return out.select(
+        "center_rank", "vec_id", F.round("min_dist", 6).alias("min_dist")
+    )

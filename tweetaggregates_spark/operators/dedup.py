@@ -1405,3 +1405,123 @@ def compact_band_index(
     if bucketed_table is not None:
         write_band_index_bucketed(out, bucketed_table, n_buckets)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered incremental exact dedup (round 7)
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(col: Column, n_bits: int, n_hashes: int) -> list[Column]:
+    """k bit positions for a value: pmod(xxhash64(value, seed_i), m).
+    xxhash64 is JVM-side and vectorizes in whole-stage codegen; the
+    seed literal makes the k functions independent."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits))
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str | Column,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Build a Bloom filter over a column as a ONE-ROW DataFrame holding
+    a map<slot, 32-bit mask> (packed little-endian: bit b of slot s is
+    position s*32+b). The build is one explode (k positions per row)
+    plus one groupBy(slot) bit_or — fully distributed, map-side
+    partial-aggregated; only the final n_bits/32-row fold reaches one
+    task. The packed map is n_bits/8 bytes — broadcastable.
+
+    Scale rule: size n_bits ~ 10 x |distinct keys| for ~1% FP. The
+    explicit map broadcast works to ~10^9 bits (128 MB); beyond that,
+    skip the prefilter and let the anti-join (or Spark's own injected
+    runtime bloom filter, spark.sql.optimizer.runtime.bloomFilter.*)
+    do the work — the semantics here never depend on the bloom."""
+    c = F.col(col) if isinstance(col, str) else col
+    pos = F.explode(F.array(*_bloom_positions(c, n_bits, n_hashes)))
+    slots = (
+        df.select(pos.alias("_p"))
+        .select(
+            F.floor(F.col("_p") / 32).alias("slot"),
+            # 2^bit exact as double up to 2^31, cast back to long
+            F.pow(F.lit(2.0), F.pmod(F.col("_p"), F.lit(32)))
+            .cast("long")
+            .alias("_m"),
+        )
+        .groupBy("slot")
+        .agg(F.bit_or("_m").alias("mask"))
+    )
+    return slots.agg(
+        F.map_from_entries(F.collect_list(F.struct("slot", "mask"))).alias(
+            "bloom"
+        )
+    )
+
+
+def bloom_might_contain(
+    col: Column, bloom_col: Column, n_bits: int, n_hashes: int
+) -> Column:
+    """Membership test against a packed bloom map column: true iff all
+    k bits are set. False means DEFINITELY absent (no false negatives);
+    true means 'present or false positive'. Pure column expression —
+    k xxhash64 calls + k map lookups per row, no shuffle."""
+    test = None
+    for p in _bloom_positions(col, n_bits, n_hashes):
+        slot = F.floor(p / 32)
+        bit_mask = F.pow(F.lit(2.0), F.pmod(p, F.lit(32))).cast("long")
+        m = F.coalesce(F.element_at(bloom_col, slot), F.lit(0).cast("long"))
+        t = m.bitwiseAND(bit_mask) != F.lit(0)
+        test = t if test is None else test & t
+    return test
+
+
+def bloom_dedup_new_batch(
+    batch: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Batch docs whose content hash does NOT appear in the history
+    corpus — exact semantics with a Bloom prefilter doing the heavy
+    pruning (the 'exclude known hashes' pattern every continuously-
+    ingesting pipeline runs before its dedup join).
+
+    Plan: the history builds a packed bloom over hash64(text) (one
+    aggregation, result broadcast via a 1-row crossJoin); every batch
+    row tests map-side. Bloom-NEGATIVE rows are definitely new and
+    BYPASS the join entirely; only bloom-positive rows (true dups +
+    ~FP-rate of the batch) anti-join the history hash set. Exactness
+    never depends on the bloom: with an all-ones bloom the plan
+    degrades to the plain anti-join, with an empty one nothing joins
+    — pinned in tests/test_bloom_dedup.py, including a forced-FP tiny
+    filter. At 100 TB the anti-join's probe side shrinks from |batch|
+    to |batch dups| + eps, and the history side stays a hash-bucketed
+    index so the residual join co-locates.
+
+    Output: (doc_id, content_hash) of the definitely-new batch docs.
+    Analog: the reference dedups replayed tweets by id before folding
+    aggregates (TweetGateCore dedup-on-replay semantics); this is the
+    content-hash generalization."""
+    bh = batch.select(
+        F.col(id_col), hash64(F.col(text_col)).alias("content_hash")
+    )
+    hist_hash = history.select(hash64(F.col(text_col)).alias("content_hash"))
+    bloom = bloom_build(hist_hash, "content_hash", n_bits, n_hashes)
+    tested = bh.crossJoin(F.broadcast(bloom)).withColumn(
+        "_might",
+        bloom_might_contain(
+            F.col("content_hash"), F.col("bloom"), n_bits, n_hashes
+        ),
+    )
+    negatives = tested.filter(~F.col("_might")).select(id_col, "content_hash")
+    positives = (
+        tested.filter(F.col("_might"))
+        .select(id_col, "content_hash")
+        .join(hist_hash.hint("shuffle_hash"), "content_hash", "left_anti")
+        .select(id_col, "content_hash")
+    )
+    return negatives.unionByName(positives)

@@ -1538,3 +1538,58 @@ def knn_ivf_pq(
             "knn_rank",
         )
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dim: int = 8,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with the Achlioptas
+    sparse sign matrix (Achlioptas, JCSS 2003): r_ij in {+1, 0, -1}
+    with P = {1/6, 2/3, 1/6}, scaled by sqrt(3/out_dim) — pairwise
+    distances are preserved in expectation while 2/3 of the multiplies
+    vanish. The classic cheap dimensionality reduction ahead of LSH
+    bucketing, coarse clustering, or visual inspection of an
+    embedding corpus.
+
+    The 'random' matrix is a deterministic integer mix of
+    (input_dim, output_dim) — a Weyl-style multiplicative hash — so
+    both engines (and any two cluster runs) materialize the SAME
+    matrix without storing it; per-element sums route through
+    DECIMAL(28,12) (sign flips are exact in double, the decimal sum is
+    order-free), so the result is bit-stable across partitionings.
+
+    Plan: one posexplode (d rows per vector) + one groupBy(vec_id)
+    computing all out_dim sums — map-side partial aggregation makes
+    the shuffle k doubles per vector. Output: (vec_id, p0..p{k-1})."""
+    ex = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    )
+    aggs = []
+    for j in range(out_dim):
+        mix = F.pmod(
+            (F.col("i") * 131 + F.lit(j * 977)) * F.lit(2654435761),
+            F.lit(6),
+        )
+        sign = F.when(mix == 0, 1).when(mix == 1, -1).otherwise(0)
+        aggs.append(
+            F.sum(
+                (F.col("x").cast("double") * sign).cast("decimal(28,12)")
+            ).alias(f"_s{j}")
+        )
+    import math
+
+    scale = math.sqrt(3.0 / out_dim)
+    agg = ex.groupBy("vec_id").agg(*aggs)
+    return agg.select(
+        "vec_id",
+        *[
+            F.round(
+                F.lit(scale) * F.col(f"_s{j}").cast("double"), 6
+            ).alias(f"p{j}")
+            for j in range(out_dim)
+        ],
+    )

@@ -669,3 +669,64 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"),
     )
+
+
+def bloom_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental exact dedup (round 7): history =
+    even docs, batch = odd docs plus re-crawled copies of every 4th
+    even doc; returns the definitely-new batch docs. Exact semantics
+    (the bloom only prunes the anti-join's probe side) — the oracle is
+    a plain NOT IN over the same content hash."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).unionAll(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    return dedup.bloom_dedup_new_batch(batch, history)
+
+
+def random_projection_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Achlioptas sparse random projection of every embedding to 8
+    dims (similarity.random_projection) — the JL dimensionality
+    reduction ahead of LSH bucketing / cheap clustering."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.random_projection(emb, out_dim=8)
+
+
+def domain_quality_filter_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source quality-percentile curation (the FineWeb-style rule:
+    calibrate the quality bar WITHIN each source, not globally, so one
+    boilerplate-heavy domain doesn't eat the whole budget): keep each
+    source's top half by quality_score. One scan + one window — no
+    joins; at 100 TB the window partitions by source and AQE splits
+    skewed sources."""
+    from pyspark.sql import Window as W
+
+    q = text.quality_score(_docs(spark, sf_dir), keep_cols=("source",))
+    w = W.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.col("doc_id")
+    )
+    return (
+        q.select(
+            "doc_id",
+            "source",
+            "quality_score",
+            F.round(F.percent_rank().over(w), 6).alias("q_pct"),
+        )
+        .filter(F.col("q_pct") <= 0.5)
+    )
+
+
+def coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding corpus (k=5):
+    maximally-spread exemplars for diversity-aware data selection —
+    cluster.kcenter_coreset; the DuckDB twin unrolls the greedy
+    rounds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster.kcenter_coreset(emb, k=5)
