@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection_embeddings": llm.random_projection_embeddings,
         "domain_quality_filter_docs": llm.domain_quality_filter_docs,
         "coreset_embeddings": llm.coreset_embeddings,
+        "knn_rp_embeddings": llm.knn_rp_embeddings,
         # -- last driver row: round 3 --
         "revenue_cube": star.revenue_cube,
         "order_status_pivot": star.order_status_pivot,
@@ -3023,15 +3024,22 @@ def oracle_sql() -> dict[str, str]:
     # Achlioptas sparse random projection: the sign matrix is a
     # deterministic integer mix of (input dim i, output dim j), sums
     # route through DECIMAL(28,12) — both engines replay it exactly.
+    # {jm} is the precomputed (j+1)*1779033703 literal — DuckDB would
+    # otherwise multiply the small int as INT32 and overflow
     _RP_SIGN = (
-        "(CASE ((i*131 + {j}*977) * 2654435761) % 6"
+        "(CASE ((xor((i+1)*2654435761, {jm}) % 1048573)"
+        " * 2654435761) % 6"
         " WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END)"
     )
-    _rp_cols = ",\n               ".join(
-        f"round(sqrt(3.0/8) * CAST(sum(CAST(x * {_RP_SIGN.format(j=j)}"
-        f" AS DECIMAL(28,12))) AS DOUBLE), 6) AS p{j}"
-        for j in range(8)
-    )
+    def _rp_cols_n(n: int) -> str:
+        return ",\n               ".join(
+            f"round(sqrt(3.0/{n}) * CAST(sum(CAST(x *"
+            f" {_RP_SIGN.format(jm=(j + 1) * 1779033703)}"
+            f" AS DECIMAL(28,12))) AS DOUBLE), 6) AS p{j}"
+            for j in range(n)
+        )
+
+    _rp_cols = _rp_cols_n(8)
     sql["random_projection_embeddings"] = f"""
         WITH ex AS (
           SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
@@ -3090,5 +3098,60 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 2, vec_id, round(mind, 6) FROM p2
         UNION ALL SELECT 3, vec_id, round(mind, 6) FROM p3
         UNION ALL SELECT 4, vec_id, round(mind, 6) FROM p4
+    """
+    # Random-projection ANN: sketch (the random_projection twin as a
+    # CTE), squared-L2 shortlist over the 8 rounded projections
+    # (explicit left-to-right sum chain = Spark's sequential fold),
+    # exact cosine rescore on the survivors.
+    _rp_pd = " + ".join(
+        f"(q.p{j}-c.p{j})*(q.p{j}-c.p{j})" for j in range(16)
+    )
+    sql["knn_rp_embeddings"] = f"""
+        WITH ev AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        un AS (
+          SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                   AS v
+          FROM ev
+        ),
+        ex AS (
+          SELECT vec_id, i, v[i+1] AS x
+          FROM un, UNNEST(range(0, len(v))) AS t(i)
+        ),
+        rp AS (
+          SELECT vec_id,
+               {_rp_cols_n(16)}
+          FROM ex GROUP BY vec_id
+        ),
+        cand AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {_rp_pd} AS rpd
+          FROM rp q JOIN rp c
+            ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        ),
+        short AS (
+          SELECT query_id, neighbor_id, rpd FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY rpd, neighbor_id) AS rn
+            FROM cand) WHERE rn <= 100
+        ),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        res AS (
+          SELECT s.query_id, s.neighbor_id,
+                 round(s.rpd, 6) AS rp_dist, {_D_COS} AS cos_sim
+          FROM short s
+          JOIN e q ON q.vec_id = s.query_id
+          JOIN e c ON c.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, rp_dist, cos_sim,
+               CAST(rnk AS INTEGER) AS knn_rank
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM res)
+        WHERE rnk <= 5
     """
     return sql

@@ -98,6 +98,14 @@ HEADLINE = [
     # round 6: the newly oracle-registered refined (exact-rescore)
     # trained IVF-ADC path
     "knn_ivf_pq_refined_embeddings",
+    # round 7: bloom-prefiltered incremental exact dedup, JL random
+    # projection, per-source quality percentile curation, greedy
+    # k-center coreset
+    "bloom_dedup_new_docs",
+    "random_projection_embeddings",
+    "domain_quality_filter_docs",
+    "coreset_embeddings",
+    "knn_rp_embeddings",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

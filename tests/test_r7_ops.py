@@ -122,9 +122,26 @@ def test_random_projection_unit_vector(spark):
     row = random_projection(df, out_dim=2).first()
     scale = math.sqrt(3.0 / 2)
     for j, got in ((0, row.p0), (1, row.p1)):
-        m = ((2 * 131 + j * 977) * 2654435761) % 6
+        h1 = ((2 + 1) * 2654435761) ^ ((j + 1) * 1779033703)
+        m = ((h1 % 1048573) * 2654435761) % 6
         sign = 1 if m == 0 else (-1 if m == 1 else 0)
         assert got == round(scale * sign, 6)
+
+
+def test_random_projection_sign_matrix_mixes(spark):
+    # the sign matrix must NOT be a function of (i + j) mod 6 — the
+    # failure mode of a linear mix (recall collapsed to 0.26 until the
+    # xor-multiply mix landed); check each (i+j) class sees >= 4 of
+    # the 6 mix values over a 64x8 matrix
+    def mix(i, j):
+        h1 = ((i + 1) * 2654435761) ^ ((j + 1) * 1779033703)
+        return ((h1 % 1048573) * 2654435761) % 6
+
+    classes = {}
+    for i in range(64):
+        for j in range(8):
+            classes.setdefault((i + j) % 6, set()).add(mix(i, j))
+    assert all(len(v) >= 4 for v in classes.values())
 
 
 def test_kcenter_coreset_picks_planted_corners(spark):
@@ -191,3 +208,65 @@ def test_domain_quality_filter_keeps_top_half_per_source(spark):
         F.max("quality_score").alias("mx")
     ).collect():
         assert r.mx <= mins[r.source]
+
+
+def test_knn_rp_recall_vs_brute(spark):
+    from tweetaggregates_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_rp_rescore,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = knn_bruteforce(emb, queries, k=5)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    # the synthetic corpus is near-random (top-5 cos ~0.32 vs bulk 0)
+    # — the worst case for any sketch; a numpy Gaussian-projection
+    # control measures the same ~0.5 ceiling, so pin a floor under it
+    rp = knn_rp_rescore(emb, queries, k=5, out_dim=16, shortlist_size=100)
+    g = {(r.query_id, r.neighbor_id) for r in rp.collect()}
+    assert len(b & g) / len(b) >= 0.3
+    # full-depth shortlist degenerates to exact brute force
+    full = knn_rp_rescore(
+        emb, queries, k=5, out_dim=8, shortlist_size=10_000
+    )
+    fset = {(r.query_id, r.neighbor_id) for r in full.collect()}
+    assert fset == b
+
+
+def test_knn_rp_recall_on_clustered_corpus(spark):
+    # the production case: clustered embeddings — neighbors are
+    # within-cluster and the JL sketch preserves the cluster gaps
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for c in range(10):
+        center = [rng.gauss(0, 1) for _ in range(64)]
+        for m in range(20):
+            rows.append(
+                (
+                    c * 20 + m,
+                    [x + rng.gauss(0, 0.05) for x in center],
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    from tweetaggregates_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_rp_rescore,
+    )
+
+    queries = df.filter(F.col("vec_id") % 20 == 0)
+    b = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(df, queries, k=5).collect()
+    }
+    g = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_rp_rescore(
+            df, queries, k=5, out_dim=16, shortlist_size=30
+        ).collect()
+    }
+    assert len(b & g) / len(b) >= 0.9

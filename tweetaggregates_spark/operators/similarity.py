@@ -1570,9 +1570,16 @@ def random_projection(
     )
     aggs = []
     for j in range(out_dim):
+        # xor-multiply mix: a purely LINEAR mix mod 6 collapses to a
+        # function of (i + j) mod 6 (any odd multiplier that is 1 mod 3
+        # does), making every projection a circular shift of the same
+        # 6-periodic pattern — the xor + double multiply breaks the
+        # structure (distribution checked in tests/test_r7_ops.py)
+        h1 = ((F.col("i") + 1) * F.lit(2654435761)).bitwiseXOR(
+            F.lit((j + 1) * 1779033703)
+        )
         mix = F.pmod(
-            (F.col("i") * 131 + F.lit(j * 977)) * F.lit(2654435761),
-            F.lit(6),
+            F.pmod(h1, F.lit(1048573)) * F.lit(2654435761), F.lit(6)
         )
         sign = F.when(mix == 0, 1).when(mix == 1, -1).otherwise(0)
         aggs.append(
@@ -1592,4 +1599,99 @@ def random_projection(
             ).alias(f"p{j}")
             for j in range(out_dim)
         ],
+    )
+
+
+def knn_rp_rescore(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    out_dim: int = 8,
+    shortlist_size: int = 50,
+) -> DataFrame:
+    """Two-stage ANN through a random-projection sketch: candidates
+    rank by squared L2 in the out_dim-dimensional JL projection
+    (random_projection — a d/out_dim-x cheaper scan than the float
+    vectors), the top ``shortlist_size`` per query rescore with exact
+    float cosine, and the final top-k emits. The JL lemma bounds the
+    distance distortion, so recall climbs quickly with shortlist_size
+    (pinned vs brute force in tests/test_r7_ops.py).
+
+    Same compressed-domain shape as knn_quantized_rescore (int8) and
+    knn_pq (codebooks) — the projection variant is the one that also
+    REDUCES DIMENSION, so its candidate stage reads out_dim doubles
+    per vector: at 100 TB the sketch column is the only full scan,
+    8/64ths of the embedding bytes, and it composes with the same
+    broadcast-queries + per-query window plan. Both stages are
+    deterministic (the sign matrix is an integer mix; projected
+    coordinates are DECIMAL-summed and rounded), so a DuckDB twin
+    replays sketch, shortlist, and rescore exactly."""
+    from pyspark.sql import Window as W
+
+    def _unit(df: DataFrame) -> DataFrame:
+        # project the UNIT vectors: squared L2 between unit vectors is
+        # 2 - 2*cos, so the sketch-space ranking tracks the cosine
+        # metric the rescore uses (without this, norm spread makes the
+        # L2 shortlist fight the cosine objective — measured recall
+        # 0.26 vs 0.84 at depth 50 on the synthetic corpus)
+        return (
+            df.select(F.col(id_col), as_double(vec_col).alias("_vd"))
+            .select(id_col, "_vd", norm(F.col("_vd")).alias("_n"))
+            .select(
+                id_col,
+                F.transform("_vd", lambda x: x / F.col("_n")).alias(vec_col),
+            )
+        )
+
+    arr = F.array(*[F.col(f"p{j}") for j in range(out_dim)])
+    cp = random_projection(_unit(corpus), vec_col, id_col, out_dim).select(
+        F.col("vec_id").alias("neighbor_id"), arr.alias("c_p")
+    )
+    qp = random_projection(_unit(queries), vec_col, id_col, out_dim).select(
+        F.col("vec_id").alias("query_id"), arr.alias("q_p")
+    )
+    pdist = F.aggregate(
+        F.zip_with("q_p", "c_p", lambda a, b: (a - b) ** 2),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        F.broadcast(qp)
+        .join(cp, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", pdist.alias("rp_dist"))
+    )
+    sw = W.partitionBy("query_id").orderBy("rp_dist", "neighbor_id")
+    short = (
+        cand.withColumn("_sr", F.row_number().over(sw))
+        .filter(F.col("_sr") <= shortlist_size)
+        .select("query_id", "neighbor_id", "rp_dist")
+    )
+    c = _normed(corpus, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    q = _normed(queries, id_col, vec_col).withColumnRenamed(
+        id_col, "query_id"
+    )
+    rescored = (
+        F.broadcast(short)
+        .join(c.withColumnRenamed("v", "cv"), "neighbor_id")
+        .join(F.broadcast(q.withColumnRenamed("v", "qv")), "query_id")
+        .withColumn(
+            "cos_sim", F.round(cosine_sim(F.col("qv"), F.col("cv")), 6)
+        )
+    )
+    from tweetaggregates_spark.operators.topk import rank_topk
+
+    top = rank_topk(
+        rescored, ["query_id"], "cos_sim", ["neighbor_id"], k,
+        rank_name="knn_rank", keep_rank=True,
+    )
+    return top.select(
+        "query_id",
+        "neighbor_id",
+        F.round("rp_dist", 6).alias("rp_dist"),
+        "cos_sim",
+        "knn_rank",
     )

@@ -730,3 +730,22 @@ def coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cluster.kcenter_coreset(emb, k=5)
+
+
+def knn_rp_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection ANN (similarity.knn_rp_rescore): JL-sketch
+    shortlist (16-dim, depth 100) + exact cosine rescore, top-5 for
+    the first 10 vectors — the dimension-reducing member of the
+    compressed-domain search family (int8 / PQ / IVF-ADC / RP).
+
+    Recall is corpus-dependent: the synthetic embeddings are
+    near-random (top-5 cosine ~0.32 vs bulk ~0), the worst case for
+    ANY sketch — a numpy Gaussian-projection control measures the
+    same ceiling (~0.5 at p=16, depth 50) as this operator hits. On
+    clustered corpora (the production case) recall >= 0.9 is pinned
+    by tests/test_r7_ops.py on a planted-cluster fixture."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.knn_rp_rescore(
+        emb, queries, k=5, out_dim=16, shortlist_size=100
+    )
