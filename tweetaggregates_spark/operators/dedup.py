@@ -1439,9 +1439,22 @@ def bloom_build(
     skip the prefilter and let the anti-join (or Spark's own injected
     runtime bloom filter, spark.sql.optimizer.runtime.bloomFilter.*)
     do the work — the semantics here never depend on the bloom."""
+    return pack_bloom(bloom_slots(df, col, n_bits, n_hashes))
+
+
+def bloom_slots(
+    df: DataFrame,
+    col: str | Column,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """The bloom in its MERGEABLE long form: (slot, mask) rows. Two
+    filters with the same (n_bits, n_hashes) union by re-aggregating
+    bit_or per slot — the property a versioned on-disk bloom sidecar
+    needs (fold at read, compact by rewrite)."""
     c = F.col(col) if isinstance(col, str) else col
     pos = F.explode(F.array(*_bloom_positions(c, n_bits, n_hashes)))
-    slots = (
+    return (
         df.select(pos.alias("_p"))
         .select(
             F.floor(F.col("_p") / 32).alias("slot"),
@@ -1453,9 +1466,19 @@ def bloom_build(
         .groupBy("slot")
         .agg(F.bit_or("_m").alias("mask"))
     )
-    return slots.agg(
-        F.map_from_entries(F.collect_list(F.struct("slot", "mask"))).alias(
-            "bloom"
+
+
+def pack_bloom(slots: DataFrame) -> DataFrame:
+    """Pack (slot, mask) rows into the one-row broadcastable map that
+    bloom_might_contain consumes; re-aggregates so unioned versioned
+    slot tables fold correctly."""
+    return (
+        slots.groupBy("slot")
+        .agg(F.bit_or("mask").alias("mask"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("slot", "mask"))
+            ).alias("bloom")
         )
     )
 
@@ -1525,3 +1548,87 @@ def bloom_dedup_new_batch(
         .select(id_col, "content_hash")
     )
     return negatives.unionByName(positives)
+
+
+HASH_INDEX_SCHEMA = "content_hash BIGINT, canonical_id BIGINT, n_copies BIGINT"
+
+
+def fold_hash_index(versions: DataFrame) -> DataFrame:
+    """Merge versioned content-hash index rows: min canonical, summed
+    copies — both associative+commutative, so ANY grouping of the
+    corpus into versions folds to the same index (batching-invariance
+    for free; same contract as exact_dedup over the union)."""
+    return versions.groupBy("content_hash").agg(
+        F.min("canonical_id").alias("canonical_id"),
+        F.sum("n_copies").cast("long").alias("n_copies"),
+    )
+
+
+def exact_dedup_new_batch_bloom(
+    batch: DataFrame,
+    index: DataFrame,
+    bloom: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup with a Bloom-pruned canonical lookup:
+    like ``exact_dedup_new_batch`` but (a) the batch's DEFINITELY-NEW
+    hash groups (bloom-negative) skip the index join entirely, and
+    (b) the index delta is O(batch): the returned ``new_rows`` are
+    just the batch's per-hash (min id, count) groups — read-time
+    ``fold_hash_index`` merges them with every older version.
+
+    Returns (assignments, new_rows): one (doc_id, canonical_id,
+    is_duplicate) row per batch doc, and the O(batch) version rows to
+    append. ``bloom`` is the packed one-row map from ``bloom_build``
+    over the index's hashes (None = no filter, every group probes).
+    Exactness never depends on the bloom (no false negatives; false
+    positives just probe and miss)."""
+    bh = batch.select(
+        F.col(id_col), hash64(F.col(text_col)).alias("content_hash")
+    )
+    batch_agg = bh.groupBy("content_hash").agg(
+        F.min(id_col).alias("_b_min"),
+        F.count(F.lit(1)).alias("_b_n"),
+    )
+    if bloom is not None:
+        tested = batch_agg.crossJoin(F.broadcast(bloom)).withColumn(
+            "_might",
+            bloom_might_contain(
+                F.col("content_hash"), F.col("bloom"), n_bits, n_hashes
+            ),
+        )
+        neg = tested.filter(~F.col("_might")).select(
+            "content_hash", F.col("_b_min").alias("canonical_id")
+        )
+        pos = tested.filter(F.col("_might")).select(
+            "content_hash", "_b_min"
+        )
+    else:
+        neg = None
+        pos = batch_agg.select("content_hash", "_b_min")
+    probed = pos.join(
+        index.select("content_hash", F.col("canonical_id").alias("_old")),
+        "content_hash",
+        "left",
+    ).select(
+        "content_hash",
+        F.least(
+            F.coalesce(F.col("_old"), F.col("_b_min")),
+            F.coalesce(F.col("_b_min"), F.col("_old")),
+        ).alias("canonical_id"),
+    )
+    canon = probed if neg is None else neg.unionByName(probed)
+    assignments = bh.join(canon, "content_hash").select(
+        id_col,
+        "canonical_id",
+        (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+    )
+    new_rows = batch_agg.select(
+        "content_hash",
+        F.col("_b_min").alias("canonical_id"),
+        F.col("_b_n").cast("long").alias("n_copies"),
+    )
+    return assignments, new_rows

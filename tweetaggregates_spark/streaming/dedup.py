@@ -13,6 +13,7 @@ separated by more than the watermark fall to the sink's idempotence
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from tweetaggregates_spark.streaming.joins import EVENT_SCHEMA
 
@@ -131,6 +132,103 @@ def run_streaming_near_dedup(
             quarantine.write.mode("overwrite").parquet(
                 f"{out_path}_quarantine/batch_id={batch_id}"
             )
+
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.json(in_dir)
+    writer = (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+# -- streaming EXACT-dup ingest over a versioned hash index + bloom ----------
+
+
+def run_streaming_exact_dedup(
+    spark: SparkSession,
+    in_dir: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+):
+    """Content EXACT dedup on an ingest stream against a versioned
+    content-hash index with a mergeable Bloom sidecar — the O(batch)
+    streaming analog of ``exact_dedup_new_batch``:
+
+    * per trigger, the pre-batch index folds at read
+      (``fold_hash_index`` over ``hashes/v=<i<batch_id>``: min
+      canonical + summed copies, associative, so batching-invariant)
+      and the pre-batch bloom folds by per-slot bit_or;
+    * ``exact_dedup_new_batch_bloom`` assigns the batch: bloom-negative
+      hash groups are DEFINITELY new and skip the index join; only
+      bloom-positives (true redeliveries + the FP tail) probe it;
+    * the trigger appends O(batch) bytes: the batch's per-hash groups
+      to ``hashes/v=<batch_id>`` and its bloom slots to
+      ``blooms/v=<batch_id>`` (per-version overwrite = replay-safe);
+      assignments (doc_id, canonical_id, is_duplicate) land at
+      ``out_path/batch_id=<batch_id>``.
+
+    The folded index equals a one-shot ``exact_dedup`` over everything
+    ingested regardless of trigger boundaries (pinned in
+    tests/test_stream_exact_dedup.py). Analog: the reference folds
+    replayed tweets into RocksDB per window atomically
+    (RocksDBStore.cs:99-109) — incremental, never a store rewrite."""
+    from tweetaggregates_spark.operators.dedup import (
+        HASH_INDEX_SCHEMA,
+        bloom_slots,
+        exact_dedup_new_batch_bloom,
+        fold_hash_index,
+        pack_bloom,
+    )
+
+    def _read_versions(sub: str, schema: str, below: int):
+        import os
+
+        base = f"{index_path}/{sub}"
+        if not os.path.isdir(base):
+            return None
+        df = spark.read.schema(schema + ", v INT").parquet(base)
+        return df.filter(F.col("v") < below).drop("v")
+
+    def _process(batch_df, batch_id: int) -> None:
+        vers = _read_versions("hashes", HASH_INDEX_SCHEMA, batch_id)
+        if vers is None:
+            index = spark.createDataFrame([], HASH_INDEX_SCHEMA)
+            bloom = None
+        else:
+            index = fold_hash_index(vers)
+            slots = _read_versions(
+                "blooms", "slot BIGINT, mask BIGINT", batch_id
+            )
+            bloom = pack_bloom(slots) if slots is not None else None
+        assignments, new_rows = exact_dedup_new_batch_bloom(
+            batch_df, index, bloom, n_bits=n_bits, n_hashes=n_hashes
+        )
+        assignments = assignments.localCheckpoint(eager=True)
+        new_rows = new_rows.localCheckpoint(eager=True)
+        new_rows.write.mode("overwrite").parquet(
+            f"{index_path}/hashes/v={batch_id}"
+        )
+        bloom_slots(
+            new_rows, "content_hash", n_bits, n_hashes
+        ).write.mode("overwrite").parquet(
+            f"{index_path}/blooms/v={batch_id}"
+        )
+        assignments.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
 
     reader = spark.readStream.schema(DOC_SCHEMA)
     if max_files_per_trigger is not None:
