@@ -3022,32 +3022,34 @@ def oracle_sql() -> dict[str, str]:
           SELECT {_D_HASH.format(x="text")} FROM hist)
     """
     # Achlioptas sparse random projection: the sign matrix is a
-    # deterministic integer mix of (input dim i, output dim j), sums
-    # route through DECIMAL(28,12) — both engines replay it exactly.
-    # {jm} is the precomputed (j+1)*1779033703 literal — DuckDB would
-    # otherwise multiply the small int as INT32 and overflow
+    # deterministic xor-multiply mix of (1-based input dim i, output
+    # dim j); sums are ordered folds (list_sum over an ordered
+    # comprehension = Spark's sequential F.aggregate, the _KM_DIST
+    # contract). {jm} is the precomputed (j+1)*1779033703 literal —
+    # DuckDB would otherwise multiply the small int as INT32 and
+    # overflow.
     _RP_SIGN = (
-        "(CASE ((xor((i+1)*2654435761, {jm}) % 1048573)"
+        "(CASE ((xor(i*2654435761, {jm}) % 1048573)"
         " * 2654435761) % 6"
         " WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END)"
     )
     def _rp_cols_n(n: int) -> str:
         return ",\n               ".join(
-            f"round(sqrt(3.0/{n}) * CAST(sum(CAST(x *"
+            f"round(sqrt(3.0/{n}) * list_sum([ v[i] *"
             f" {_RP_SIGN.format(jm=(j + 1) * 1779033703)}"
-            f" AS DECIMAL(28,12))) AS DOUBLE), 6) AS p{j}"
+            f" for i in range(1, len(v)+1) ]), 6) AS p{j}"
             for j in range(n)
         )
 
     _rp_cols = _rp_cols_n(8)
     sql["random_projection_embeddings"] = f"""
-        WITH ex AS (
-          SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
-          FROM embeddings, UNNEST(range(0, len(embedding))) AS t(i)
+        WITH ev AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+          FROM embeddings
         )
         SELECT vec_id,
                {_rp_cols}
-        FROM ex GROUP BY vec_id
+        FROM ev
     """
     # Per-source quality-percentile curation: the quality_docs score
     # formula + percent_rank within source, keep the top half.
@@ -3116,14 +3118,10 @@ def oracle_sql() -> dict[str, str]:
                    AS v
           FROM ev
         ),
-        ex AS (
-          SELECT vec_id, i, v[i+1] AS x
-          FROM un, UNNEST(range(0, len(v))) AS t(i)
-        ),
         rp AS (
           SELECT vec_id,
                {_rp_cols_n(16)}
-          FROM ex GROUP BY vec_id
+          FROM un
         ),
         cand AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -1555,51 +1555,49 @@ def random_projection(
     embedding corpus.
 
     The 'random' matrix is a deterministic integer mix of
-    (input_dim, output_dim) — a Weyl-style multiplicative hash — so
-    both engines (and any two cluster runs) materialize the SAME
-    matrix without storing it; per-element sums route through
-    DECIMAL(28,12) (sign flips are exact in double, the decimal sum is
-    order-free), so the result is bit-stable across partitionings.
+    (input_dim, output_dim) — a xor-multiply hash — so both engines
+    (and any two cluster runs) materialize the SAME matrix without
+    storing it; sums are sequential left folds in array order, the
+    same cross-engine contract every distance fold in this module
+    relies on (DuckDB list_sum over an ordered comprehension).
 
-    Plan: one posexplode (d rows per vector) + one groupBy(vec_id)
-    computing all out_dim sums — map-side partial aggregation makes
-    the shuffle k doubles per vector. Output: (vec_id, p0..p{k-1})."""
-    ex = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.posexplode(F.col(vec_col)).alias("i", "x"),
-    )
-    aggs = []
-    for j in range(out_dim):
-        # xor-multiply mix: a purely LINEAR mix mod 6 collapses to a
-        # function of (i + j) mod 6 (any odd multiplier that is 1 mod 3
-        # does), making every projection a circular shift of the same
-        # 6-periodic pattern — the xor + double multiply breaks the
-        # structure (distribution checked in tests/test_r7_ops.py)
-        h1 = ((F.col("i") + 1) * F.lit(2654435761)).bitwiseXOR(
-            F.lit((j + 1) * 1779033703)
-        )
-        mix = F.pmod(
-            F.pmod(h1, F.lit(1048573)) * F.lit(2654435761), F.lit(6)
-        )
-        sign = F.when(mix == 0, 1).when(mix == 1, -1).otherwise(0)
-        aggs.append(
-            F.sum(
-                (F.col("x").cast("double") * sign).cast("decimal(28,12)")
-            ).alias(f"_s{j}")
-        )
+    Plan: PURE MAP — out_dim ordered folds per row inside whole-stage
+    codegen, no explode, no shuffle, no aggregation (one scan at any
+    corpus size). Output: (vec_id, p0..p{k-1})."""
     import math
 
+    dim = len(df.select(vec_col).first()[0])
+    seq = F.sequence(F.lit(1), F.lit(dim))  # 1-based, mirrors the twin
+    vec = as_double(vec_col)
     scale = math.sqrt(3.0 / out_dim)
-    agg = ex.groupBy("vec_id").agg(*aggs)
-    return agg.select(
-        "vec_id",
-        *[
-            F.round(
-                F.lit(scale) * F.col(f"_s{j}").cast("double"), 6
-            ).alias(f"p{j}")
-            for j in range(out_dim)
-        ],
-    )
+    cols = []
+    for j in range(out_dim):
+        jm = F.lit((j + 1) * 1779033703)
+
+        def sign(i, jm=jm):
+            # xor-multiply mix: a purely LINEAR mix mod 6 collapses to
+            # a function of (i + j) mod 6 (any odd multiplier that is
+            # 1 mod 3 does), making every projection a circular shift
+            # of the same 6-periodic pattern — the xor + double
+            # multiply breaks the structure (distribution pinned in
+            # tests/test_r7_ops.py)
+            h1 = (i * F.lit(2654435761)).bitwiseXOR(jm)
+            m = F.pmod(
+                F.pmod(h1, F.lit(1048573)) * F.lit(2654435761), F.lit(6)
+            )
+            return (
+                F.when(m == 0, F.lit(1.0))
+                .when(m == 1, F.lit(-1.0))
+                .otherwise(F.lit(0.0))
+            )
+
+        term = F.aggregate(
+            F.zip_with(vec, seq, lambda x, i: x * sign(i)),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(F.lit(scale) * term, 6).alias(f"p{j}"))
+    return df.select(F.col(id_col).alias("vec_id"), *cols)
 
 
 def knn_rp_rescore(
@@ -1662,12 +1660,19 @@ def knn_rp_rescore(
         .join(cp, F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", pdist.alias("rp_dist"))
     )
-    sw = W.partitionBy("query_id").orderBy("rp_dist", "neighbor_id")
-    short = (
-        cand.withColumn("_sr", F.row_number().over(sw))
-        .filter(F.col("_sr") <= shortlist_size)
-        .select("query_id", "neighbor_id", "rp_dist")
-    )
+    # |Q| is tiny, the candidate set is corpus-sized: a one-window
+    # shortlist would sort everything in |Q| tasks — use the
+    # local-then-global prune (identical result, full parallelism)
+    from tweetaggregates_spark.operators.topk import rank_topk_local_global
+
+    short = rank_topk_local_global(
+        cand,
+        ["query_id"],
+        "rp_dist",
+        ["neighbor_id"],
+        shortlist_size,
+        ascending=True,
+    ).select("query_id", "neighbor_id", "rp_dist")
     c = _normed(corpus, id_col, vec_col).withColumnRenamed(
         id_col, "neighbor_id"
     )

@@ -87,3 +87,41 @@ def dedupe_array_keep_first(
 def recent_n(df: DataFrame, time_col: str, n: int) -> DataFrame:
     """D4: newest-N reverse scan (RocksDBStore.cs:213-232)."""
     return df.orderBy(F.desc(time_col)).limit(n)
+
+
+def rank_topk_local_global(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_col: str,
+    tiebreak_cols: Sequence[str],
+    k: int,
+    rank_name: str = "_rank",
+    keep_rank: bool = False,
+    ascending: bool = False,
+) -> DataFrame:
+    """Top-k per group when the GROUP COUNT is small relative to the
+    cluster (e.g. 10 ANN queries against a full-corpus candidate set):
+    a plain window shuffles every candidate row into |groups| tasks —
+    a parallelism collapse at any scale. Two-phase instead: a local
+    window keyed by (group, spark_partition_id) prunes each input
+    partition to its own top-k WITHOUT changing the result (any row of
+    the global top-k is in its partition's local top-k), then the
+    global window ranks the ~k x n_partitions survivors. The output is
+    identical to the one-window plan and independent of partitioning.
+    """
+    srt = F.asc(order_col) if ascending else F.desc(order_col)
+    local = Window.partitionBy(
+        *partition_cols, F.spark_partition_id()
+    ).orderBy(srt, *[F.asc(c) for c in tiebreak_cols])
+    pruned = (
+        df.withColumn("_lr", F.row_number().over(local))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr")
+    )
+    w = Window.partitionBy(*partition_cols).orderBy(
+        srt, *[F.asc(c) for c in tiebreak_cols]
+    )
+    out = pruned.withColumn(rank_name, F.row_number().over(w)).filter(
+        F.col(rank_name) <= k
+    )
+    return out if keep_rank else out.drop(rank_name)
