@@ -141,3 +141,71 @@ def test_exact_dedup_bloom_path_equals_no_bloom(spark):
     assert sorted(map(tuple, a3.select(*key).collect())) == sorted(
         map(tuple, a2.select(*key).collect())
     )
+
+
+def test_stream_exact_dedup_inline_compaction(spark, tmp_path):
+    import shutil
+
+    from tweetaggregates_spark.streaming.dedup import (
+        compact_hash_index,
+        read_hash_index_parts,
+    )
+
+    corpus = _corpus_with_redeliveries(spark)
+    rows = sorted(corpus.collect(), key=lambda r: r.doc_id)
+    n = len(rows)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i in range(4):
+        p = in_dir / f"{i}.ndjson"
+        p.write_text(
+            "\n".join(
+                json.dumps({"doc_id": r.doc_id, "text": r.text})
+                for r in rows[cuts[i] : cuts[i + 1]]
+            )
+        )
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    index_path = str(tmp_path / "index")
+    run_streaming_exact_dedup(
+        spark,
+        str(in_dir),
+        index_path,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        max_files_per_trigger=1,
+        compact_every=2,
+    )
+    # trigger 2 rebased v=0,1 into a base; deltas 2,3 remain
+    bases = sorted(os.listdir(f"{index_path}/hashes_base"))
+    assert bases == ["v=1"]
+    deltas = sorted(os.listdir(f"{index_path}/hashes"))
+    assert deltas == ["v=2", "v=3"]
+
+    # folded view == one-shot exact dedup over everything
+    def folded_matches():
+        idx, bloom = read_hash_index_parts(spark, index_path, below=10)
+        expect = dedup.exact_dedup(corpus)
+        key = ["content_hash", "canonical_id", "n_copies"]
+        assert sorted(map(tuple, idx.select(*key).collect())) == sorted(
+            map(tuple, expect.select(*key).collect())
+        )
+        assert bloom is not None
+
+    folded_matches()
+    # final full compaction: one base, no deltas, same fold
+    compact_hash_index(spark, index_path)
+    assert sorted(os.listdir(f"{index_path}/hashes_base")) == ["v=3"]
+    assert sorted(os.listdir(f"{index_path}/hashes")) == []
+    folded_matches()
+    # a stale delta AT OR BELOW the base version is ignored, not
+    # double-counted (the crash window between base commit and delta
+    # cleanup): plant a copy of the base as a fake old delta
+    shutil.copytree(
+        f"{index_path}/hashes_base/v=3", f"{index_path}/hashes/v=3"
+    )
+    shutil.copytree(
+        f"{index_path}/blooms_base/v=3", f"{index_path}/blooms/v=3"
+    )
+    folded_matches()

@@ -162,6 +162,7 @@ def run_streaming_exact_dedup(
     max_files_per_trigger: int | None = None,
     n_bits: int = 1 << 20,
     n_hashes: int = 5,
+    compact_every: int | None = None,
 ):
     """Content EXACT dedup on an ingest stream against a versioned
     content-hash index with a mergeable Bloom sidecar — the O(batch)
@@ -189,30 +190,23 @@ def run_streaming_exact_dedup(
         HASH_INDEX_SCHEMA,
         bloom_slots,
         exact_dedup_new_batch_bloom,
-        fold_hash_index,
-        pack_bloom,
     )
 
-    def _read_versions(sub: str, schema: str, below: int):
-        import os
-
-        base = f"{index_path}/{sub}"
-        if not os.path.isdir(base):
-            return None
-        df = spark.read.schema(schema + ", v INT").parquet(base)
-        return df.filter(F.col("v") < below).drop("v")
-
     def _process(batch_df, batch_id: int) -> None:
-        vers = _read_versions("hashes", HASH_INDEX_SCHEMA, batch_id)
-        if vers is None:
+        if (
+            compact_every is not None
+            and batch_id > 0
+            and batch_id % compact_every == 0
+        ):
+            # only fully-committed triggers fold, so a replayed
+            # trigger still reads exactly its pre-batch index
+            compact_hash_index(spark, index_path, below=batch_id)
+        index, bloom = read_hash_index_parts(
+            spark, index_path, below=batch_id
+        )
+        if index is None:
             index = spark.createDataFrame([], HASH_INDEX_SCHEMA)
             bloom = None
-        else:
-            index = fold_hash_index(vers)
-            slots = _read_versions(
-                "blooms", "slot BIGINT, mask BIGINT", batch_id
-            )
-            bloom = pack_bloom(slots) if slots is not None else None
         assignments, new_rows = exact_dedup_new_batch_bloom(
             batch_df, index, bloom, n_bits=n_bits, n_hashes=n_hashes
         )
@@ -244,3 +238,142 @@ def run_streaming_exact_dedup(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def read_hash_index_parts(
+    spark: SparkSession, index_path: str, below: int
+):
+    """(index, bloom) for every committed version strictly below
+    ``below``: the newest compacted base (hashes_base/v=B) folded with
+    the deltas B < v < below. Deltas at or below the base version are
+    EXCLUDED even if still on disk (a crash between base commit and
+    delta cleanup must not double-count n_copies). Returns (None,
+    None) when nothing is committed yet."""
+    import os
+
+    from tweetaggregates_spark.operators.dedup import (
+        HASH_INDEX_SCHEMA,
+        fold_hash_index,
+        pack_bloom,
+    )
+
+    def _versions(sub: str) -> list[int]:
+        base = f"{index_path}/{sub}"
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(base)
+            if d.startswith("v=")
+        )
+
+    bases = [v for v in _versions("hashes_base") if v < below]
+    b = max(bases) if bases else None
+    deltas = [
+        v
+        for v in _versions("hashes")
+        if v < below and (b is None or v > b)
+    ]
+    parts = []
+    sparts = []
+    if b is not None:
+        parts.append(
+            spark.read.schema(HASH_INDEX_SCHEMA).parquet(
+                f"{index_path}/hashes_base/v={b}"
+            )
+        )
+        sparts.append(
+            spark.read.schema("slot BIGINT, mask BIGINT").parquet(
+                f"{index_path}/blooms_base/v={b}"
+            )
+        )
+    for v in deltas:
+        parts.append(
+            spark.read.schema(HASH_INDEX_SCHEMA).parquet(
+                f"{index_path}/hashes/v={v}"
+            )
+        )
+        sparts.append(
+            spark.read.schema("slot BIGINT, mask BIGINT").parquet(
+                f"{index_path}/blooms/v={v}"
+            )
+        )
+    if not parts:
+        return None, None
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    su = sparts[0]
+    for p in sparts[1:]:
+        su = su.unionByName(p)
+    return fold_hash_index(u), pack_bloom(su)
+
+
+def compact_hash_index(spark: SparkSession, index_path: str, below=None):
+    """Rebase the versioned exact-dedup index: fold the newest base
+    plus every delta with v < ``below`` (None = all) into a NEW base
+    version and drop the folded deltas — bounds the fold depth on a
+    long-running ingest, symmetric with compact_band_index.
+
+    Crash-safe: the merged base materializes in a temp dir and commits
+    by ONE atomic rename to a name that does not pre-exist
+    (hashes_base/v=<max folded delta>); folded deltas are removed only
+    AFTER the commit, and the reader ignores deltas at or below the
+    newest base version, so a crash at any point leaves a readable,
+    non-double-counting index."""
+    import os
+    import shutil
+
+    def _versions(sub: str) -> list[int]:
+        base = f"{index_path}/{sub}"
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(base)
+            if d.startswith("v=")
+        )
+
+    old_bases = _versions("hashes_base")
+    b = max([v for v in old_bases if below is None or v < below], default=None)
+    deltas = [
+        v
+        for v in _versions("hashes")
+        if (below is None or v < below) and (b is None or v > b)
+    ]
+    if not deltas or (len(deltas) < 2 and b is None):
+        return
+    newv = max(deltas)
+    index, _ = read_hash_index_parts(spark, index_path, below=newv + 1)
+    tmp_h = f"{index_path}/.compact_hashes_tmp"
+    shutil.rmtree(tmp_h, ignore_errors=True)
+    index.write.mode("overwrite").parquet(tmp_h)
+    # bloom base: re-fold the slot tables (bit_or over every part)
+    parts = []
+    if b is not None:
+        parts.append(f"{index_path}/blooms_base/v={b}")
+    parts += [f"{index_path}/blooms/v={v}" for v in deltas]
+    slots = spark.read.schema("slot BIGINT, mask BIGINT").parquet(*parts)
+    merged_slots = slots.groupBy("slot").agg(F.bit_or("mask").alias("mask"))
+    tmp_b = f"{index_path}/.compact_blooms_tmp"
+    shutil.rmtree(tmp_b, ignore_errors=True)
+    merged_slots.write.mode("overwrite").parquet(tmp_b)
+    os.makedirs(f"{index_path}/hashes_base", exist_ok=True)
+    os.makedirs(f"{index_path}/blooms_base", exist_ok=True)
+    # commit order: bloom base first (readers key off the HASH base
+    # version; an orphaned newer bloom base is never read), then the
+    # hash base rename that makes the merge visible
+    os.rename(tmp_b, f"{index_path}/blooms_base/v={newv}")
+    os.rename(tmp_h, f"{index_path}/hashes_base/v={newv}")
+    # post-commit cleanup: folded deltas and superseded bases
+    for v in deltas:
+        shutil.rmtree(f"{index_path}/hashes/v={v}", ignore_errors=True)
+        shutil.rmtree(f"{index_path}/blooms/v={v}", ignore_errors=True)
+    for v in old_bases:
+        if v < newv:
+            shutil.rmtree(
+                f"{index_path}/hashes_base/v={v}", ignore_errors=True
+            )
+            shutil.rmtree(
+                f"{index_path}/blooms_base/v={v}", ignore_errors=True
+            )
