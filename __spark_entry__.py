@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality_filter_docs": llm.domain_quality_filter_docs,
         "coreset_embeddings": llm.coreset_embeddings,
         "knn_rp_embeddings": llm.knn_rp_embeddings,
+        "temperature_sample_docs": llm.temperature_sample_docs,
         # -- last driver row: round 3 --
         "revenue_cube": star.revenue_cube,
         "order_status_pivot": star.order_status_pivot,
@@ -3100,6 +3101,38 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 2, vec_id, round(mind, 6) FROM p2
         UNION ALL SELECT 3, vec_id, round(mind, 6) FROM p3
         UNION ALL SELECT 4, vec_id, round(mind, 6) FROM p4
+    """
+    # Temperature-weighted mixture, EXECUTED (alpha=0.5 -> sqrt, the
+    # one exponent that is IEEE-correctly-rounded in both engines):
+    # rate_d = min(1, budget * total * sqrt(size_d)/sum sqrt(size) /
+    # size_d), then the deterministic md5-bucket keep per doc. The
+    # arithmetic order mirrors sampling.mixture_temperature exactly.
+    sql["temperature_sample_docs"] = f"""
+        WITH per AS (
+          SELECT source,
+                 CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE)
+                   AS stratum_size
+          FROM documents GROUP BY source
+        ),
+        perw AS (SELECT source, stratum_size,
+                        sqrt(stratum_size) AS w FROM per),
+        sc AS (
+          SELECT CAST(sum(CAST(stratum_size AS DECIMAL(18,0))) AS DOUBLE)
+                   AS total_size,
+                 CAST(sum(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS sum_w
+          FROM perw
+        ),
+        rates AS (
+          SELECT source,
+                 round(least(1.0,
+                   0.5 * total_size * w / sum_w / stratum_size), 6)
+                   AS planned_rate
+          FROM perw CROSS JOIN sc
+        )
+        SELECT d.doc_id, d.source, r.planned_rate
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE CAST({_dbucket("temp")} AS DOUBLE)
+              < r.planned_rate * 1000000
     """
     # Random-projection ANN: sketch (the random_projection twin as a
     # CTE), squared-L2 shortlist over the 8 rounded projections

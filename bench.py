@@ -106,6 +106,7 @@ HEADLINE = [
     "domain_quality_filter_docs",
     "coreset_embeddings",
     "knn_rp_embeddings",
+    "temperature_sample_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

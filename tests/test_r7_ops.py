@@ -270,3 +270,42 @@ def test_knn_rp_recall_on_clustered_corpus(spark):
         ).collect()
     }
     assert len(b & g) / len(b) >= 0.9
+
+
+def test_mixture_temperature_upsamples_small_strata(spark):
+    from tweetaggregates_spark.operators.sampling import (
+        mixture_temperature,
+    )
+
+    rows = (
+        [(i, "big", 100) for i in range(900)]
+        + [(i + 900, "small", 100) for i in range(100)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, source STRING, n_chars BIGINT"
+    )
+    # budget 0.3 keeps every rate below the 1.0 clip, isolating the
+    # sqrt weighting (at 0.5 the small stratum saturates at rate 1)
+    rates = {
+        r.source: (r.planned_rate, r.stratum_size, r.expected_size)
+        for r in mixture_temperature(
+            df, "source", "n_chars", alpha=0.5, budget_fraction=0.3
+        ).collect()
+    }
+    # temperature up-samples the small stratum: rate ~ size^(a-1)
+    assert rates["small"][0] > rates["big"][0]
+    # sqrt weighting: small/big rate ratio = sqrt(big/small) = 3
+    assert abs(rates["small"][0] / rates["big"][0] - 3.0) < 1e-3
+    # budget respected when nothing clips: expected sizes sum to
+    # ~budget * total
+    total = sum(v[1] for v in rates.values())
+    expected = sum(v[2] for v in rates.values())
+    assert abs(expected - 0.3 * total) < 1e-3 * total
+
+
+def test_temperature_sample_docs_deterministic(spark):
+    from tweetaggregates_spark.plans.llm import temperature_sample_docs
+
+    a = sorted(map(tuple, temperature_sample_docs(spark, SF).collect()))
+    b = sorted(map(tuple, temperature_sample_docs(spark, SF).collect()))
+    assert a == b and len(a) > 0

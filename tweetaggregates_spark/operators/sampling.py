@@ -261,3 +261,59 @@ def mixture_plan(
         rate.alias("planned_rate"),
         F.round(rate * F.col("stratum_size"), 6).alias("expected_size"),
     )
+
+
+def mixture_temperature(
+    df: DataFrame,
+    strata_col: str,
+    size_col: str,
+    alpha: float = 0.5,
+    budget_fraction: float = 0.5,
+) -> DataFrame:
+    """Temperature-weighted mixture planning: per-stratum target share
+    proportional to size^alpha — the standard multilingual/domain
+    rebalancing rule (alpha=1 keeps natural proportions, alpha->0
+    approaches mixture_plan's equal share; pretraining corpora
+    typically run alpha in [0.3, 0.7] to up-sample small domains
+    without flattening everything).
+
+    rate_d = min(1, budget * total * (size_d^alpha / sum size^alpha)
+    / size_d). Only alpha=0.5 is offered cross-engine-deterministic
+    (sqrt is IEEE-correctly-rounded; general pow is not) — other
+    alphas compute but are excluded from oracle-gated plans. Same
+    two-tiny-aggregate shape as mixture_plan."""
+    assert alpha == 0.5, (
+        "only alpha=0.5 (sqrt) is cross-engine deterministic; "
+        "general pow is not correctly rounded"
+    )
+    per = df.groupBy(strata_col).agg(
+        F.sum(F.col(size_col).cast("decimal(18,0)"))
+        .cast("double")
+        .alias("stratum_size")
+    )
+    per = per.withColumn("_w", F.sqrt(F.col("stratum_size")))
+    scalar = per.agg(
+        F.sum(F.col("stratum_size").cast("decimal(18,0)"))
+        .cast("double")
+        .alias("total_size"),
+        F.sum(F.col("_w").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sum_w"),
+    )
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(budget_fraction)
+            * F.col("total_size")
+            * F.col("_w")
+            / F.col("sum_w")
+            / F.col("stratum_size"),
+        ),
+        6,
+    )
+    return per.join(F.broadcast(scalar)).select(
+        strata_col,
+        "stratum_size",
+        rate.alias("planned_rate"),
+        F.round(rate * F.col("stratum_size"), 6).alias("expected_size"),
+    )

@@ -749,3 +749,31 @@ def knn_rp_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_rp_rescore(
         emb, queries, k=5, out_dim=16, shortlist_size=100
     )
+
+
+def temperature_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture EXECUTED (alpha=0.5, budget 50%): per-source
+    rates from sampling.mixture_temperature (share ~ sqrt(size) — the
+    multilingual up-sampling rule), then the deterministic hash-keep
+    per doc. Map-only after the two tiny rate aggregates; the rate
+    table broadcasts."""
+    from tweetaggregates_spark.operators.sampling import (
+        BUCKETS,
+        mixture_temperature,
+        sample_bucket,
+    )
+
+    docs = _docs(spark, sf_dir)
+    rates = mixture_temperature(
+        docs, "source", "n_chars", alpha=0.5, budget_fraction=0.5
+    )
+    return (
+        docs.join(
+            F.broadcast(rates.select("source", "planned_rate")), "source"
+        )
+        .filter(
+            sample_bucket(F.col("doc_id"), "temp").cast("double")
+            < F.col("planned_rate") * BUCKETS
+        )
+        .select("doc_id", "source", "planned_rate")
+    )
