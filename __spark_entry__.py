@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreset_embeddings": llm.coreset_embeddings,
         "knn_rp_embeddings": llm.knn_rp_embeddings,
         "temperature_sample_docs": llm.temperature_sample_docs,
+        "zipf_fit_docs": llm.zipf_fit_docs,
         # -- last driver row: round 3 --
         "revenue_cube": star.revenue_cube,
         "order_status_pivot": star.order_status_pivot,
@@ -3133,6 +3134,39 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN rates r ON d.source = r.source
         WHERE CAST({_dbucket("temp")} AS DOUBLE)
               < r.planned_rate * 1000000
+    """
+    # Zipf power-law fit: ln-values rounded to 9 (ulp noise absorbed),
+    # DECIMAL(38,18) sums (order-free), then the OLS in DOUBLE with
+    # the exact expression order of operators/text.zipf_fit.
+    sql["zipf_fit_docs"] = f"""
+        WITH tok AS (
+          SELECT unnest({_D_TOKS}) AS tok FROM documents
+        ),
+        counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        ranked AS (
+          SELECT round(ln(CAST(rnk AS DOUBLE)), 9) AS x,
+                 round(ln(CAST(cnt AS DOUBLE)), 9) AS y
+          FROM (
+            SELECT cnt, row_number() OVER (
+              ORDER BY cnt DESC, tok ASC) AS rnk
+            FROM counts)
+          WHERE rnk <= 100
+        ),
+        agg AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(x*y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(x*x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+          FROM ranked
+        )
+        SELECT CAST(n AS BIGINT) AS n_terms,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                 AS zipf_slope,
+               round((sy - round((n * sxy - sx * sy)
+                                 / (n * sxx - sx * sx), 6) * sx) / n, 6)
+                 AS zipf_intercept
+        FROM agg
     """
     # Random-projection ANN: sketch (the random_projection twin as a
     # CTE), squared-L2 shortlist over the 8 rounded projections

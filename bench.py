@@ -107,6 +107,7 @@ HEADLINE = [
     "coreset_embeddings",
     "knn_rp_embeddings",
     "temperature_sample_docs",
+    "zipf_fit_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

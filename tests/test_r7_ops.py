@@ -309,3 +309,18 @@ def test_temperature_sample_docs_deterministic(spark):
     a = sorted(map(tuple, temperature_sample_docs(spark, SF).collect()))
     b = sorted(map(tuple, temperature_sample_docs(spark, SF).collect()))
     assert a == b and len(a) > 0
+
+
+def test_zipf_fit_docs(spark):
+    from tweetaggregates_spark.operators.text import zipf_fit
+
+    docs = load_table(spark, SF, "documents")
+    row = zipf_fit(docs, top_n=100).first()
+    assert row.n_terms <= 100 and row.n_terms > 10
+    # frequencies decay with rank: the fitted slope must be negative
+    assert row.zipf_slope < 0
+    row2 = zipf_fit(docs, top_n=100).first()
+    assert (row.zipf_slope, row.zipf_intercept) == (
+        row2.zipf_slope,
+        row2.zipf_intercept,
+    )

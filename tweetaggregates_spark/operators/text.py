@@ -702,3 +702,62 @@ def bpe_token_counts(
             ).cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 100,
+) -> DataFrame:
+    """Zipf power-law fit over the corpus token-frequency distribution:
+    OLS slope/intercept of ln(freq) vs ln(rank) for the top_n terms —
+    the classic corpus-health statistic (natural text fits slope ~ -1;
+    boilerplate-heavy or template-generated corpora flatten or steepen
+    it). One tokenize+groupBy for counts, one top_n rank, then a 1-row
+    closed-form OLS whose sums route through DECIMAL(38,18) over
+    ln-values rounded to 9 (order-free and identical in both engines;
+    ln ulp noise is absorbed by the rounding, same convention as the
+    tf-idf twin). Output: (n_terms, zipf_slope, zipf_intercept)."""
+    from pyspark.sql import Window as W
+
+    from tweetaggregates_spark.functions.textstats import tokens
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .select(
+            F.round(F.log(F.col("rnk").cast("double")), 9).alias("x"),
+            F.round(F.log(F.col("cnt").cast("double")), 9).alias("y"),
+        )
+    )
+    d = lambda c: c.cast("decimal(38,18)")  # noqa: E731
+    # the SUMS are exact decimals (order-free); the OLS arithmetic then
+    # runs in DOUBLE with a fixed expression order, so both engines
+    # compute identical results (decimal DIVISION scale rules differ
+    # between engines — never divide decimals cross-engine)
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d(F.col("x"))).cast("double").alias("sx"),
+        F.sum(d(F.col("y"))).cast("double").alias("sy"),
+        F.sum(d(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(d(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+    )
+    slope = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        6,
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("zipf_intercept"),
+    )

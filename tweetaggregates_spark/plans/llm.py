@@ -777,3 +777,9 @@ def temperature_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "planned_rate")
     )
+
+
+def zipf_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the corpus token-frequency distribution
+    (operators/text.zipf_fit, top-100 terms)."""
+    return text.zipf_fit(_docs(spark, sf_dir), top_n=100)
