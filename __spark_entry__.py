@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_rp_embeddings": llm.knn_rp_embeddings,
         "temperature_sample_docs": llm.temperature_sample_docs,
         "zipf_fit_docs": llm.zipf_fit_docs,
+        "gopher_rules_docs": llm.gopher_rules_docs,
+        "c4_filter_docs": llm.c4_filter_docs,
         # -- last driver row: round 3 --
         "revenue_cube": star.revenue_cube,
         "order_status_pivot": star.order_status_pivot,
@@ -3167,6 +3169,80 @@ def oracle_sql() -> dict[str, str]:
                                  / (n * sxx - sx * sx), 6) * sx) / n, 6)
                  AS zipf_intercept
         FROM agg
+    """
+    # The Gopher (Rae et al. 2021 A1.1) and C4 (Raffel et al. 2020
+    # 2.2) named rule sets as per-doc flag tables; regexes restricted
+    # to the Java/RE2 common subset.
+    sql["gopher_rules_docs"] = f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS words,
+                 list_filter(regexp_split_to_array(text, '\n'),
+                             x -> x <> '') AS lines,
+                 {_D_TOKS} AS toks
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 len(words) AS n_words,
+                 round(list_sum(list_transform(words, x -> length(x)))
+                       / greatest(len(words), 1), 6) AS mean_word_len,
+                 round(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                       / greatest(len(words), 1), 6) AS symbol_ratio,
+                 round(len(list_filter(lines,
+                         x -> regexp_matches(x, '^[-*•]')))
+                       / greatest(len(lines), 1), 6) AS bullet_line_frac,
+                 round(len(list_filter(lines,
+                         x -> regexp_matches(x, '\\.\\.\\.$')))
+                       / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+                 round(len(list_filter(words,
+                         x -> regexp_matches(x, '[A-Za-z]')))
+                       / greatest(len(words), 1), 6) AS alpha_word_ratio,
+                 CAST(len(list_intersect(list_distinct(toks),
+                   ['the','be','to','of','and','that','have','with']))
+                   AS INTEGER) AS stop_hits
+          FROM base
+        )
+        SELECT *,
+               (n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3 AND mean_word_len <= 10
+                AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+                AND ellipsis_line_frac <= 0.3
+                AND alpha_word_ratio >= 0.8
+                AND stop_hits >= 2) AS gopher_keep
+        FROM m
+    """
+    sql["c4_filter_docs"] = f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(text, '\n'),
+                             x -> x <> '') AS lines
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 len(lines) AS n_lines,
+                 round(len(list_filter(lines,
+                         x -> regexp_matches(x, '[.!?"'']$')))
+                       / greatest(len(lines), 1), 6)
+                   AS terminal_punct_line_frac,
+                 round(len(list_filter(lines,
+                         x -> len(list_filter(
+                           regexp_split_to_array(x, '\\s+'),
+                           w -> w <> '')) >= 3))
+                       / greatest(len(lines), 1), 6)
+                   AS min_words_line_frac,
+                 CAST(len(regexp_extract_all(text, '[.!?]')) AS INTEGER)
+                   AS n_sentences,
+                 contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+                 contains(text, '{{') AS has_curly_brace
+          FROM base
+        )
+        SELECT *,
+               (n_sentences >= 3 AND NOT has_lorem_ipsum
+                AND NOT has_curly_brace) AS c4_keep
+        FROM m
     """
     # Random-projection ANN: sketch (the random_projection twin as a
     # CTE), squared-L2 shortlist over the 8 rounded projections

@@ -108,6 +108,8 @@ HEADLINE = [
     "knn_rp_embeddings",
     "temperature_sample_docs",
     "zipf_fit_docs",
+    "gopher_rules_docs",
+    "c4_filter_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

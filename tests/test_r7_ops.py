@@ -324,3 +324,45 @@ def test_zipf_fit_docs(spark):
         row2.zipf_slope,
         row2.zipf_intercept,
     )
+
+
+def test_gopher_rules_crafted(spark):
+    from tweetaggregates_spark.operators.text import gopher_rules
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and we have "
+        "plenty of words here to be counted with many more filler "
+        "words of ordinary length that keep the ratios sane and the "
+        "verdict positive because this text looks like prose written "
+        "by a person with normal words and not markup or symbols"
+    )
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    symbols = "# " * 60
+    df = spark.createDataFrame(
+        [(0, good), (1, bullets), (2, symbols), (3, "short text")],
+        "doc_id BIGINT, text STRING",
+    )
+    r = {x.doc_id: x for x in gopher_rules(df).collect()}
+    assert r[0].gopher_keep
+    assert not r[1].gopher_keep and r[1].bullet_line_frac == 1.0
+    assert not r[2].gopher_keep and r[2].symbol_ratio > 0.1
+    assert not r[3].gopher_keep and r[3].n_words == 2
+
+
+def test_c4_rules_crafted(spark):
+    from tweetaggregates_spark.operators.text import c4_rules
+
+    good = "First sentence here. Second sentence there. A third one!"
+    code = "function f() { return 1; }. Yes. Sure. Fine."
+    lorem = "Lorem ipsum dolor sit amet. More. Words. Here."
+    short = "No terminal punctuation and no sentences"
+    df = spark.createDataFrame(
+        [(0, good), (1, code), (2, lorem), (3, short)],
+        "doc_id BIGINT, text STRING",
+    )
+    r = {x.doc_id: x for x in c4_rules(df).collect()}
+    assert r[0].c4_keep and r[0].n_sentences == 3
+    assert not r[1].c4_keep and r[1].has_curly_brace
+    assert not r[2].c4_keep and r[2].has_lorem_ipsum
+    assert not r[3].c4_keep and r[3].n_sentences == 0
+    assert r[0].terminal_punct_line_frac == 1.0

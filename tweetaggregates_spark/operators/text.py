@@ -761,3 +761,119 @@ def zipf_fit(
             (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
         ).alias("zipf_intercept"),
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher quality rule set (Rae et al. 2021, Appendix A1.1) as
+    a per-doc flag table: word-count bounds, mean word length bounds,
+    symbol-to-word ratio, bullet/ellipsis line fractions, fraction of
+    words containing an alphabetic character, and stop-word
+    containment — plus the combined ``gopher_keep`` verdict. Pure
+    column expressions over ONE scan (no explode, no shuffle); emit
+    the flags rather than the filtered rows so downstream curation can
+    weigh rules individually (and the oracle checks every column, not
+    just the survivor set)."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    n_words = F.size(words)
+    mean_wl = F.round(
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+        / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    symbol_ratio = F.round(
+        F.regexp_count(t, F.lit(r"#|\.\.\.")) / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    lines = F.filter(F.split(t, "\n"), lambda x: x != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda x: x.rlike(r"^[-*•]")))
+        / n_lines,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.$"))) / n_lines, 6
+    )
+    alpha_word_ratio = F.round(
+        F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
+        / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(t)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_wl >= 3)
+        & (mean_wl <= 10)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_word_ratio >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_word_ratio.alias("alpha_word_ratio"),
+        stop_hits.cast("int").alias("stop_hits"),
+        keep.alias("gopher_keep"),
+    )
+
+
+def c4_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The C4 cleaning rule set (Raffel et al. 2020 §2.2) as a per-doc
+    flag table: terminal-punctuation line fraction, >=3-word line
+    fraction, sentence count, and the lorem-ipsum / curly-brace
+    page-drop markers — plus the combined ``c4_keep`` page verdict
+    (>=3 sentences, no lorem ipsum, no '{'). One scan, pure column
+    expressions."""
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: x != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    term_frac = F.round(
+        F.size(F.filter(lines, lambda x: x.rlike("[.!?\"']$"))) / n_lines, 6
+    )
+    min_words_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.size(
+                    F.filter(F.split(x, r"\s+"), lambda w: w != "")
+                )
+                >= 3,
+            )
+        )
+        / n_lines,
+        6,
+    )
+    n_sentences = F.regexp_count(t, F.lit(r"[.!?]"))
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    keep = (n_sentences >= 3) & ~has_lorem & ~has_brace
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        term_frac.alias("terminal_punct_line_frac"),
+        min_words_frac.alias("min_words_line_frac"),
+        n_sentences.cast("int").alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_curly_brace"),
+        keep.alias("c4_keep"),
+    )

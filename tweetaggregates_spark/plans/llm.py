@@ -783,3 +783,13 @@ def zipf_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf power-law fit of the corpus token-frequency distribution
     (operators/text.zipf_fit, top-100 terms)."""
     return text.zipf_fit(_docs(spark, sf_dir), top_n=100)
+
+
+def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rule flags per doc (operators/text.gopher_rules)."""
+    return text.gopher_rules(_docs(spark, sf_dir))
+
+
+def c4_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rule flags per doc (operators/text.c4_rules)."""
+    return text.c4_rules(_docs(spark, sf_dir))
