@@ -366,3 +366,37 @@ def test_c4_rules_crafted(spark):
     assert not r[2].c4_keep and r[2].has_lorem_ipsum
     assert not r[3].c4_keep and r[3].n_sentences == 0
     assert r[0].terminal_punct_line_frac == 1.0
+
+
+def test_rank_topk_local_global_equals_plain_window(spark):
+    # the two-phase prune must be result-identical to the one-window
+    # plan for ANY partitioning — randomized rows, repartitioned oddly
+    import random
+
+    from pyspark.sql import Window as W
+
+    from tweetaggregates_spark.operators.topk import rank_topk_local_global
+
+    rng = random.Random(11)
+    rows = [
+        (rng.randrange(5), i, round(rng.uniform(0, 100), 3))
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(
+        rows, "grp INT, rid BIGINT, score DOUBLE"
+    ).repartition(13)
+    for asc in (True, False):
+        got = rank_topk_local_global(
+            df, ["grp"], "score", ["rid"], 7,
+            rank_name="rnk", keep_rank=True, ascending=asc,
+        )
+        srt = F.asc("score") if asc else F.desc("score")
+        w = W.partitionBy("grp").orderBy(srt, F.asc("rid"))
+        want = (
+            df.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 7)
+        )
+        k = ["grp", "rid", "score", "rnk"]
+        assert sorted(map(tuple, got.select(*k).collect())) == sorted(
+            map(tuple, want.select(*k).collect())
+        )
