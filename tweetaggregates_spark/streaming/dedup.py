@@ -183,9 +183,14 @@ def run_streaming_exact_dedup(
 
     The folded index equals a one-shot ``exact_dedup`` over everything
     ingested regardless of trigger boundaries (pinned in
-    tests/test_stream_exact_dedup.py). Analog: the reference folds
-    replayed tweets into RocksDB per window atomically
-    (RocksDBStore.cs:99-109) — incremental, never a store rewrite."""
+    tests/test_stream_exact_dedup.py). ``compact_every=N`` bounds the
+    fold depth on a long-running ingest: every N triggers the index
+    rebases INLINE at the start of the trigger via
+    ``compact_hash_index(below=batch_id)`` — only fully-committed
+    triggers fold, so a replayed trigger still reads exactly its
+    pre-batch index. Analog: the reference folds replayed tweets into
+    RocksDB per window atomically (RocksDBStore.cs:99-109) —
+    incremental, never a store rewrite."""
     from tweetaggregates_spark.operators.dedup import (
         HASH_INDEX_SCHEMA,
         bloom_slots,
