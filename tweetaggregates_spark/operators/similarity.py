@@ -1608,6 +1608,7 @@ def knn_rp_rescore(
     k: int = 5,
     out_dim: int = 8,
     shortlist_size: int = 50,
+    sketch: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage ANN through a random-projection sketch: candidates
     rank by squared L2 in the out_dim-dimensional JL projection
@@ -1644,9 +1645,17 @@ def knn_rp_rescore(
         )
 
     arr = F.array(*[F.col(f"p{j}") for j in range(out_dim)])
-    cp = random_projection(_unit(corpus), vec_col, id_col, out_dim).select(
-        F.col("vec_id").alias("neighbor_id"), arr.alias("c_p")
-    )
+    if sketch is not None:
+        # persisted sketch table (build_rp_index): the corpus float
+        # vectors are touched ONLY by the rescore stage — the
+        # candidate scan reads out_dim doubles per vector from disk
+        cp = sketch.select(
+            F.col("vec_id").alias("neighbor_id"), arr.alias("c_p")
+        )
+    else:
+        cp = random_projection(
+            _unit(corpus), vec_col, id_col, out_dim
+        ).select(F.col("vec_id").alias("neighbor_id"), arr.alias("c_p"))
     qp = random_projection(_unit(queries), vec_col, id_col, out_dim).select(
         F.col("vec_id").alias("query_id"), arr.alias("q_p")
     )
@@ -1700,3 +1709,39 @@ def knn_rp_rescore(
         "cos_sim",
         "knn_rank",
     )
+
+
+def build_rp_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+) -> DataFrame:
+    """Persist the unit-vector JL sketch table — the 'index once,
+    query many' shape for the RP ANN family (sibling of
+    build_ivf_pq_index): one map pass projects the corpus, the sketch
+    lands as plain parquet (out_dim doubles + id per vector —
+    out_dim/d of the embedding bytes), and later queries read ONLY
+    the sketch for their candidate stage plus |Q| x shortlist float
+    rows for the rescore. The sign matrix is derived from (i, j)
+    alone, so query-side projections never need stored state — the
+    sketch is self-describing (column count = out_dim). Appending a
+    new ingest batch is the same map pass writing additional files
+    (projection is row-local; no retraining, no drift — unlike
+    learned quantizers). Returns the re-read sketch DataFrame."""
+
+    def _unit(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(id_col), as_double(vec_col).alias("_vd"))
+            .select(id_col, "_vd", norm(F.col("_vd")).alias("_n"))
+            .select(
+                id_col,
+                F.transform("_vd", lambda x: x / F.col("_n")).alias(vec_col),
+            )
+        )
+
+    random_projection(_unit(corpus), vec_col, id_col, out_dim).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return corpus.sparkSession.read.parquet(path)
