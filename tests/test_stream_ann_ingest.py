@@ -81,3 +81,65 @@ def test_stream_ann_ingest_appends_and_flags_drift(spark, tmp_path):
         r.neighbor_id for r in idx.codes.select("neighbor_id").distinct().collect()
     }
     assert {r["vec_id"] for r in t0 + t1} <= ingested
+
+
+def test_stream_rp_ingest_matches_one_shot_sketch(spark, tmp_path):
+    from tweetaggregates_spark.operators.similarity import (
+        build_rp_index,
+        knn_rp_rescore,
+    )
+    from tweetaggregates_spark.sources.tables import load_table
+    from tweetaggregates_spark.streaming.ann import (
+        read_rp_index,
+        run_streaming_rp_ingest,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        p = in_dir / f"{i}.ndjson"
+        p.write_text(
+            "\n".join(
+                json.dumps({"vec_id": r.vec_id, "embedding": list(r.embedding)})
+                for r in chunk
+            )
+        )
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    index_path = str(tmp_path / "rp_stream")
+    run_streaming_rp_ingest(
+        spark,
+        str(in_dir),
+        index_path,
+        str(tmp_path / "ckpt"),
+        out_dim=16,
+        available_now=True,
+        max_files_per_trigger=1,
+    )
+    # two ingest partitions, one per trigger
+    parts = sorted(
+        d for d in os.listdir(index_path) if d.startswith("ingest=")
+    )
+    assert parts == ["ingest=0", "ingest=1"]
+    streamed = read_rp_index(spark, index_path)
+    # NOTHING to retrain: the streamed sketch is row-for-row what a
+    # from-scratch one-shot build over the union produces
+    oneshot = build_rp_index(emb, str(tmp_path / "rp_oneshot"), out_dim=16)
+    cols = streamed.columns
+    assert sorted(map(tuple, streamed.select(*cols).collect())) == sorted(
+        map(tuple, oneshot.select(*cols).collect())
+    )
+    # and the folded sketch answers queries identically to direct RP
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = knn_rp_rescore(
+        emb, queries, k=5, out_dim=16, shortlist_size=50, sketch=streamed
+    )
+    want = knn_rp_rescore(emb, queries, k=5, out_dim=16, shortlist_size=50)
+    kc = ["query_id", "neighbor_id", "cos_sim", "knn_rank"]
+    assert sorted(map(tuple, got.select(*kc).collect())) == sorted(
+        map(tuple, want.select(*kc).collect())
+    )

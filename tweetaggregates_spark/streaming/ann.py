@@ -85,3 +85,76 @@ def run_streaming_ann_ingest(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def run_streaming_rp_ingest(
+    spark: SparkSession,
+    in_dir: str,
+    index_path: str,
+    checkpoint: str,
+    out_dim: int = 16,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Ingest an embedding NDJSON stream into a persisted RP sketch
+    table (similarity.build_rp_index layout, partitioned by ingest):
+    per trigger ONE map pass projects the batch's unit vectors through
+    the deterministic sign matrix and writes
+    ``ingest=<batch_id>`` with dynamic partition overwrite — replayed
+    triggers replace their own rows. Because the 'model' is a pure
+    function of (i, j), there is NOTHING to retrain and no drift: the
+    streamed sketch is row-for-row what a from-scratch rebuild over
+    the union would produce (pinned in tests/test_stream_ann_ingest) —
+    the property learned quantizers (IVF/PQ) give up for their
+    compression. Queries pass the folded sketch to
+    ``knn_rp_rescore(sketch=...)``."""
+    from pyspark.sql import functions as F
+
+    from tweetaggregates_spark.functions.vectors import as_double, norm
+    from tweetaggregates_spark.operators.similarity import random_projection
+
+    def _process(batch_df, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if batch_df.isEmpty():
+            # random_projection reads the dim from a first() probe —
+            # nothing to project or write for an empty trigger
+            return
+        unit = (
+            batch_df.select(
+                F.col("vec_id"), as_double("embedding").alias("_vd")
+            )
+            .select("vec_id", "_vd", norm(F.col("_vd")).alias("_n"))
+            .select(
+                "vec_id",
+                F.transform("_vd", lambda x: x / F.col("_n")).alias(
+                    "embedding"
+                ),
+            )
+        )
+        random_projection(unit, out_dim=out_dim).withColumn(
+            "ingest", F.lit(str(batch_id))
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("ingest").parquet(index_path)
+
+    reader = spark.readStream.schema(EMB_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    emb = reader.json(in_dir)
+    writer = (
+        emb.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def read_rp_index(spark: SparkSession, index_path: str):
+    """The folded streamed sketch (ingest partition dropped) — pass to
+    ``knn_rp_rescore(sketch=...)``."""
+    df = spark.read.parquet(index_path)
+    return df.drop("ingest") if "ingest" in df.columns else df
