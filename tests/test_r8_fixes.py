@@ -1,0 +1,174 @@
+"""Round-8 hardening pins (ADVICE r7):
+
+* compact_hash_index survives a retry after the bloom-rename /
+  hash-rename crash window (an orphaned blooms_base/v=<newv> must not
+  fail the retried rename);
+* grouped_kmeans with a dict k FAILS on a group missing from the dict
+  instead of silently dropping it;
+* kcenter_coreset round-trips a non-default id column name/type;
+* zipf_fit's pruned local-then-global rank equals the old one-window
+  form (same fitted numbers on the docs table).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tweetaggregates_spark.operators import dedup
+from tweetaggregates_spark.operators.cluster import (
+    grouped_kmeans,
+    kcenter_coreset,
+)
+from tweetaggregates_spark.sources.tables import load_table
+from tweetaggregates_spark.streaming.dedup import (
+    compact_hash_index,
+    read_hash_index_parts,
+    run_streaming_exact_dedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ingest(spark, tmp_path, n_batches=3):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    n = len(rows)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    cuts = [i * n // n_batches for i in range(n_batches)] + [n]
+    for i in range(n_batches):
+        p = in_dir / f"{i}.ndjson"
+        p.write_text(
+            "\n".join(
+                json.dumps({"doc_id": r.doc_id, "text": r.text})
+                for r in rows[cuts[i] : cuts[i + 1]]
+            )
+        )
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    index_path = str(tmp_path / "index")
+    run_streaming_exact_dedup(
+        spark,
+        str(in_dir),
+        index_path,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        max_files_per_trigger=1,
+    )
+    return index_path, docs
+
+
+def test_compact_hash_index_retry_after_bloom_rename_crash(
+    spark, tmp_path
+):
+    """Crash window: bloom base renamed, hash base NOT. The retried
+    compaction recomputes the same newv — it must sweep the orphan and
+    commit, not die on ENOTEMPTY (it runs inline at trigger start, so
+    a sticky failure would wedge the ingest)."""
+    index_path, docs = _ingest(spark, tmp_path)
+    deltas = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{index_path}/hashes")
+        if d.startswith("v=")
+    )
+    newv = max(deltas)
+    # plant the crash residue: an orphaned bloom base at the version
+    # the retry will choose (content = any committed bloom delta)
+    os.makedirs(f"{index_path}/blooms_base", exist_ok=True)
+    shutil.copytree(
+        f"{index_path}/blooms/v={deltas[0]}",
+        f"{index_path}/blooms_base/v={newv}",
+    )
+    compact_hash_index(spark, index_path)  # must not raise
+    assert sorted(os.listdir(f"{index_path}/hashes_base")) == [f"v={newv}"]
+    assert sorted(os.listdir(f"{index_path}/blooms_base")) == [f"v={newv}"]
+    # the committed index is the real fold, not the planted residue
+    idx, bloom = read_hash_index_parts(spark, index_path, below=newv + 1)
+    expect = dedup.exact_dedup(docs)
+    key = ["content_hash", "canonical_id", "n_copies"]
+    assert sorted(map(tuple, idx.select(*key).collect())) == sorted(
+        map(tuple, expect.select(*key).collect())
+    )
+    assert bloom is not None
+
+
+def test_grouped_kmeans_dict_missing_group_raises(spark):
+    df = spark.createDataFrame(
+        [(g, i, [float(i), float(g)]) for g in (0, 1) for i in range(6)],
+        "grp INT, vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    # complete dict: trains fine
+    a, c = grouped_kmeans(df, k={0: 2, 1: 2}, iters=1)
+    assert a.count() == 12
+    # group 1 missing from the dict: must raise, not silently drop
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((PySparkException, Py4JJavaError)) as exc:
+        grouped_kmeans(df, k={0: 2}, iters=1)[0].count()
+    assert "no k entry" in str(exc.value)
+
+
+def test_kcenter_coreset_custom_id_col(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", [0.0, 0.0]),
+            ("b", [10.0, 0.0]),
+            ("c", [0.0, 10.0]),
+            ("d", [1.0, 1.0]),
+        ],
+        "doc STRING, vec ARRAY<DOUBLE>",
+    )
+    out = kcenter_coreset(df, vec_col="vec", id_col="doc", k=3)
+    assert out.columns == ["center_rank", "doc", "min_dist"]
+    assert dict(out.dtypes)["doc"] == "string"
+    rows = sorted(out.collect(), key=lambda r: r.center_rank)
+    assert rows[0].doc == "a"  # lowest-id seed
+    assert {r.doc for r in rows} == {"a", "b", "c"}
+
+
+def test_zipf_fit_pruned_rank_matches_one_window(spark):
+    """The rank_topk_local_global pruning is result-identical to the
+    old single-task row_number window."""
+    from pyspark.sql import Window as W
+
+    from tweetaggregates_spark.functions.textstats import tokens
+    from tweetaggregates_spark.operators.text import zipf_fit
+
+    docs = load_table(spark, SF, "documents")
+    got = zipf_fit(docs, top_n=50).first()
+
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.orderBy(F.desc("cnt"), F.asc("tok"))
+    old_top = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 50)
+        .select("tok", "rnk")
+    )
+    new_top = (
+        __import__(
+            "tweetaggregates_spark.operators.topk", fromlist=["x"]
+        ).rank_topk_local_global(
+            counts,
+            partition_cols=[],
+            order_col="cnt",
+            tiebreak_cols=["tok"],
+            k=50,
+            rank_name="rnk",
+            keep_rank=True,
+        )
+    ).select("tok", "rnk")
+    assert sorted(map(tuple, new_top.collect())) == sorted(
+        map(tuple, old_top.collect())
+    )
+    assert got.n_terms == min(50, counts.count())
+    assert got.zipf_slope < 0

@@ -526,6 +526,17 @@ def grouped_kmeans(
             k_expr = (
                 F.when(cond, kg) if k_expr is None else k_expr.when(cond, kg)
             )
+        # a group absent from the dict must FAIL, not silently vanish
+        # (a NULL k would make the seed filter false for every row of
+        # that group, dropping it from both outputs)
+        k_expr = k_expr.otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("grouped_kmeans: no k entry for group "),
+                    F.col(group_col).cast("string"),
+                )
+            ).cast("int")
+        )
     else:
         k_expr = F.lit(k)
 
@@ -720,9 +731,24 @@ def kcenter_coreset(
             state = state.withColumn(
                 "_mind", F.least(F.col("_mind"), d2_to(far["_v"]))
             )
-    out = df.sparkSession.createDataFrame(
-        chosen, "center_rank INT, vec_id BIGINT, min_dist DOUBLE"
+    # the output id column is NAMED and TYPED from the input's id_col
+    # (a non-default id — string doc ids, int keys — round-trips
+    # instead of mislabeling as vec_id/bigint)
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
+
+    schema = StructType(
+        [
+            StructField("center_rank", IntegerType(), False),
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("min_dist", DoubleType(), False),
+        ]
+    )
+    out = df.sparkSession.createDataFrame(chosen, schema)
     return out.select(
-        "center_rank", "vec_id", F.round("min_dist", 6).alias("min_dist")
+        "center_rank", id_col, F.round("min_dist", 6).alias("min_dist")
     )

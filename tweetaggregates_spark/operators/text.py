@@ -719,8 +719,6 @@ def zipf_fit(
     ln-values rounded to 9 (order-free and identical in both engines;
     ln ulp noise is absorbed by the rounding, same convention as the
     tf-idf twin). Output: (n_terms, zipf_slope, zipf_intercept)."""
-    from pyspark.sql import Window as W
-
     from tweetaggregates_spark.functions.textstats import tokens
 
     counts = (
@@ -728,10 +726,23 @@ def zipf_fit(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = W.orderBy(F.desc("cnt"), F.asc("tok"))
+    # top_n rank via local-then-global pruning (rank_topk_local_global):
+    # each partition keeps its own top_n first, so the final global
+    # window ranks ~top_n x n_partitions survivors instead of pulling
+    # the full distinct-vocab table into one task — result-identical
+    # (any global top-n row is in its partition's local top-n)
+    from tweetaggregates_spark.operators.topk import rank_topk_local_global
+
     ranked = (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= top_n)
+        rank_topk_local_global(
+            counts,
+            partition_cols=[],
+            order_col="cnt",
+            tiebreak_cols=["tok"],
+            k=top_n,
+            rank_name="rnk",
+            keep_rank=True,
+        )
         .select(
             F.round(F.log(F.col("rnk").cast("double")), 9).alias("x"),
             F.round(F.log(F.col("cnt").cast("double")), 9).alias("y"),

@@ -367,7 +367,15 @@ def compact_hash_index(spark: SparkSession, index_path: str, below=None):
     os.makedirs(f"{index_path}/blooms_base", exist_ok=True)
     # commit order: bloom base first (readers key off the HASH base
     # version; an orphaned newer bloom base is never read), then the
-    # hash base rename that makes the merge visible
+    # hash base rename that makes the merge visible.
+    # Retry safety: a crash INSIDE that window (bloom renamed, hash
+    # not) leaves an orphaned blooms_base/v=<newv>; the retried
+    # compaction recomputes the same newv and os.rename cannot replace
+    # a non-empty dir (ENOTEMPTY) — and this runs INLINE at trigger
+    # start, so without the sweep the ingest would fail on every
+    # retry. The orphan is unreadable (no matching hash base), so
+    # deleting it first is safe and keeps the commit order intact.
+    shutil.rmtree(f"{index_path}/blooms_base/v={newv}", ignore_errors=True)
     os.rename(tmp_b, f"{index_path}/blooms_base/v={newv}")
     os.rename(tmp_h, f"{index_path}/hashes_base/v={newv}")
     # post-commit cleanup: folded deltas and superseded bases
