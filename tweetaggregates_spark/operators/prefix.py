@@ -91,3 +91,94 @@ def partitioned_prefix_sum(
         local.withColumn(out_col, F.col("__local") + off)
         .drop("__b", "__local")
     )
+
+
+def grouped_partitioned_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    tiebreakers: list[str] | None = None,
+    *,
+    ascending: bool = False,
+    n_buckets: int = 32,
+    rank_name: str = "_rank",
+    count_name: str | None = None,
+) -> DataFrame:
+    """Per-group dense ordinal rank (``row_number`` semantics over
+    ``(order_col, tiebreakers)``) WITHOUT a per-group single-task
+    window. ``Window.partitionBy(group)`` executes each group in one
+    task, so a dominant group (zipf-distributed web domains, say)
+    funnels its whole sort through one executor — and AQE cannot help
+    (its skew mitigation applies to joins and shuffle reads, not
+    WindowExec partitions). Same two-pass shape as
+    ``partitioned_prefix_sum``, keyed per group:
+
+      1. bucket rows by range of the order key (quantile cuts — any
+         cut choice yields the same final ranks, so approxQuantile's
+         merge-order nondeterminism is harmless);
+      2. local ``row_number`` over a window partitioned by
+         ``(group, bucket)`` — a dominant group splits across
+         ``n_buckets`` tasks;
+      3. tiny ``(group, bucket) -> count`` aggregate, exclusive
+         prefix along the sort direction via a window over that
+         aggregate (≤ ``n_buckets`` rows per group partition), joined
+         back — rank = offset + local row_number.
+
+    Rows equal on the order key always share a bucket (cuts compare
+    strictly), so ``tiebreakers`` never order across buckets; the
+    result is identical to the one-window plan. The split helps in
+    proportion to order-key distinctness — a group whose key is one
+    constant still lands in one bucket (but then its sort is trivial
+    anyway). ``count_name`` optionally appends the per-group row count
+    (for percent_rank-style normalizations) from the same aggregate —
+    no extra scan."""
+    from pyspark.sql import Window as W
+
+    key = F.col(order_col).cast("double")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = sorted(
+        set(
+            df.select(key.alias("__k")).approxQuantile(
+                "__k", probs, 1.0 / (4 * n_buckets)
+            )
+        )
+    )
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (key > F.lit(c)).cast("int")
+    # NULL order keys sort where the one-window plan puts them: ASC
+    # NULLS FIRST / DESC NULLS LAST — in BOTH directions that is the
+    # low-key end, so bucket -1 (asc(__b) puts it first, desc(__b)
+    # puts it last)
+    b = df.withColumn(
+        "__b", F.when(key.isNull(), F.lit(-1)).otherwise(bucket)
+    )
+
+    srt = F.asc(order_col) if ascending else F.desc(order_col)
+    order = [srt] + [F.asc(t) for t in tiebreakers or []]
+    wloc = W.partitionBy(*group_cols, "__b").orderBy(*order)
+    local = b.withColumn("__lr", F.row_number().over(wloc))
+
+    counts = b.groupBy(*group_cols, "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    bdir = F.asc("__b") if ascending else F.desc("__b")
+    woff = (
+        W.partitionBy(*group_cols)
+        .orderBy(bdir)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = counts.withColumn(
+        "__off", F.coalesce(F.sum("__c").over(woff), F.lit(0))
+    )
+    if count_name is not None:
+        wtot = W.partitionBy(*group_cols)
+        offs = offs.withColumn(count_name, F.sum("__c").over(wtot))
+    offs = offs.drop("__c")
+
+    # the offset table is |groups| x n_buckets rows — AQE broadcasts
+    # it when small; at worst a skew-free equi-join on (group, bucket)
+    joined = local.join(offs, [*group_cols, "__b"])
+    return joined.withColumn(
+        rank_name, (F.col("__off") + F.col("__lr")).cast("int")
+    ).drop("__b", "__lr", "__off")

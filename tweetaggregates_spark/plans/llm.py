@@ -703,21 +703,40 @@ def domain_quality_filter_docs(
     """Per-source quality-percentile curation (the FineWeb-style rule:
     calibrate the quality bar WITHIN each source, not globally, so one
     boilerplate-heavy domain doesn't eat the whole budget): keep each
-    source's top half by quality_score. One scan + one window — no
-    joins; at 100 TB the window partitions by source and AQE splits
-    skewed sources."""
-    from pyspark.sql import Window as W
+    source's top half by quality_score.
+
+    Scale note: ``percent_rank().over(partitionBy(source))`` would run
+    each source in ONE task — web-domain sizes are zipf-distributed,
+    so at 100 TB one dominant source funnels through a single sort,
+    and AQE cannot split WindowExec partitions. Instead the rank comes
+    from ``prefix.grouped_partitioned_rank`` (quality-bucketed local
+    row_number + per-(source,bucket) offset fold), which splits a
+    dominant source across n_buckets tasks and is result-identical;
+    percent_rank is then (rank-1)/(n-1) from the same aggregate's
+    per-source count (0.0 for single-row sources, matching SQL)."""
+    from tweetaggregates_spark.operators.prefix import (
+        grouped_partitioned_rank,
+    )
 
     q = text.quality_score(_docs(spark, sf_dir), keep_cols=("source",))
-    w = W.partitionBy("source").orderBy(
-        F.desc("quality_score"), F.col("doc_id")
+    ranked = grouped_partitioned_rank(
+        q,
+        ["source"],
+        "quality_score",
+        ["doc_id"],
+        ascending=False,
+        rank_name="_rnk",
+        count_name="_n",
+    )
+    pct = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+        (F.col("_rnk") - 1).cast("double") / (F.col("_n") - 1)
     )
     return (
-        q.select(
+        ranked.select(
             "doc_id",
             "source",
             "quality_score",
-            F.round(F.percent_rank().over(w), 6).alias("q_pct"),
+            F.round(pct, 6).alias("q_pct"),
         )
         .filter(F.col("q_pct") <= 0.5)
     )
