@@ -1,0 +1,248 @@
+"""ONE parametrized crash-safety suite for the shared versioned-store
+contract (VERDICT r7 #2): both base+delta index families — the MinHash
+band index (``operators/dedup``) and the exact-dedup hash index with
+its bloom sidecar (``streaming/dedup``) — now route listing,
+below-filtering, commit, and cleanup through
+``tweetaggregates_spark.versioned_store``, so the contract is pinned
+once, against both, through their public read/compact entry points:
+
+* **replay**: ``below=N`` reads exactly the pre-N state;
+* **stale-delta plant**: a folded delta left on disk at v <= base
+  (crash between base commit and delta cleanup) never double-counts;
+* **crash-between-commits**: for multi-family commits, a retry after
+  the non-final family's rename sweeps its own orphan and commits
+  (never ENOTEMPTY-wedges); temp dirs from a crash mid-materialize
+  are likewise swept.
+
+Plus direct unit pins on the primitives.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tweetaggregates_spark import versioned_store as vstore
+from tweetaggregates_spark.operators import dedup
+from tweetaggregates_spark.streaming.dedup import (
+    compact_hash_index,
+    read_hash_index_parts,
+)
+
+TEXTS = [
+    "apple banana cherry date elderberry fig grape honeydew",
+    "kiwi lemon mango nectarine orange papaya quince raspberry",
+    "strawberry tangerine ugli vanilla watermelon xigua yam zucchini",
+]
+
+
+class BandFamily:
+    """Driver for the MinHash band index tree (base/bands/remap)."""
+
+    name = "band"
+    delta_subs = ("bands",)
+    base_subs = ("base",)
+
+    def append(self, spark, path, v):
+        docs = spark.createDataFrame(
+            [(v * 10 + i, t) for i, t in enumerate(TEXTS)],
+            ["doc_id", "text"],
+        )
+        dedup.append_band_index_delta(
+            dedup.build_band_index(docs),
+            spark.createDataFrame([], dedup.REMAP_SCHEMA),
+            path,
+            v,
+        )
+
+    def fingerprint(self, spark, path, below=None):
+        return sorted(
+            map(
+                tuple,
+                dedup.read_band_index(spark, path, below=below)
+                .select("doc_id", "band_id", "band_key", "cluster")
+                .collect(),
+            )
+        )
+
+    def compact(self, spark, path, below=None):
+        dedup.compact_band_index(spark, path, below=below)
+
+
+class HashFamily:
+    """Driver for the exact-dedup hash index + bloom sidecar
+    (hashes_base/hashes, blooms_base/blooms)."""
+
+    name = "hash"
+    delta_subs = ("hashes", "blooms")
+    base_subs = ("hashes_base", "blooms_base")
+    N_BITS = 1 << 12
+
+    def append(self, spark, path, v):
+        docs = spark.createDataFrame(
+            [(v * 10 + i, t) for i, t in enumerate(TEXTS)],
+            ["doc_id", "text"],
+        )
+        rows = docs.select(
+            F.xxhash64("text").alias("content_hash"),
+            F.col("doc_id").alias("canonical_id"),
+            F.lit(1).cast("long").alias("n_copies"),
+        )
+        rows.write.mode("overwrite").parquet(f"{path}/hashes/v={v}")
+        dedup.bloom_slots(
+            rows, "content_hash", self.N_BITS, 3
+        ).write.mode("overwrite").parquet(f"{path}/blooms/v={v}")
+
+    def fingerprint(self, spark, path, below=None):
+        below = below if below is not None else 1 << 30
+        idx, _ = read_hash_index_parts(spark, path, below=below)
+        if idx is None:
+            return []
+        return sorted(
+            map(
+                tuple,
+                idx.select(
+                    "content_hash", "canonical_id", "n_copies"
+                ).collect(),
+            )
+        )
+
+    def compact(self, spark, path, below=None):
+        compact_hash_index(spark, path, below=below)
+
+
+@pytest.fixture(params=[BandFamily(), HashFamily()], ids=["band", "hash"])
+def family(request):
+    return request.param
+
+
+class TestVersionedStoreContract:
+    def test_replay_reads_pre_batch_state(self, spark, family, tmp_path):
+        path = str(tmp_path / "idx")
+        for v in range(3):
+            family.append(spark, path, v)
+        pre2 = family.fingerprint(spark, path, below=2)
+        # a redelivered trigger 2 overwrites its own version and still
+        # reads exactly the pre-batch index
+        family.append(spark, path, 2)
+        assert family.fingerprint(spark, path, below=2) == pre2
+        # the full fold differs (band: more rows; hash: higher
+        # n_copies on the merged groups)
+        assert family.fingerprint(spark, path) != pre2
+
+    def test_stale_delta_plant_never_double_counts(
+        self, spark, family, tmp_path
+    ):
+        path = str(tmp_path / "idx")
+        for v in range(3):
+            family.append(spark, path, v)
+        before = family.fingerprint(spark, path)
+        family.compact(spark, path)
+        assert family.fingerprint(spark, path) == before
+        # crash between base commit and delta cleanup: the folded
+        # deltas reappear on disk at v <= base — readers must ignore
+        # all of them (re-appending at the old versions recreates
+        # exactly the delta payloads the compaction folded)
+        for v in range(3):
+            family.append(spark, path, v)
+        assert family.fingerprint(spark, path) == before
+
+    def test_compaction_idempotent_and_crash_safe_tmp(
+        self, spark, family, tmp_path
+    ):
+        path = str(tmp_path / "idx")
+        for v in range(4):
+            family.append(spark, path, v)
+        want = family.fingerprint(spark, path)
+        # crash mid-materialize: a stale temp dir from a dead attempt
+        for sub in family.base_subs:
+            os.makedirs(f"{path}/.compact_{sub}_tmp", exist_ok=True)
+            with open(f"{path}/.compact_{sub}_tmp/garbage", "w") as fh:
+                fh.write("crash residue")
+        family.compact(spark, path)
+        assert family.fingerprint(spark, path) == want
+        # compacting again (nothing new) must be a no-op, not a
+        # delete-then-rewrite of the live base
+        family.compact(spark, path)
+        assert family.fingerprint(spark, path) == want
+        # deltas folded, single base version per family
+        for sub in family.delta_subs:
+            assert vstore.versions(f"{path}/{sub}") in ([], [3])
+        for sub in family.base_subs:
+            assert len(vstore.versions(f"{path}/{sub}")) == 1
+
+    def test_append_after_compact_folds_on_top(
+        self, spark, family, tmp_path
+    ):
+        path = str(tmp_path / "idx")
+        for v in range(2):
+            family.append(spark, path, v)
+        family.compact(spark, path)
+        family.append(spark, path, 5)
+        full = family.fingerprint(spark, path)
+        assert family.fingerprint(spark, path, below=5) != full
+        # second compaction folds the post-base delta
+        family.compact(spark, path)
+        assert family.fingerprint(spark, path) == full
+
+
+class TestPrimitives:
+    def test_versions_ignores_non_version_names(self, tmp_path):
+        p = str(tmp_path / "d")
+        for name in ("v=3", "v=10", "v=x", ".tmp", "batch_id=4", "v=5"):
+            os.makedirs(f"{p}/{name}")
+        assert vstore.versions(p) == [3, 5, 10]
+        assert vstore.versions(str(tmp_path / "missing")) == []
+
+    def test_base_and_deltas_filtering(self, tmp_path):
+        root = str(tmp_path)
+        for v in (2, 5):
+            os.makedirs(f"{root}/base/v={v}")
+        for v in (1, 3, 5, 6, 8):
+            os.makedirs(f"{root}/deltas/v={v}")
+        assert vstore.base_and_deltas(root, "base", "deltas") == (5, [6, 8])
+        assert vstore.base_and_deltas(root, "base", "deltas", below=6) == (
+            5,
+            [],
+        )
+        assert vstore.base_and_deltas(root, "base", "deltas", below=5) == (
+            2,
+            [3],
+        )
+        assert vstore.base_and_deltas(root, "base", "deltas", below=1) == (
+            None,
+            [],
+        )
+
+    def test_commit_bases_orphan_sweep_and_order(self, spark, tmp_path):
+        root = str(tmp_path)
+        df = spark.range(3).select(F.col("id").alias("x"))
+        # plant the crash residue: non-final family already renamed
+        os.makedirs(f"{root}/sidecar/v=7/stale", exist_ok=True)
+        vstore.commit_bases(
+            root, [("sidecar", df), ("main", df)], 7
+        )
+        assert vstore.versions(f"{root}/sidecar") == [7]
+        assert vstore.versions(f"{root}/main") == [7]
+        assert not os.path.exists(f"{root}/sidecar/v=7/stale")
+        assert spark.read.parquet(f"{root}/main/v=7").count() == 3
+        # the FINAL family is the commit point: it must not silently
+        # replace a live base unless allow_replace is set
+        with pytest.raises(OSError):
+            vstore.commit_bases(root, [("sidecar", df), ("main", df)], 7)
+        vstore.commit_bases(
+            root, [("sidecar", df), ("main", df)], 7, allow_replace=True
+        )
+        assert spark.read.parquet(f"{root}/main/v=7").count() == 3
+
+    def test_cleanup_after_compact(self, tmp_path):
+        root = str(tmp_path)
+        for v in (1, 2, 3, 4):
+            os.makedirs(f"{root}/d/v={v}")
+        for v in (2, 3):
+            os.makedirs(f"{root}/b/v={v}")
+        vstore.cleanup_after_compact(root, ["d"], ["b"], newv=3)
+        assert vstore.versions(f"{root}/d") == [4]
+        assert vstore.versions(f"{root}/b") == [3]

@@ -1023,16 +1023,9 @@ def write_band_index_bucketed(
 
 
 def _versions(path: str) -> list[int]:
-    import os
-    import re
+    from tweetaggregates_spark.versioned_store import versions
 
-    if not os.path.isdir(path):
-        return []
-    return sorted(
-        int(m.group(1))
-        for name in os.listdir(path)
-        if (m := re.fullmatch(r"v=(\d+)", name))
-    )
+    return versions(path)
 
 
 def append_band_index_delta(
@@ -1078,11 +1071,10 @@ def read_band_index_parts(
     the tiny resolved remap folds onto the join OUTPUT, not the scan."""
     import os
 
-    def _keep(v: int) -> bool:
-        return below is None or v < below
+    from tweetaggregates_spark.versioned_store import base_and_deltas
 
-    base_vs = [v for v in _versions(f"{path}/base") if _keep(v)]
-    base = max(base_vs) if base_vs else None
+    base, band_vs = base_and_deltas(path, "base", "bands", below)
+    _, remap_vs = base_and_deltas(path, "base", "remap", below)
     parts = []
     if base is not None:
         if base_table is not None:
@@ -1093,19 +1085,9 @@ def read_band_index_parts(
             )
         else:
             parts.append(spark.read.parquet(f"{path}/base/v={base}"))
-    band_vs = [
-        v
-        for v in _versions(f"{path}/bands")
-        if _keep(v) and (base is None or v > base)
-    ]
     for v in band_vs:
         parts.append(spark.read.parquet(f"{path}/bands/v={v}"))
 
-    remap_vs = [
-        v
-        for v in _versions(f"{path}/remap")
-        if _keep(v) and (base is None or v > base)
-    ]
     if not remap_vs:
         return parts, None
     logs = [spark.read.parquet(f"{path}/remap/v={v}") for v in remap_vs]
@@ -1171,17 +1153,10 @@ def read_bucket_counts(
     and the fold is one groupBy over O(buckets) rows, never a corpus
     aggregation."""
 
-    def _keep(v: int) -> bool:
-        return below is None or v < below
+    from tweetaggregates_spark.versioned_store import base_and_deltas
 
-    base_vs = [v for v in _versions(f"{path}/base") if _keep(v)]
-    base = max(base_vs) if base_vs else None
-    needed = [base] if base is not None else []
-    needed += [
-        v
-        for v in _versions(f"{path}/bands")
-        if _keep(v) and (base is None or v > base)
-    ]
+    base, band_vs = base_and_deltas(path, "base", "bands", below)
+    needed = ([base] if base is not None else []) + band_vs
     if not needed:
         return spark.createDataFrame([], COUNTS_SCHEMA)
     have = set(_versions(f"{path}/counts"))
@@ -1352,32 +1327,31 @@ def compact_band_index(
             )
         ).localCheckpoint(eager=True)
 
-    all_vs = [
-        v
-        for v in (
-            _versions(f"{path}/bands")
-            + _versions(f"{path}/remap")
-            + _versions(f"{path}/base")
-        )
-        if below is None or v < below
-    ]
+    from tweetaggregates_spark import versioned_store as vstore
+
+    b, band_vs = vstore.base_and_deltas(path, "base", "bands", below)
+    _, remap_vs = vstore.base_and_deltas(path, "base", "remap", below)
+    if b is not None and not band_vs and not remap_vs and q_merged is None:
+        # nothing folded beyond the existing base and no quarantine
+        # relabeling: recommitting would replace base/v=<b> in place
+        # (rmtree + rename), whose crash window briefly has NO base on
+        # disk — skip the no-op instead
+        return folded
+    all_vs = band_vs + remap_vs + ([b] if b is not None else [])
     if not all_vs:
         return folded
     newv = max(all_vs)
-    tmp = f"{path}/.compact_tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    folded.write.mode("overwrite").parquet(tmp)
-    os.makedirs(f"{path}/base", exist_ok=True)
     target = f"{path}/base/v={newv}"
-    shutil.rmtree(target, ignore_errors=True)
-    os.rename(tmp, target)  # the commit point
-    for sub in ("bands", "remap", "counts"):
-        for v in _versions(f"{path}/{sub}"):
-            if v <= newv:
-                shutil.rmtree(f"{path}/{sub}/v={v}", ignore_errors=True)
-    for v in _versions(f"{path}/base"):
-        if v < newv:
-            shutil.rmtree(f"{path}/base/v={v}", ignore_errors=True)
+    # allow_replace: quarantine re-admission can relabel clusters
+    # without any new delta version, so the fold legitimately replaces
+    # the base at its own version
+    vstore.commit_bases(path, [("base", folded)], newv, allow_replace=True)
+    vstore.cleanup_after_compact(
+        path,
+        delta_subs=["bands", "remap", "counts"],
+        base_subs=["base"],
+        newv=newv,
+    )
     # the base's bucket counts (a crash before this write just makes
     # read_bucket_counts return None and callers re-count)
     bucket_counts(spark.read.parquet(target)).write.mode(

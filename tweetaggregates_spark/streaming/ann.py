@@ -71,20 +71,12 @@ def run_streaming_ann_ingest(
             f"{report_path}/batch_id={batch_id}"
         )
 
-    reader = spark.readStream.schema(EMB_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    docs = reader.json(in_dir)
-    writer = (
-        docs.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    from tweetaggregates_spark.streaming.runner import run_foreach_batch
+
+    return run_foreach_batch(
+        spark, in_dir, EMB_SCHEMA, _process, checkpoint,
+        available_now, max_files_per_trigger,
     )
-    if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
-        return q
-    return writer.start()
 
 
 def run_streaming_rp_ingest(
@@ -137,20 +129,12 @@ def run_streaming_rp_ingest(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("ingest").parquet(index_path)
 
-    reader = spark.readStream.schema(EMB_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    emb = reader.json(in_dir)
-    writer = (
-        emb.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    from tweetaggregates_spark.streaming.runner import run_foreach_batch
+
+    return run_foreach_batch(
+        spark, in_dir, EMB_SCHEMA, _process, checkpoint,
+        available_now, max_files_per_trigger,
     )
-    if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
-        return q
-    return writer.start()
 
 
 def read_rp_index(spark: SparkSession, index_path: str):

@@ -133,20 +133,12 @@ def run_streaming_near_dedup(
                 f"{out_path}_quarantine/batch_id={batch_id}"
             )
 
-    reader = spark.readStream.schema(DOC_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    docs = reader.json(in_dir)
-    writer = (
-        docs.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    from tweetaggregates_spark.streaming.runner import run_foreach_batch
+
+    return run_foreach_batch(
+        spark, in_dir, DOC_SCHEMA, _process, checkpoint,
+        available_now, max_files_per_trigger,
     )
-    if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
-        return q
-    return writer.start()
 
 
 # -- streaming EXACT-dup ingest over a versioned hash index + bloom ----------
@@ -229,20 +221,12 @@ def run_streaming_exact_dedup(
             f"{out_path}/batch_id={batch_id}"
         )
 
-    reader = spark.readStream.schema(DOC_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    docs = reader.json(in_dir)
-    writer = (
-        docs.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    from tweetaggregates_spark.streaming.runner import run_foreach_batch
+
+    return run_foreach_batch(
+        spark, in_dir, DOC_SCHEMA, _process, checkpoint,
+        available_now, max_files_per_trigger,
     )
-    if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
-        return q
-    return writer.start()
 
 
 def read_hash_index_parts(
@@ -250,67 +234,36 @@ def read_hash_index_parts(
 ):
     """(index, bloom) for every committed version strictly below
     ``below``: the newest compacted base (hashes_base/v=B) folded with
-    the deltas B < v < below. Deltas at or below the base version are
-    EXCLUDED even if still on disk (a crash between base commit and
-    delta cleanup must not double-count n_copies). Returns (None,
-    None) when nothing is committed yet."""
-    import os
-
+    the deltas B < v < below — the ``versioned_store`` read contract
+    (deltas at or below the base are excluded even if still on disk,
+    so a crash between base commit and delta cleanup never
+    double-counts n_copies). The bloom sidecar is SLAVED to the hash
+    family's version selection, so the pair always folds
+    consistently. Returns (None, None) when nothing is committed."""
+    from tweetaggregates_spark import versioned_store as vstore
     from tweetaggregates_spark.operators.dedup import (
         HASH_INDEX_SCHEMA,
         fold_hash_index,
         pack_bloom,
     )
 
-    def _versions(sub: str) -> list[int]:
-        base = f"{index_path}/{sub}"
-        if not os.path.isdir(base):
-            return []
-        return sorted(
-            int(d.split("=")[1])
-            for d in os.listdir(base)
-            if d.startswith("v=")
+    b, deltas = vstore.base_and_deltas(
+        index_path, "hashes_base", "hashes", below
+    )
+    u = vstore.union_all(
+        vstore.read_family(
+            spark, index_path, "hashes_base", "hashes", b, deltas,
+            schema=HASH_INDEX_SCHEMA,
         )
-
-    bases = [v for v in _versions("hashes_base") if v < below]
-    b = max(bases) if bases else None
-    deltas = [
-        v
-        for v in _versions("hashes")
-        if v < below and (b is None or v > b)
-    ]
-    parts = []
-    sparts = []
-    if b is not None:
-        parts.append(
-            spark.read.schema(HASH_INDEX_SCHEMA).parquet(
-                f"{index_path}/hashes_base/v={b}"
-            )
-        )
-        sparts.append(
-            spark.read.schema("slot BIGINT, mask BIGINT").parquet(
-                f"{index_path}/blooms_base/v={b}"
-            )
-        )
-    for v in deltas:
-        parts.append(
-            spark.read.schema(HASH_INDEX_SCHEMA).parquet(
-                f"{index_path}/hashes/v={v}"
-            )
-        )
-        sparts.append(
-            spark.read.schema("slot BIGINT, mask BIGINT").parquet(
-                f"{index_path}/blooms/v={v}"
-            )
-        )
-    if not parts:
+    )
+    if u is None:
         return None, None
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    su = sparts[0]
-    for p in sparts[1:]:
-        su = su.unionByName(p)
+    su = vstore.union_all(
+        vstore.read_family(
+            spark, index_path, "blooms_base", "blooms", b, deltas,
+            schema="slot BIGINT, mask BIGINT",
+        )
+    )
     return fold_hash_index(u), pack_bloom(su)
 
 
@@ -320,73 +273,40 @@ def compact_hash_index(spark: SparkSession, index_path: str, below=None):
     version and drop the folded deltas — bounds the fold depth on a
     long-running ingest, symmetric with compact_band_index.
 
-    Crash-safe: the merged base materializes in a temp dir and commits
-    by ONE atomic rename to a name that does not pre-exist
-    (hashes_base/v=<max folded delta>); folded deltas are removed only
-    AFTER the commit, and the reader ignores deltas at or below the
-    newest base version, so a crash at any point leaves a readable,
-    non-double-counting index."""
-    import os
-    import shutil
+    Mechanics are the shared ``versioned_store`` contract: both bases
+    materialize in temp dirs, then rename in a fixed order — bloom
+    FIRST (readers key off the HASH base version, so an orphaned newer
+    bloom base is never read), hash base LAST as the commit point —
+    with the retry-after-crash orphan sweep and post-commit cleanup
+    handled by ``commit_bases`` / ``cleanup_after_compact``. A crash
+    at any point leaves a readable, non-double-counting index."""
+    from tweetaggregates_spark import versioned_store as vstore
 
-    def _versions(sub: str) -> list[int]:
-        base = f"{index_path}/{sub}"
-        if not os.path.isdir(base):
-            return []
-        return sorted(
-            int(d.split("=")[1])
-            for d in os.listdir(base)
-            if d.startswith("v=")
-        )
-
-    old_bases = _versions("hashes_base")
-    b = max([v for v in old_bases if below is None or v < below], default=None)
-    deltas = [
-        v
-        for v in _versions("hashes")
-        if (below is None or v < below) and (b is None or v > b)
-    ]
+    b, deltas = vstore.base_and_deltas(
+        index_path, "hashes_base", "hashes", below
+    )
     if not deltas or (len(deltas) < 2 and b is None):
         return
     newv = max(deltas)
     index, _ = read_hash_index_parts(spark, index_path, below=newv + 1)
-    tmp_h = f"{index_path}/.compact_hashes_tmp"
-    shutil.rmtree(tmp_h, ignore_errors=True)
-    index.write.mode("overwrite").parquet(tmp_h)
     # bloom base: re-fold the slot tables (bit_or over every part)
-    parts = []
-    if b is not None:
-        parts.append(f"{index_path}/blooms_base/v={b}")
-    parts += [f"{index_path}/blooms/v={v}" for v in deltas]
-    slots = spark.read.schema("slot BIGINT, mask BIGINT").parquet(*parts)
-    merged_slots = slots.groupBy("slot").agg(F.bit_or("mask").alias("mask"))
-    tmp_b = f"{index_path}/.compact_blooms_tmp"
-    shutil.rmtree(tmp_b, ignore_errors=True)
-    merged_slots.write.mode("overwrite").parquet(tmp_b)
-    os.makedirs(f"{index_path}/hashes_base", exist_ok=True)
-    os.makedirs(f"{index_path}/blooms_base", exist_ok=True)
-    # commit order: bloom base first (readers key off the HASH base
-    # version; an orphaned newer bloom base is never read), then the
-    # hash base rename that makes the merge visible.
-    # Retry safety: a crash INSIDE that window (bloom renamed, hash
-    # not) leaves an orphaned blooms_base/v=<newv>; the retried
-    # compaction recomputes the same newv and os.rename cannot replace
-    # a non-empty dir (ENOTEMPTY) — and this runs INLINE at trigger
-    # start, so without the sweep the ingest would fail on every
-    # retry. The orphan is unreadable (no matching hash base), so
-    # deleting it first is safe and keeps the commit order intact.
-    shutil.rmtree(f"{index_path}/blooms_base/v={newv}", ignore_errors=True)
-    os.rename(tmp_b, f"{index_path}/blooms_base/v={newv}")
-    os.rename(tmp_h, f"{index_path}/hashes_base/v={newv}")
-    # post-commit cleanup: folded deltas and superseded bases
-    for v in deltas:
-        shutil.rmtree(f"{index_path}/hashes/v={v}", ignore_errors=True)
-        shutil.rmtree(f"{index_path}/blooms/v={v}", ignore_errors=True)
-    for v in old_bases:
-        if v < newv:
-            shutil.rmtree(
-                f"{index_path}/hashes_base/v={v}", ignore_errors=True
-            )
-            shutil.rmtree(
-                f"{index_path}/blooms_base/v={v}", ignore_errors=True
-            )
+    slots = vstore.union_all(
+        vstore.read_family(
+            spark, index_path, "blooms_base", "blooms", b, deltas,
+            schema="slot BIGINT, mask BIGINT",
+        )
+    )
+    merged_slots = slots.groupBy("slot").agg(
+        F.bit_or("mask").alias("mask")
+    )
+    vstore.commit_bases(
+        index_path,
+        [("blooms_base", merged_slots), ("hashes_base", index)],
+        newv,
+    )
+    vstore.cleanup_after_compact(
+        index_path,
+        delta_subs=["hashes", "blooms"],
+        base_subs=["hashes_base", "blooms_base"],
+        newv=newv,
+    )
