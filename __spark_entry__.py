@@ -125,7 +125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sits just past position 50 so the whole gated block stays
     # hash-checkable.
     return {
-        # -- never driver-checked (round-7 registrations) --
+        # -- never driver-checked (round-8 registrations) --
+        "stream_exact_dedup_docs": llm.stream_exact_dedup_docs,
+        # -- round-7 registrations (driver-checked r7) --
         "bloom_dedup_new_docs": llm.bloom_dedup_new_docs,
         "random_projection_embeddings": llm.random_projection_embeddings,
         "domain_quality_filter_docs": llm.domain_quality_filter_docs,
@@ -2095,6 +2097,10 @@ def oracle_sql() -> dict[str, str]:
     # incremental exact dedup: min/sum associativity makes the fold
     # batching-invariant, so its oracle IS the one-shot exact dedup
     sql["incremental_exact_dedup_docs"] = sql["exact_dedup_docs"]
+    # streaming exact-dedup lifecycle: the folded persisted index is
+    # batching-invariant (associative min/sum fold), so its oracle is
+    # the same one-shot GROUP BY
+    sql["stream_exact_dedup_docs"] = sql["exact_dedup_docs"]
     sql["canonical_docs"] = f"""
         WITH RECURSIVE {_lsh_cc_cte},
         cl AS (

@@ -812,3 +812,71 @@ def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c4_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning rule flags per doc (operators/text.c4_rules)."""
     return text.c4_rules(_docs(spark, sf_dir))
+
+
+def stream_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming exact-dedup LIFECYCLE under the correctness gate
+    (VERDICT r7 #3): the dup-augmented corpus is replayed as a 3-file
+    NDJSON drop-dir and drained trigger-by-trigger through
+    ``run_streaming_exact_dedup`` (one file per trigger, O(batch)
+    versioned appends); the returned result is the FOLDED persisted
+    index. Because the fold (min canonical + summed copies) is
+    associative, the folded index is batching-invariant — equal to a
+    one-shot ``exact_dedup`` over everything ingested — so the DuckDB
+    twin is the plain GROUP BY text one-shot. (The reference's
+    designed offline test is the same shape: replay the saved feed
+    through the live pipeline, Program.SaveAggregates.cs:31-39.)
+
+    Harness note: writing the drop-dir collects the sf docs to the
+    driver — that is the TEST-GATE replay harness, not the operator
+    (production ingest reads an existing drop-dir / socket); the
+    result localCheckpoints before the temp tree is removed."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from tweetaggregates_spark.streaming.dedup import (
+        read_hash_index_parts,
+        run_streaming_exact_dedup,
+    )
+
+    rows = sorted(
+        _docs_with_dups(spark, sf_dir).collect(), key=lambda r: r.doc_id
+    )
+    root = tempfile.mkdtemp(prefix="stream_exact_dedup_")
+    try:
+        in_dir = os.path.join(root, "in")
+        os.makedirs(in_dir)
+        n = len(rows)
+        cuts = [i * n // 3 for i in range(3)] + [n]
+        for i in range(3):
+            p = os.path.join(in_dir, f"{i}.ndjson")
+            with open(p, "w") as fh:
+                fh.write(
+                    "\n".join(
+                        _json.dumps({"doc_id": r.doc_id, "text": r.text})
+                        for r in rows[cuts[i] : cuts[i + 1]]
+                    )
+                )
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        index_path = os.path.join(root, "index")
+        run_streaming_exact_dedup(
+            spark,
+            in_dir,
+            index_path,
+            os.path.join(root, "out"),
+            os.path.join(root, "ckpt"),
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        idx, _bloom = read_hash_index_parts(
+            spark, index_path, below=1 << 30
+        )
+        return (
+            idx.select("content_hash", "canonical_id", "n_copies")
+            .filter(F.col("n_copies") > 1)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
