@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-checked (round-8 registrations) --
         "stream_exact_dedup_docs": llm.stream_exact_dedup_docs,
+        "dsir_weights_docs": llm.dsir_weights_docs,
         # -- round-7 registrations (driver-checked r7) --
         "bloom_dedup_new_docs": llm.bloom_dedup_new_docs,
         "random_projection_embeddings": llm.random_projection_embeddings,
@@ -3142,6 +3143,49 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN rates r ON d.source = r.source
         WHERE CAST({_dbucket("temp")} AS DOUBLE)
               < r.planned_rate * 1000000
+    """
+    # DSIR importance weights: replay the hashed uni+bigram features,
+    # the Laplace-smoothed per-bucket log-ratios (round 9 — ln ulp
+    # noise absorbed, zipf convention), the DECIMAL per-doc fold, and
+    # the deterministic keep rule
+    _D_BIGRAMS = "[array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]"
+    sql["dsir_weights_docs"] = f"""
+        WITH toksrc AS (SELECT doc_id, lang, {_D_TOKS} AS toks
+                        FROM documents),
+        fb AS (
+          SELECT doc_id, lang,
+                 ({_D_HASH.format(x="f")}) % 1024 AS b
+          FROM (SELECT doc_id, lang,
+                       unnest(list_concat(toks, {_D_BIGRAMS})) AS f
+                FROM toksrc)
+        ),
+        tc AS (SELECT b, count(*) AS c FROM fb WHERE lang = 'en'
+               GROUP BY b),
+        rc AS (SELECT b, count(*) AS c FROM fb GROUP BY b),
+        tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM fb
+                        WHERE lang = 'en') AS t_tot,
+                       (SELECT CAST(count(*) AS DOUBLE) FROM fb) AS r_tot),
+        ratio AS (
+          SELECT rc.b,
+                 round(ln((coalesce(tc.c, 0) + 1.0) / (t_tot + 1024.0))
+                     - ln((rc.c + 1.0) / (r_tot + 1024.0)), 9) AS lr
+          FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot
+        ),
+        lw AS (
+          SELECT fb.doc_id,
+                 CAST(sum(CAST(lr AS DECIMAL(20,9))) AS DOUBLE)
+                   AS log_weight
+          FROM fb JOIN ratio USING (b) GROUP BY fb.doc_id
+        ),
+        scored AS (
+          SELECT d.doc_id, d.lang,
+                 round(coalesce(lw.log_weight, 0.0), 6) AS log_weight,
+                 round(exp(least(coalesce(lw.log_weight, 0.0), 0.0)), 6)
+                   AS keep_prob
+          FROM documents d LEFT JOIN lw USING (doc_id)
+        )
+        SELECT doc_id, lang, log_weight, keep_prob FROM scored
+        WHERE CAST({_dbucket("dsir")} AS DOUBLE) < keep_prob * 1000000
     """
     # Zipf power-law fit: ln-values rounded to 9 (ulp noise absorbed),
     # DECIMAL(38,18) sums (order-free), then the OLS in DOUBLE with

