@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked (round-8 registrations) --
         "stream_exact_dedup_docs": llm.stream_exact_dedup_docs,
         "dsir_weights_docs": llm.dsir_weights_docs,
+        "kll_value_daily": ev.kll_value_daily,
+        "kll_value_monthly_rollup": ev.kll_value_monthly_rollup,
         # -- round-7 registrations (driver-checked r7) --
         "bloom_dedup_new_docs": llm.bloom_dedup_new_docs,
         "random_projection_embeddings": llm.random_projection_embeddings,
@@ -1119,6 +1121,143 @@ def oracle_sql() -> dict[str, str]:
     sql["hll_users_daily"] = _hll_twin(_day_end, month=False)
     sql["hll_users_monthly_rollup"] = _hll_twin(_day_end, month=True)
     _rs_h = _D_HASH.format(x="CAST(event_id AS VARCHAR)")
+    # deterministic-KLL daily sketch (operators/kllsketch closed form:
+    # sorted positions divisible by 2^lstar + odd-quotient remainders;
+    # exact integer arithmetic, so the twin replays it verbatim)
+    sql["kll_value_daily"] = f"""
+        WITH ev AS (
+          SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+                   AS window_time,
+                 {_rs_h} AS h, value
+          FROM events
+        ),
+        r AS (
+          SELECT window_time, value, h,
+                 row_number() OVER (
+                   PARTITION BY window_time ORDER BY value ASC, h ASC
+                 ) AS p,
+                 CAST(count(*) OVER (PARTITION BY window_time) AS BIGINT)
+                   AS n
+          FROM ev
+        ),
+        ls AS (
+          SELECT *, ((CASE WHEN n // 1 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 2 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 4 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 8 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 16 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 32 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 64 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 128 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 256 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 512 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 1024 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 2048 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 4096 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 8192 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 16384 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 32768 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 65536 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 131072 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 262144 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 524288 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 1048576 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 2097152 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 4194304 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 8388608 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 16777216 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 33554432 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 67108864 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 134217728 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 268435456 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 536870912 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 1073741824 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 2147483648 > 64 THEN 1 ELSE 0 END)) AS lstar,
+                 least(((CASE WHEN p % 2 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 4 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 8 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 16 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 32 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 64 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 128 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 256 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 512 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 1024 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 2048 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 4096 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 8192 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 16384 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 32768 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 65536 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 131072 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 262144 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 524288 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 1048576 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 2097152 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 4194304 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 8388608 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 16777216 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 33554432 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 67108864 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 134217728 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 268435456 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 536870912 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 1073741824 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 2147483648 = 0 THEN 1 ELSE 0 END)), ((CASE WHEN n // 1 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 2 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 4 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 8 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 16 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 32 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 64 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 128 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 256 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 512 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 1024 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 2048 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 4096 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 8192 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 16384 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 32768 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 65536 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 131072 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 262144 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 524288 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 1048576 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 2097152 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 4194304 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 8388608 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 16777216 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 33554432 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 67108864 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 134217728 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 268435456 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 536870912 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 1073741824 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 2147483648 > 64 THEN 1 ELSE 0 END))) AS v
+          FROM r
+        ),
+        kept AS (
+          SELECT * FROM (
+            SELECT window_time, value, h, n, lstar, CASE
+              WHEN p % CAST(power(2, lstar) AS BIGINT) = 0
+                THEN CAST(power(2, lstar) AS BIGINT)
+              WHEN v < lstar
+                   AND p = CAST(power(2, v) AS BIGINT)
+                           * (n // CAST(power(2, v) AS BIGINT))
+                THEN CAST(power(2, v) AS BIGINT)
+            END AS w
+            FROM ls
+          ) WHERE w IS NOT NULL
+        ),
+        cw AS (
+          SELECT *, sum(w) OVER (
+            PARTITION BY window_time ORDER BY value ASC, h ASC
+            ROWS UNBOUNDED PRECEDING) AS cwv
+          FROM kept
+        )
+        SELECT window_time,
+               max(n) AS n_events,
+               CAST(count(*) AS BIGINT) AS sketch_size,
+               max(CAST(power(2, lstar) AS BIGINT) - 1)
+                 AS err_bound_ranks,
+               round(min(CASE WHEN cwv >= ceil(0.5 * n) THEN value END), 6)
+                 AS p50_est,
+               round(min(CASE WHEN cwv >= ceil(0.9 * n) THEN value END), 6)
+                 AS p90_est
+        FROM cw GROUP BY window_time
+    """
+    # monthly rollup: union the daily weighted items (associative
+    # multiset fold), PRUNE to k+1 items (first row crossing each
+    # ceil(W/k) weight step + the last row, re-weighted by the gap to
+    # the previous kept row), estimate from the pruned bag; the carried
+    # bound composes: sum of daily (2^lstar - 1) + the prune step
+    sql["kll_value_monthly_rollup"] = f"""
+        WITH ev AS (
+          SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+                   AS window_time,
+                 {_rs_h} AS h, value
+          FROM events
+        ),
+        r AS (
+          SELECT window_time, value, h,
+                 row_number() OVER (
+                   PARTITION BY window_time ORDER BY value ASC, h ASC
+                 ) AS p,
+                 CAST(count(*) OVER (PARTITION BY window_time) AS BIGINT)
+                   AS n
+          FROM ev
+        ),
+        ls AS (
+          SELECT *, ((CASE WHEN n // 1 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 2 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 4 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 8 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 16 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 32 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 64 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 128 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 256 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 512 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 1024 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 2048 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 4096 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 8192 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 16384 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 32768 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 65536 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 131072 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 262144 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 524288 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 1048576 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 2097152 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 4194304 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 8388608 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 16777216 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 33554432 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 67108864 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 134217728 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 268435456 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 536870912 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 1073741824 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 2147483648 > 64 THEN 1 ELSE 0 END)) AS lstar,
+                 least(((CASE WHEN p % 2 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 4 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 8 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 16 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 32 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 64 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 128 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 256 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 512 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 1024 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 2048 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 4096 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 8192 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 16384 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 32768 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 65536 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 131072 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 262144 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 524288 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 1048576 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 2097152 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 4194304 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 8388608 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 16777216 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 33554432 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 67108864 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 134217728 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 268435456 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 536870912 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 1073741824 = 0 THEN 1 ELSE 0 END) + (CASE WHEN p % 2147483648 = 0 THEN 1 ELSE 0 END)), ((CASE WHEN n // 1 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 2 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 4 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 8 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 16 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 32 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 64 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 128 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 256 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 512 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 1024 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 2048 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 4096 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 8192 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 16384 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 32768 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 65536 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 131072 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 262144 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 524288 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 1048576 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 2097152 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 4194304 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 8388608 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 16777216 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 33554432 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 67108864 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 134217728 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 268435456 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 536870912 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 1073741824 > 64 THEN 1 ELSE 0 END) + (CASE WHEN n // 2147483648 > 64 THEN 1 ELSE 0 END))) AS v
+          FROM r
+        ),
+        kept AS (
+          SELECT * FROM (
+            SELECT window_time, value, h, n, lstar, CASE
+              WHEN p % CAST(power(2, lstar) AS BIGINT) = 0
+                THEN CAST(power(2, lstar) AS BIGINT)
+              WHEN v < lstar
+                   AND p = CAST(power(2, v) AS BIGINT)
+                           * (n // CAST(power(2, v) AS BIGINT))
+                THEN CAST(power(2, v) AS BIGINT)
+            END AS w
+            FROM ls
+          ) WHERE w IS NOT NULL
+        ),
+        mmeta AS (
+          SELECT CAST(date_trunc('month', window_time - INTERVAL 1 second)
+                   AS TIMESTAMP) AS month,
+                 CAST(sum(dn) AS BIGINT) AS mn,
+                 CAST(sum(derr) AS BIGINT) AS merr
+          FROM (SELECT window_time, max(n) AS dn,
+                       max(CAST(power(2, lstar) AS BIGINT) - 1) AS derr
+                FROM kept GROUP BY window_time)
+          GROUP BY 1
+        ),
+        merged AS (
+          SELECT CAST(date_trunc('month', window_time - INTERVAL 1 second)
+                   AS TIMESTAMP) AS month, value, h, w
+          FROM kept
+        ),
+        cwm AS (
+          SELECT month, value, h, w, mn, merr,
+                 sum(w) OVER (
+                   PARTITION BY m.month ORDER BY value ASC, h ASC
+                   ROWS UNBOUNDED PRECEDING) AS cwv,
+                 ceil(mn / 64.0) AS step
+          FROM merged m JOIN mmeta USING (month)
+        ),
+        crossed AS (
+          SELECT *, lag(cwv, 1, CAST(0 AS HUGEINT)) OVER (
+                   PARTITION BY month ORDER BY value ASC, h ASC)
+                   AS prev_cwv
+          FROM cwm
+        ),
+        pruned AS (
+          SELECT month, value, h, mn, merr, step, cwv
+          FROM crossed
+          WHERE ceil(cwv / step) > ceil(prev_cwv / step) OR cwv = mn
+        )
+        SELECT month,
+               max(mn) AS n_events,
+               CAST(count(*) AS BIGINT) AS sketch_size,
+               max(merr + CAST(step AS BIGINT)) AS err_bound_ranks,
+               round(min(CASE WHEN cwv >= ceil(0.5 * mn) THEN value END), 6)
+                 AS p50_est,
+               round(min(CASE WHEN cwv >= ceil(0.9 * mn) THEN value END), 6)
+                 AS p90_est
+        FROM pruned GROUP BY month
+    """
     sql["value_quantile_sketch_daily"] = f"""
         WITH h AS (
           SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'

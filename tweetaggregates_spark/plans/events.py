@@ -1170,3 +1170,102 @@ def user_activity_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+KLL_K = 64
+
+
+def _kll_daily_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day deterministic-KLL sketch items over event values
+    (operators/kllsketch, k=KLL_K) — shared by the daily estimates and
+    the monthly rollup."""
+    from tweetaggregates_spark.operators.kllsketch import kll_sketch_items
+
+    ev = _events(spark, sf_dir).select(
+        F.window("ts", "1 day")["end"].alias("window_time"),
+        "event_id",
+        "value",
+    )
+    return kll_sketch_items(
+        ev, ["window_time"], "value", "event_id", k=KLL_K
+    )
+
+
+def kll_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p90 from the deterministic KLL-style compactor sketch
+    (VERDICT r7 #6; operators/kllsketch docstring has the math): rank
+    error is bounded by the CARRIED ``err_bound_ranks`` = 2^l* - 1 —
+    the O(n/k) compactor regime, vs O(n/sqrt(k)) for the bottom-k
+    sample of value_quantile_sketch_daily. Build cost: one bucket-split
+    rank (no single-task-per-day window), one map-only keep predicate
+    in exact integer arithmetic, one tiny window over the <= k+log2(n)
+    kept items per day."""
+    from tweetaggregates_spark.operators.kllsketch import kll_estimates
+
+    items = _kll_daily_items(spark, sf_dir)
+    est = kll_estimates(
+        items,
+        ["window_time"],
+        "value",
+        {"p50_est": 0.5, "p90_est": 0.9},
+    )
+    return est.select(
+        "window_time",
+        "n_events",
+        "sketch_size",
+        "err_bound_ranks",
+        "p50_est",
+        "p90_est",
+    )
+
+
+def kll_value_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly rollup of the daily KLL sketches WITHOUT rescanning raw
+    events: the mergeable state is the bag of weighted items, so the
+    month fold is a multiset UNION (associative and order-free — the
+    property pinned in tests/test_r8_ops.py), rank errors adding
+    across days; the merged bag then PRUNEs back to <= k+1 items
+    (deterministic Agarwal-et-al coarsening, + ceil(W/k) to the
+    carried bound) before estimation, so a year-over-month rollup
+    would read bounded state at every level. err_bound_ranks in the
+    output is the full composed bound: sum of daily 2^l*-1 terms plus
+    the prune step."""
+    from tweetaggregates_spark.operators.kllsketch import (
+        kll_estimates,
+        kll_prune,
+    )
+
+    items = _kll_daily_items(spark, sf_dir)
+    month = F.date_trunc(
+        "month", F.col("window_time") - F.expr("INTERVAL 1 SECOND")
+    ).alias("month")
+    # per-month totals from the per-day constants (one row per day)
+    meta = (
+        items.select(
+            "window_time", month, F.col("_n").alias("_dn"),
+            F.col("_err").alias("_derr"),
+        )
+        .groupBy("window_time", "month")
+        .agg(F.max("_dn").alias("_dn"), F.max("_derr").alias("_derr"))
+        .groupBy("month")
+        .agg(
+            F.sum("_dn").alias("_n"),
+            F.sum("_derr").alias("_err"),
+        )
+    )
+    merged = (
+        items.select(month, "value", "_h", "_w")
+        .join(F.broadcast(meta), "month")
+    )
+    pruned = kll_prune(merged, ["month"], "value", k=KLL_K)
+    est = kll_estimates(
+        pruned, ["month"], "value", {"p50_est": 0.5, "p90_est": 0.9}
+    )
+    return est.select(
+        "month",
+        "n_events",
+        "sketch_size",
+        "err_bound_ranks",
+        "p50_est",
+        "p90_est",
+    )
