@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights_docs": llm.dsir_weights_docs,
         "kll_value_daily": ev.kll_value_daily,
         "kll_value_monthly_rollup": ev.kll_value_monthly_rollup,
+        "coreset_embeddings_batched": llm.coreset_embeddings_batched,
         # -- round-7 registrations (driver-checked r7) --
         "bloom_dedup_new_docs": llm.bloom_dedup_new_docs,
         "random_projection_embeddings": llm.random_projection_embeddings,
@@ -3251,6 +3252,10 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 3, vec_id, round(mind, 6) FROM p3
         UNION ALL SELECT 4, vec_id, round(mind, 6) FROM p4
     """
+    # batched Gonzalez == sequential greedy (the batch re-check admits
+    # only candidates no outside point could beat), so the twin is the
+    # same unrolled-rounds SQL
+    sql["coreset_embeddings_batched"] = sql["coreset_embeddings"]
     # Temperature-weighted mixture, EXECUTED (alpha=0.5 -> sqrt, the
     # one exponent that is IEEE-correctly-rounded in both engines):
     # rate_d = min(1, budget * total * sqrt(size_d)/sum sqrt(size) /

@@ -242,3 +242,55 @@ class TestKllSketch:
                 lo, hi = rank_of(flt, est)
                 dist = max(lo - target, target - hi, 0)
                 assert dist <= r.err_bound_ranks, (q, est, dist)
+
+
+class TestKcenterBatched:
+    """Batched Gonzalez == sequential greedy, bit-for-bit (r7 #8)."""
+
+    def test_radius_sequence_identical_sf0001(self, spark):
+        from tweetaggregates_spark.operators.cluster import (
+            kcenter_coreset,
+            kcenter_coreset_batched,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        seq = kcenter_coreset(emb, k=12).collect()
+        for batch in (1, 4, 16):
+            bat = kcenter_coreset_batched(emb, k=12, batch=batch).collect()
+            assert sorted(map(tuple, bat)) == sorted(map(tuple, seq)), batch
+
+    def test_ties_resolved_like_sequential(self, spark):
+        """A planted all-equidistant configuration (simplex corners +
+        duplicates) forces m_p ties every round — the batch must defer
+        them and still match the sequential order exactly."""
+        from tweetaggregates_spark.operators.cluster import (
+            kcenter_coreset,
+            kcenter_coreset_batched,
+        )
+
+        rows = []
+        for i in range(6):
+            v = [0.0] * 6
+            v[i] = 2.0
+            rows.append((i, v))
+            rows.append((10 + i, v))  # duplicate at a higher id
+        df = spark.createDataFrame(
+            rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+        )
+        seq = kcenter_coreset(df, k=8).collect()
+        bat = kcenter_coreset_batched(df, k=8, batch=3).collect()
+        assert sorted(map(tuple, bat)) == sorted(map(tuple, seq))
+
+    def test_corpus_smaller_than_batch(self, spark):
+        from tweetaggregates_spark.operators.cluster import (
+            kcenter_coreset,
+            kcenter_coreset_batched,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 0.0]) for i in range(5)],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        )
+        seq = kcenter_coreset(df, k=5).collect()
+        bat = kcenter_coreset_batched(df, k=5, batch=64).collect()
+        assert sorted(map(tuple, bat)) == sorted(map(tuple, seq))

@@ -752,3 +752,110 @@ def kcenter_coreset(
     return out.select(
         "center_rank", id_col, F.round("min_dist", 6).alias("min_dist")
     )
+
+
+def kcenter_coreset_batched(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 100,
+    batch: int = 16,
+) -> DataFrame:
+    """Gonzalez farthest-point traversal with BATCHED rounds (VERDICT
+    r7 #8: production coresets run k in the hundreds, where
+    ``kcenter_coreset``'s one-driver-action-per-center loop starts to
+    bite). Each round fetches the top-``batch`` points by current
+    min-distance in ONE job, then a driver-side re-check admits a
+    PREFIX of them that is provably identical to the sequential greedy
+    choice: candidates are re-scored against the centers already
+    accepted this round, and one is accepted only while its updated
+    min-distance stays strictly above the batch's smallest fetched
+    value m_p — every point outside the batch has min-distance
+    <= m_p (distances only shrink as centers are added), so no outside
+    point could have beaten an accepted candidate; ties at m_p are
+    deliberately pushed to the next round, where the global
+    (min_dist desc, id asc) order resolves them exactly as the
+    sequential path would. The first candidate of a round is always
+    the true global argmax and is accepted unconditionally.
+
+    Driver actions: O(k / accepted-per-round) instead of O(k); the
+    per-round state update folds ALL the round's accepted centers into
+    the running min in one map pass. The driver-side re-check is
+    O(batch^2 * dim) floats per round with the SAME left-to-right
+    squared-L2 fold the Spark expression uses, so the emitted radius
+    sequence is bit-identical to ``kcenter_coreset`` (pinned in
+    tests/test_r8_ops.py).
+
+    Output: (center_rank, <id_col>, min_dist) — identical to the
+    sequential operator."""
+    state = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    seed = state.orderBy("_id").limit(1).first()
+
+    def d2_expr(center_vec: list[float]):
+        arr = F.array(*[F.lit(float(x)) for x in center_vec])
+        return F.aggregate(
+            F.zip_with("_v", arr, lambda x, c: (x - c) ** 2),
+            F.lit(0.0).cast("double"),
+            lambda acc, d: acc + d,
+        )
+
+    def d2_py(a: list[float], b: list[float]) -> float:
+        # left-to-right fold — matches F.aggregate's order exactly
+        acc = 0.0
+        for x, c in zip(a, b):
+            acc += (x - c) ** 2
+        return acc
+
+    chosen = [(0, seed["_id"], 0.0)]
+    state = state.withColumn("_mind", d2_expr(seed["_v"]))
+    while len(chosen) < k:
+        state = state.localCheckpoint(eager=False)
+        rows = state.orderBy(F.desc("_mind"), "_id").take(batch)
+        if not rows:
+            break
+        # m_p: the smallest fetched min-dist — outside points are <= it.
+        # A short fetch means the batch IS the whole remaining corpus,
+        # so there is no outside point to respect.
+        m_p = rows[-1]["_mind"] if len(rows) == batch else float("-inf")
+        cands = {
+            r["_id"]: [list(r["_v"]), float(r["_mind"])] for r in rows
+        }
+        accepted: list[tuple] = []
+        while cands and len(chosen) < k:
+            cid = min(
+                cands, key=lambda i: (-cands[i][1], i)
+            )  # max min-dist, lowest id on ties
+            vec, mind = cands.pop(cid)
+            if accepted and not (mind > m_p):
+                break  # an outside point might now be farther — next round
+            chosen.append((len(chosen), cid, mind))
+            accepted.append((cid, vec))
+            for other in cands.values():
+                other[1] = min(other[1], d2_py(other[0], vec))
+        if accepted and len(chosen) < k:
+            upd = F.col("_mind")
+            for _cid, vec in accepted:
+                upd = F.least(upd, d2_expr(vec))
+            state = state.withColumn("_mind", upd)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("center_rank", IntegerType(), False),
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("min_dist", DoubleType(), False),
+        ]
+    )
+    out = df.sparkSession.createDataFrame(chosen, schema)
+    return out.select(
+        "center_rank", id_col, F.round("min_dist", 6).alias("min_dist")
+    )

@@ -900,3 +900,16 @@ def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("log_weight", 6).alias("log_weight"),
         "keep_prob",
     )
+
+
+def coreset_embeddings_batched(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batched Gonzalez k-center (cluster.kcenter_coreset_batched):
+    provably identical output to the sequential greedy — the batch
+    re-check only admits candidates no outside point could beat — so
+    the oracle is the SAME unrolled-rounds SQL as coreset_embeddings;
+    registered small (k=5, batch=2) for the gate, benched at k=100
+    where the O(k/batch) driver-action count is the point."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster.kcenter_coreset_batched(emb, k=5, batch=2)
