@@ -116,14 +116,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate samples the
-    # FIRST 50 entries. ROUND-7 ROTATION (VERDICT r5 #7 policy): the
-    # four never-checked round-7 registrations lead, then entries run
+    # FIRST 50 entries. ROUND-8 ROTATION (VERDICT r5 #7 policy): the
+    # five never-checked round-8 registrations lead, then entries run
     # STALEST-FIRST by the round of their most recent driver
-    # CORRECTNESS row (r3 oldest remaining ... r6 newest), so every
-    # entry's driver row stays at most a few rounds old as the gate
-    # rotates. The rows-only HLL-sketch entry (approx_users_daily)
-    # sits just past position 50 so the whole gated block stays
-    # hash-checkable.
+    # CORRECTNESS row (unioned over CORRECTNESS_r1..r7: 47 entries at
+    # r5, then r6, then r7), so every entry's driver row stays at most
+    # a few rounds old as the gate rotates. The rows-only HLL-sketch
+    # entry (approx_users_daily) sits just past position 50 so the
+    # whole gated block stays hash-checkable.
     return {
         # -- never driver-checked (round-8 registrations) --
         "stream_exact_dedup_docs": llm.stream_exact_dedup_docs,
@@ -131,69 +131,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_value_daily": ev.kll_value_daily,
         "kll_value_monthly_rollup": ev.kll_value_monthly_rollup,
         "coreset_embeddings_batched": llm.coreset_embeddings_batched,
-        # -- round-7 registrations (driver-checked r7) --
-        "bloom_dedup_new_docs": llm.bloom_dedup_new_docs,
-        "random_projection_embeddings": llm.random_projection_embeddings,
-        "domain_quality_filter_docs": llm.domain_quality_filter_docs,
-        "coreset_embeddings": llm.coreset_embeddings,
-        "knn_rp_embeddings": llm.knn_rp_embeddings,
-        "temperature_sample_docs": llm.temperature_sample_docs,
-        "zipf_fit_docs": llm.zipf_fit_docs,
-        "gopher_rules_docs": llm.gopher_rules_docs,
-        "c4_filter_docs": llm.c4_filter_docs,
-        # -- last driver row: round 3 --
-        "revenue_cube": star.revenue_cube,
-        "order_status_pivot": star.order_status_pivot,
-        "returnflag_measures_unpivot": star.returnflag_measures_unpivot,
-        "exact_dedup_docs": llm.exact_dedup_docs,
-        "minhash_lsh_docs": llm.minhash_lsh_docs,
-        "simhash_pairs_banded": llm.simhash_pairs_banded_docs,
-        "ngram_jaccard_docs": llm.ngram_jaccard_docs,
-        "lsh_verified_pairs": llm.lsh_verified_pairs,
-        "dedup_clusters_docs": llm.dedup_clusters_docs,
-        "canonical_docs": llm.canonical_docs_query,
-        "knn_cosine": llm.knn_cosine,
-        "knn_cosine_bucketed": llm.knn_cosine_bucketed,
-        "knn_cosine_quantized": llm.knn_cosine_quantized,
-        "cosine_near_dups_tiled": llm.cosine_near_dups_tiled,
-        "lang_id_docs": llm.lang_id_docs,
-        "quality_docs": llm.quality_docs,
-        "token_counts_docs": llm.token_counts_docs,
-        "pii_mask_docs": llm.pii_mask_docs,
-        "stratified_sample_docs": llm.stratified_sample_docs,
-        "event_type_pagerank": sequence.event_type_pagerank,
-        "kmv_users_daily": ev.kmv_users_daily,
-        "cms_heavy_hitters_monthly_rollup": ev.cms_heavy_hitters_monthly_rollup,
-        "conversion_funnel": sequence.conversion_funnel,
-        # -- last driver row: round 4 --
-        "chunk_docs": llm.chunk_docs,
-        "curation_funnel_docs": llm.curation_funnel_docs,
-        "weighted_sample_docs": llm.weighted_sample_docs,
-        "mixture_plan_docs": llm.mixture_plan_docs,
-        "split_docs": llm.split_docs,
-        "pack_sequences_docs": llm.pack_sequences_docs,
-        "user_event_gaps": sequence.user_event_gaps,
-        "event_type_transitions": sequence.event_type_transitions,
-        "value_ntile_quartiles": sequence.value_ntile_quartiles,
-        "acctbal_rank_percentiles": sequence.acctbal_rank_percentiles,
-        "rolling_user_value_avg": sequence.rolling_user_value_avg,
-        "value_bucket_histogram": sequence.value_bucket_histogram,
-        "retention_cohorts": sequence.retention_cohorts,
-        "user_value_skyline": sequence.user_value_skyline,
-        "click_purchase_correlation": sequence.click_purchase_correlation,
-        # -- last driver row: round 5 --
-        "shuffle_order_docs": llm.shuffle_order_docs,
-        "time_weighted_value_daily": sequence.time_weighted_value_daily,
-        "daily_growth_by_type": sequence.daily_growth_by_type,
+        # -- stalest: newest driver row r5 — 47 entries; the first --
+        # 45 fit the 50-entry gate with the r8 block, the tail
+        # leads the r9 rotation
         "cumulative_new_users": sequence.cumulative_new_users,
         "kmeans_clusters_embeddings": llm.kmeans_clusters_embeddings,
         "semantic_dup_embeddings": llm.semantic_dup_embeddings,
         "knn_pq_embeddings": llm.knn_pq_embeddings,
         "lm_quality_docs": llm.lm_quality_docs,
-        # -- last driver row: round 2 --
-        # rows-only HLL entry pinned just past the gated first-50 block
-        "approx_users_daily": ev.approx_users_daily,
-        # -- last driver row: round 5 --
         "media_frames_docs": llm.media_frames_docs,
         "media_waveform_docs": llm.media_waveform_docs,
         "bpe_merges_docs": llm.bpe_merges_docs,
@@ -236,7 +181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_docs": llm.tfidf_docs,
         "inverted_index_docs": llm.inverted_index_docs,
         "repeated_ngrams_docs": llm.repeated_ngrams_docs,
-        # -- last driver row: round 6 --
+        # -- rows-only by design (no DuckDB HLL twin): kept just past --
+        # the hash-gated block
+        "approx_users_daily": ev.approx_users_daily,
+        # -- newest driver row r6 --
         "knn_ivf_pq_refined_embeddings": llm.knn_ivf_pq_refined_embeddings,
         "incremental_dedup_delta_docs": llm.incremental_dedup_delta_docs,
         "clickers_without_purchase": ev.clickers_without_purchase,
@@ -287,6 +235,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_last_shipper": star.q21_last_shipper,
         "order_latency_distribution": star.order_latency_distribution,
         "revenue_rollup": star.revenue_rollup,
+        # -- newest driver row r7 --
+        "bloom_dedup_new_docs": llm.bloom_dedup_new_docs,
+        "random_projection_embeddings": llm.random_projection_embeddings,
+        "domain_quality_filter_docs": llm.domain_quality_filter_docs,
+        "coreset_embeddings": llm.coreset_embeddings,
+        "knn_rp_embeddings": llm.knn_rp_embeddings,
+        "temperature_sample_docs": llm.temperature_sample_docs,
+        "zipf_fit_docs": llm.zipf_fit_docs,
+        "gopher_rules_docs": llm.gopher_rules_docs,
+        "c4_filter_docs": llm.c4_filter_docs,
+        "revenue_cube": star.revenue_cube,
+        "order_status_pivot": star.order_status_pivot,
+        "returnflag_measures_unpivot": star.returnflag_measures_unpivot,
+        "exact_dedup_docs": llm.exact_dedup_docs,
+        "minhash_lsh_docs": llm.minhash_lsh_docs,
+        "simhash_pairs_banded": llm.simhash_pairs_banded_docs,
+        "ngram_jaccard_docs": llm.ngram_jaccard_docs,
+        "lsh_verified_pairs": llm.lsh_verified_pairs,
+        "dedup_clusters_docs": llm.dedup_clusters_docs,
+        "canonical_docs": llm.canonical_docs_query,
+        "knn_cosine": llm.knn_cosine,
+        "knn_cosine_bucketed": llm.knn_cosine_bucketed,
+        "knn_cosine_quantized": llm.knn_cosine_quantized,
+        "cosine_near_dups_tiled": llm.cosine_near_dups_tiled,
+        "lang_id_docs": llm.lang_id_docs,
+        "quality_docs": llm.quality_docs,
+        "token_counts_docs": llm.token_counts_docs,
+        "pii_mask_docs": llm.pii_mask_docs,
+        "stratified_sample_docs": llm.stratified_sample_docs,
+        "event_type_pagerank": sequence.event_type_pagerank,
+        "kmv_users_daily": ev.kmv_users_daily,
+        "cms_heavy_hitters_monthly_rollup": ev.cms_heavy_hitters_monthly_rollup,
+        "conversion_funnel": sequence.conversion_funnel,
+        "chunk_docs": llm.chunk_docs,
+        "curation_funnel_docs": llm.curation_funnel_docs,
+        "weighted_sample_docs": llm.weighted_sample_docs,
+        "mixture_plan_docs": llm.mixture_plan_docs,
+        "split_docs": llm.split_docs,
+        "pack_sequences_docs": llm.pack_sequences_docs,
+        "user_event_gaps": sequence.user_event_gaps,
+        "event_type_transitions": sequence.event_type_transitions,
+        "value_ntile_quartiles": sequence.value_ntile_quartiles,
+        "acctbal_rank_percentiles": sequence.acctbal_rank_percentiles,
+        "rolling_user_value_avg": sequence.rolling_user_value_avg,
+        "value_bucket_histogram": sequence.value_bucket_histogram,
+        "retention_cohorts": sequence.retention_cohorts,
+        "user_value_skyline": sequence.user_value_skyline,
+        "click_purchase_correlation": sequence.click_purchase_correlation,
+        "shuffle_order_docs": llm.shuffle_order_docs,
+        "time_weighted_value_daily": sequence.time_weighted_value_daily,
+        "daily_growth_by_type": sequence.daily_growth_by_type,
     }
 
 def oracle_sql() -> dict[str, str]:
