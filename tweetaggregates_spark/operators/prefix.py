@@ -103,6 +103,7 @@ def grouped_partitioned_rank(
     n_buckets: int = 32,
     rank_name: str = "_rank",
     count_name: str | None = None,
+    cuts: list[float] | None = None,
 ) -> DataFrame:
     """Per-group dense ordinal rank (``row_number`` semantics over
     ``(order_col, tiebreakers)``) WITHOUT a per-group single-task
@@ -131,18 +132,23 @@ def grouped_partitioned_rank(
     constant still lands in one bucket (but then its sort is trivial
     anyway). ``count_name`` optionally appends the per-group row count
     (for percent_rank-style normalizations) from the same aggregate —
-    no extra scan."""
+    no extra scan.
+
+    ``cuts``: explicit bucket boundaries. When the order key has a
+    KNOWN range (a [0,1] quality score, a bounded ratio), fixed
+    uniform cuts skip the approxQuantile pass entirely — one less scan
+    of the input, and since ANY cut choice yields the same final
+    ranks, only bucket balance (not correctness) depends on how well
+    the fixed cuts match the data."""
     from pyspark.sql import Window as W
 
     key = F.col(order_col).cast("double")
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = sorted(
-        set(
-            df.select(key.alias("__k")).approxQuantile(
-                "__k", probs, 1.0 / (4 * n_buckets)
-            )
+    if cuts is None:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = df.select(key.alias("__k")).approxQuantile(
+            "__k", probs, 1.0 / (4 * n_buckets)
         )
-    )
+    cuts = sorted(set(cuts))
     bucket = F.lit(0)
     for c in cuts:
         bucket = bucket + (key > F.lit(c)).cast("int")
@@ -157,10 +163,16 @@ def grouped_partitioned_rank(
     srt = F.asc(order_col) if ascending else F.desc(order_col)
     order = [srt] + [F.asc(t) for t in tiebreakers or []]
     wloc = W.partitionBy(*group_cols, "__b").orderBy(*order)
-    local = b.withColumn("__lr", F.row_number().over(wloc))
-
-    counts = b.groupBy(*group_cols, "__b").agg(
-        F.count(F.lit(1)).alias("__c")
+    # the per-(group,bucket) count rides the SAME window partitioning
+    # as the local rank, so the offsets branch aggregates the already-
+    # shuffled frame instead of re-scanning the input: one scan, one
+    # corpus exchange total (the count aggregate's distribution
+    # requirement is already satisfied — no second exchange)
+    local = b.withColumn("__lr", F.row_number().over(wloc)).withColumn(
+        "__c", F.count(F.lit(1)).over(W.partitionBy(*group_cols, "__b"))
+    )
+    counts = local.groupBy(*group_cols, "__b").agg(
+        F.max("__c").alias("__c")
     )
     bdir = F.asc("__b") if ascending else F.desc("__b")
     woff = (
@@ -181,4 +193,4 @@ def grouped_partitioned_rank(
     joined = local.join(offs, [*group_cols, "__b"])
     return joined.withColumn(
         rank_name, (F.col("__off") + F.col("__lr")).cast("int")
-    ).drop("__b", "__lr", "__off")
+    ).drop("__b", "__lr", "__off", "__c")

@@ -719,6 +719,16 @@ def domain_quality_filter_docs(
     )
 
     q = text.quality_score(_docs(spark, sf_dir), keep_cols=("source",))
+    # narrow + lazily materialize the scored frame: the rank's two
+    # branches (local window / bucket counts) would otherwise each
+    # rescan the parquet and recompute the text pipeline — the same
+    # share-the-scored-frame pattern the k-center and CC loops use
+    q = q.select("doc_id", "source", "quality_score").localCheckpoint(
+        eager=False
+    )
+    # quality_score is bounded in [0,1] by construction, so FIXED
+    # uniform cuts skip the approxQuantile pass (cut choice never
+    # affects the ranks, only bucket balance)
     ranked = grouped_partitioned_rank(
         q,
         ["source"],
@@ -727,6 +737,7 @@ def domain_quality_filter_docs(
         ascending=False,
         rank_name="_rnk",
         count_name="_n",
+        cuts=[i / 32 for i in range(1, 32)],
     )
     pct = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
         (F.col("_rnk") - 1).cast("double") / (F.col("_n") - 1)
