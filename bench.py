@@ -110,6 +110,11 @@ HEADLINE = [
     "zipf_fit_docs",
     "gopher_rules_docs",
     "c4_filter_docs",
+    # round 8: DSIR domain-matching weights + executed keep,
+    # deterministic-KLL daily sketch and pruned monthly rollup
+    "dsir_weights_docs",
+    "kll_value_daily",
+    "kll_value_monthly_rollup",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

@@ -1235,7 +1235,12 @@ def kll_value_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         kll_prune,
     )
 
-    items = _kll_daily_items(spark, sf_dir)
+    # the items feed TWO consumers (month meta + the merged bag);
+    # without sharing, each branch rebuilds the daily sketches from
+    # raw events (no cross-branch subplan reuse — SCALE.md round 8).
+    # The item set is sketch-sized (|days| x (k + log2 n) rows), so
+    # the lazy checkpoint is tiny.
+    items = _kll_daily_items(spark, sf_dir).localCheckpoint(eager=False)
     month = F.date_trunc(
         "month", F.col("window_time") - F.expr("INTERVAL 1 SECOND")
     ).alias("month")
