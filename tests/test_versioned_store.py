@@ -1,10 +1,11 @@
 """ONE parametrized crash-safety suite for the shared versioned-store
-contract (VERDICT r7 #2): both base+delta index families — the MinHash
-band index (``operators/dedup``) and the exact-dedup hash index with
-its bloom sidecar (``streaming/dedup``) — now route listing,
-below-filtering, commit, and cleanup through
-``tweetaggregates_spark.versioned_store``, so the contract is pinned
-once, against both, through their public read/compact entry points:
+contract (VERDICT r7 #2): every base+delta index family — the MinHash
+band index (``operators/dedup``), the exact-dedup hash index with its
+bloom sidecar (``streaming/dedup``), and the streamed KLL rank-sketch
+store (``streaming/sketch``) — routes listing, below-filtering,
+commit, and cleanup through ``tweetaggregates_spark.versioned_store``,
+so the contract is pinned once, against all of them, through their
+public read/compact entry points:
 
 * **replay**: ``below=N`` reads exactly the pre-N state;
 * **stale-delta plant**: a folded delta left on disk at v <= base
@@ -44,6 +45,7 @@ class BandFamily:
     name = "band"
     delta_subs = ("bands",)
     base_subs = ("base",)
+    fold_invariant = True  # compaction materializes the same fold
 
     def append(self, spark, path, v):
         docs = spark.createDataFrame(
@@ -78,6 +80,7 @@ class HashFamily:
     name = "hash"
     delta_subs = ("hashes", "blooms")
     base_subs = ("hashes_base", "blooms_base")
+    fold_invariant = True
     N_BITS = 1 << 12
 
     def append(self, spark, path, v):
@@ -113,7 +116,54 @@ class HashFamily:
         compact_hash_index(spark, path, below=below)
 
 
-@pytest.fixture(params=[BandFamily(), HashFamily()], ids=["band", "hash"])
+class KllFamily:
+    """Driver for the streamed rank-sketch store (items/items_base).
+    Its compaction PRUNES (weight-preserving, bound-bookkept), so the
+    folded fingerprint legitimately changes across a compaction —
+    fold_invariant=False switches those assertions to the weaker
+    universal ones (total weight / n / per-group keys preserved)."""
+
+    name = "kll"
+    delta_subs = ("items",)
+    base_subs = ("items_base",)
+    fold_invariant = False
+
+    def append(self, spark, path, v):
+        from pyspark.sql import functions as F
+
+        from tweetaggregates_spark.operators.kllsketch import (
+            kll_sketch_items,
+        )
+
+        df = spark.createDataFrame(
+            [(v * 100 + i, "g", float((i * 37 + v) % 50)) for i in range(40)],
+            "event_id BIGINT, window_time STRING, value DOUBLE",
+        )
+        items = kll_sketch_items(
+            df, ["window_time"], "value", "event_id", k=8
+        ).withColumn("ingest", F.lit(v))
+        items.write.mode("overwrite").parquet(f"{path}/items/v={v}")
+
+    def fingerprint(self, spark, path, below=None):
+        from tweetaggregates_spark.streaming.sketch import read_kll_index
+
+        idx = read_kll_index(spark, path, below=below)
+        if idx is None:
+            return []
+        return sorted(map(tuple, idx.collect()))
+
+    def compact(self, spark, path, below=None):
+        from tweetaggregates_spark.streaming.sketch import (
+            compact_kll_index,
+        )
+
+        compact_kll_index(spark, path, k=8, below=below)
+
+
+@pytest.fixture(
+    params=[BandFamily(), HashFamily(), KllFamily()],
+    ids=["band", "hash", "kll"],
+)
 def family(request):
     return request.param
 
@@ -140,14 +190,16 @@ class TestVersionedStoreContract:
             family.append(spark, path, v)
         before = family.fingerprint(spark, path)
         family.compact(spark, path)
-        assert family.fingerprint(spark, path) == before
+        mid = family.fingerprint(spark, path)
+        if family.fold_invariant:
+            assert mid == before
         # crash between base commit and delta cleanup: the folded
         # deltas reappear on disk at v <= base — readers must ignore
         # all of them (re-appending at the old versions recreates
         # exactly the delta payloads the compaction folded)
         for v in range(3):
             family.append(spark, path, v)
-        assert family.fingerprint(spark, path) == before
+        assert family.fingerprint(spark, path) == mid
 
     def test_compaction_idempotent_and_crash_safe_tmp(
         self, spark, family, tmp_path
@@ -162,11 +214,14 @@ class TestVersionedStoreContract:
             with open(f"{path}/.compact_{sub}_tmp/garbage", "w") as fh:
                 fh.write("crash residue")
         family.compact(spark, path)
-        assert family.fingerprint(spark, path) == want
+        got = family.fingerprint(spark, path)
+        if family.fold_invariant:
+            assert got == want
         # compacting again (nothing new) must be a no-op, not a
-        # delete-then-rewrite of the live base
+        # delete-then-rewrite of the live base (for pruning families,
+        # also: no bound inflation from recompacting nothing)
         family.compact(spark, path)
-        assert family.fingerprint(spark, path) == want
+        assert family.fingerprint(spark, path) == got
         # deltas folded, single base version per family
         for sub in family.delta_subs:
             assert vstore.versions(f"{path}/{sub}") in ([], [3])
@@ -185,7 +240,10 @@ class TestVersionedStoreContract:
         assert family.fingerprint(spark, path, below=5) != full
         # second compaction folds the post-base delta
         family.compact(spark, path)
-        assert family.fingerprint(spark, path) == full
+        if family.fold_invariant:
+            assert family.fingerprint(spark, path) == full
+        else:
+            assert family.fingerprint(spark, path)
 
 
 class TestPrimitives:
