@@ -436,18 +436,21 @@ def dsir_select(
     scored = dsir_log_weights(
         df, target, text_col=text_col, id_col=id_col, n_buckets=n_buckets
     )
+    # Materialize the scored frame ONCE (lazy checkpoint) before the
+    # keep: without a physical barrier, Catalyst inlines the whole
+    # per-feature scoring fold into every consumer — predicate
+    # pushdown sinks the keep filter (fold and all) into the parquet
+    # scan's few unsplittable tasks, and CollapseProject duplicates
+    # the fold into keep_prob (measured 3x total at sf0.1; optimizer
+    # barriers via nondeterministic columns don't survive
+    # ColumnPruning). With the checkpoint, scoring runs exactly once;
+    # the materialization is what a production pipeline does anyway
+    # before resampling (weights are reused across mixtures).
+    scored = scored.localCheckpoint(eager=False)
     scored = scored.withColumn(
         "keep_prob",
         F.round(F.exp(F.least(F.col("log_weight"), F.lit(0.0))), 6),
     )
-    # pushdown barrier: without it, predicate pushdown sinks the keep
-    # filter — whose predicate transitively contains the whole
-    # per-feature fold — below the projection into the scan, so the
-    # scoring work runs TWICE (once in the pushed filter, once for the
-    # output column) and at test scale inside the scan's few tasks.
-    # One nondeterministic projection column blocks the push (the
-    # output itself stays deterministic; the column is dropped).
-    scored = scored.withColumn("_pdbar", F.monotonically_increasing_id())
     return weighted_sample(
         scored, id_col, "keep_prob", base_rate=base_rate, salt=salt
-    ).drop("_pdbar")
+    )
