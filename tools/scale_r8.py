@@ -115,9 +115,70 @@ def run_kcenter(spark) -> None:
         _exponents(name, r)
 
 
+def run_skll(spark) -> None:
+    """Streaming KLL ingest: a fixed 1000-event batch appended to a
+    pre-ingested corpus spanning 100x — per-trigger wall time must
+    track the BATCH (the item delta is O(batch sketch)), not the
+    corpus."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from tweetaggregates_spark.streaming.sketch import (
+        run_streaming_kll_ingest,
+    )
+
+    for sf, sf_dir in SFS:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        rows = sorted(ev.collect(), key=lambda r: r.event_id)
+        corpus, batch = rows[:-1000] or rows[: len(rows) // 2], rows[-1000:]
+        root = tempfile.mkdtemp(prefix="scale_skll_")
+        try:
+            in_dir = os.path.join(root, "in")
+            os.makedirs(in_dir)
+            for i, chunk in enumerate((corpus, batch)):
+                p = os.path.join(in_dir, f"{i}.ndjson")
+                with open(p, "w") as f:
+                    f.write(
+                        "\n".join(
+                            json.dumps(
+                                {
+                                    "event_id": r.event_id,
+                                    "ts": r.ts.isoformat(sep=" "),
+                                    "user_id": r.user_id,
+                                    "event_type": r.event_type,
+                                    "value": r.value,
+                                }
+                            )
+                            for r in chunk
+                        )
+                    )
+                os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+            t0 = time.perf_counter()
+            run_streaming_kll_ingest(
+                spark,
+                in_dir,
+                os.path.join(root, "index"),
+                os.path.join(root, "ckpt"),
+                k=64,
+                available_now=True,
+                max_files_per_trigger=1,
+            )
+            wall = time.perf_counter() - t0
+            print(
+                f"stream_kll_ingest {sf}: corpus={len(corpus)} "
+                f"batch={len(batch)} total_wall={wall:.2f}s"
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["dsir", "kll", "qfilter", "kcenter"]
+    which = sys.argv[1:] or ["dsir", "kll", "qfilter", "kcenter", "skll"]
     spark = get_spark()
     for w in which:
-        {"dsir": run_dsir, "kll": run_kll,
-         "qfilter": run_qfilter, "kcenter": run_kcenter}[w](spark)
+        {"dsir": run_dsir, "kll": run_kll, "qfilter": run_qfilter,
+         "kcenter": run_kcenter, "skll": run_skll}[w](spark)
