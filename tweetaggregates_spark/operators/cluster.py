@@ -520,6 +520,10 @@ def grouped_kmeans(
     from pyspark.sql import Window as W
 
     if isinstance(k, dict):
+        if not k:
+            # an empty dict would leave k_expr None and crash on
+            # .otherwise() with an opaque AttributeError
+            raise ValueError("grouped_kmeans: empty k dict")
         k_expr = None
         for g, kg in k.items():
             cond = F.col(group_col) == F.lit(g)
@@ -786,6 +790,12 @@ def kcenter_coreset_batched(
     sequence is bit-identical to ``kcenter_coreset`` (pinned in
     tests/test_r8_ops.py).
 
+    k >= n_rows (or duplicate-heavy corpora): once the global max
+    min-dist hits 0 every point coincides with a chosen center, and
+    the remaining ranks are filled with the lowest corpus id (the
+    seed) at 0.0 — exactly the sequential path's re-pick under its
+    (min_dist desc, id asc) order (pinned in tests/test_r9_fixes.py).
+
     Output: (center_rank, <id_col>, min_dist) — identical to the
     sequential operator."""
     state = df.select(
@@ -829,6 +839,22 @@ def kcenter_coreset_batched(
                 cands, key=lambda i: (-cands[i][1], i)
             )  # max min-dist, lowest id on ties
             vec, mind = cands.pop(cid)
+            if mind == 0.0:
+                # The selected candidate is the global argmax (first
+                # of a round, or mid-loop in a short-fetch round where
+                # cands IS the whole remaining corpus), so max
+                # min-dist over the corpus is 0: every point now
+                # coincides with a chosen center. The sequential
+                # greedy re-picks the LOWEST corpus id — the seed —
+                # for every remaining rank (orderBy desc _mind, _id
+                # over an all-zero column). Mirror that exactly
+                # instead of accepting batch leftovers in corpus
+                # order, which for k >= n_rows would admit each
+                # already-chosen center once and diverge from
+                # ``kcenter_coreset`` and the shared SQL oracle.
+                while len(chosen) < k:
+                    chosen.append((len(chosen), seed["_id"], 0.0))
+                break
             if accepted and not (mind > m_p):
                 break  # an outside point might now be farther — next round
             chosen.append((len(chosen), cid, mind))

@@ -1335,7 +1335,13 @@ def compact_band_index(
         # nothing folded beyond the existing base and no quarantine
         # relabeling: recommitting would replace base/v=<b> in place
         # (rmtree + rename), whose crash window briefly has NO base on
-        # disk — skip the no-op instead
+        # disk — skip the no-op commit, but still honor the
+        # bucketed_table mirror request (callers rely on this path to
+        # create/refresh the catalog mirror that
+        # read_band_index_parts(base_table=...) reads; before the
+        # no-op skip existed, every call wrote it)
+        if bucketed_table is not None:
+            write_band_index_bucketed(folded, bucketed_table, n_buckets)
         return folded
     all_vs = band_vs + remap_vs + ([b] if b is not None else [])
     if not all_vs:

@@ -358,7 +358,16 @@ def dsir_log_weights(
 
     def _feat_buckets(frame: DataFrame):
         toks = tokens(F.col(text_col))
-        feats = F.concat(toks, word_shingles(toks, 2))
+        # coalesce to an empty array: for a NULL text, tokens() is
+        # NULL and concat(NULL, ...) is NULL, which would make the
+        # scoring fold (and so log_weight) NULL — dsir_select would
+        # silently DROP the doc while the DuckDB twin's LEFT JOIN +
+        # coalesce keeps it at keep_prob 1.0. NULL text scores 0.0,
+        # exactly like an empty doc.
+        feats = F.coalesce(
+            F.concat(toks, word_shingles(toks, 2)),
+            F.array().cast("array<string>"),
+        )
         return frame.withColumn(
             "_fb",
             F.transform(
