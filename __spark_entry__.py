@@ -125,6 +125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entry (approx_users_daily) sits just past position 50 so the
     # whole gated block stays hash-checkable.
     return {
+        # -- never driver-checked (round-9 registrations) --
+        "pca_embeddings": llm.pca_embeddings,
+        "line_dedup_docs": llm.line_dedup_docs,
+        "unimax_mixture_docs": llm.unimax_mixture_docs,
         # -- never driver-checked (round-8 registrations) --
         "stream_exact_dedup_docs": llm.stream_exact_dedup_docs,
         "dsir_weights_docs": llm.dsir_weights_docs,
@@ -287,6 +291,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_value_daily": sequence.time_weighted_value_daily,
         "daily_growth_by_type": sequence.daily_growth_by_type,
     }
+
+def _pca_sql(dim: int = 64, iters: int = 10) -> str:
+    """DuckDB twin of plans/llm.pca_embeddings — recomputes the whole
+    fit independently: the DECIMAL(28,12)-routed covariance (rounded
+    6 dp — the k-means absorption convention), the fixed power
+    iterations with UNROLLED left-associative sum chains (DuckDB's
+    list_reduce/list_sum have batch-dependent reduction order, so a
+    fold expression must be spelled out term by term to match the
+    driver's left-to-right IEEE arithmetic bit for bit), deflation,
+    and the centered projection. Mirrors operators/pca.pca_power_fit
+    expression for expression."""
+    d1 = dim + 1
+
+    def mv(mm: str, vv: str) -> str:
+        chain = " + ".join(
+            f"{mm}[i][{j}]*{vv}[{j}]" for j in range(1, d1)
+        )
+        return f"[round({chain}, 9) for i in range(1, {d1})]"
+
+    def dot(a: str, b: str) -> str:
+        return " + ".join(f"{a}[{j}]*{b}[{j}]" for j in range(1, d1))
+
+    parts = [
+        f"""
+        WITH base AS MATERIALIZED (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        nn AS MATERIALIZED (SELECT count(*) AS n FROM base),
+        dx AS MATERIALIZED (SELECT unnest(range(1, {d1})) AS i),
+        sx AS MATERIALIZED (
+          SELECT dx.i AS i,
+                 CAST(sum(CAST(v[dx.i] AS DECIMAL(28,12))) AS DOUBLE) AS s
+          FROM base, dx GROUP BY 1
+        ),
+        mu AS MATERIALIZED (SELECT i, round(s / n, 6) AS m FROM sx, nn),
+        mul AS MATERIALIZED (SELECT list(m ORDER BY i) AS ml FROM mu),
+        pij AS MATERIALIZED (SELECT a.i AS i, b.i AS j FROM dx a, dx b WHERE b.i >= a.i),
+        sxx AS MATERIALIZED (
+          SELECT p.i AS i, p.j AS j,
+                 CAST(sum(CAST(v[p.i] * v[p.j] AS DECIMAL(28,12)))
+                   AS DOUBLE) AS s
+          FROM base, pij p GROUP BY 1, 2
+        ),
+        cov0 AS MATERIALIZED (
+          SELECT s.i, s.j, round(s.s / n - mi.m * mj.m, 6) AS c
+          FROM sxx s, nn, mu mi, mu mj
+          WHERE mi.i = s.i AND mj.i = s.j
+        ),
+        covf1 AS MATERIALIZED (
+          SELECT i, j, c FROM cov0
+          UNION ALL
+          SELECT j AS i, i AS j, c FROM cov0 WHERE i <> j
+        ),
+        cm1 AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS crow FROM covf1 GROUP BY i),
+        cmat1 AS MATERIALIZED (SELECT list(crow ORDER BY i) AS mm FROM cm1),
+        v1_0 AS MATERIALIZED (SELECT [round(1.0/sqrt({dim}), 9)
+                         for i in range(1, {d1})] AS vv)"""
+    ]
+    for c in (1, 2):
+        for t in range(1, iters + 1):
+            parts.append(
+                f""",
+        w{c}_{t} AS MATERIALIZED (SELECT {mv('mm', 'vv')} AS w
+                     FROM cmat{c}, v{c}_{t - 1}),
+        v{c}_{t} AS MATERIALIZED (SELECT [round(w[i] / sqrt({dot('w', 'w')}), 9)
+                             for i in range(1, {d1})] AS vv
+                     FROM w{c}_{t})"""
+            )
+        if c == 1:
+            # deflate: C2 = round(C1 - lam1 * v_i * v_j, 9)
+            parts.append(
+                f""",
+        wf1 AS MATERIALIZED (SELECT {mv('mm', 'vv')} AS w FROM cmat1, v1_{iters}),
+        lam1 AS MATERIALIZED (SELECT round({dot('vv', 'w')}, 9) AS l
+                 FROM v1_{iters}, wf1),
+        covf2 AS MATERIALIZED (
+          SELECT a.i AS i, b.i AS j,
+                 round(cm.mm[a.i][b.i] - l.l * vv[a.i] * vv[b.i], 9) AS c
+          FROM dx a, dx b, cmat1 cm, lam1 l, v1_{iters}
+        ),
+        cm2 AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS crow FROM covf2 GROUP BY i),
+        cmat2 AS MATERIALIZED (SELECT list(crow ORDER BY i) AS mm FROM cm2),
+        v2_0 AS MATERIALIZED (SELECT vv FROM v1_0)"""
+            )
+    proj1 = " + ".join(
+        f"(b.v[{j}] - mu.ml[{j}]) * c1.vv[{j}]" for j in range(1, d1)
+    )
+    proj2 = " + ".join(
+        f"(b.v[{j}] - mu.ml[{j}]) * c2.vv[{j}]" for j in range(1, d1)
+    )
+    parts.append(
+        f"""
+        SELECT b.vec_id,
+               round({proj1}, 6) AS pc1,
+               round({proj2}, 6) AS pc2
+        FROM base b, mul mu, v1_{iters} c1, v2_{iters} c2
+    """
+    )
+    return "".join(parts)
+
 
 def oracle_sql() -> dict[str, str]:
     sql = {
@@ -3487,5 +3592,98 @@ def oracle_sql() -> dict[str, str]:
             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
           FROM res)
         WHERE rnk <= 5
+    """
+    sql["pca_embeddings"] = _pca_sql(dim=64, iters=30)
+    # RefinedWeb-style corpus line dedup over the boilerplate-augmented
+    # docs (plans/llm._docs_with_boilerplate replayed verbatim); the
+    # Spark side counts by the 60-bit md5 line hash, the twin by the
+    # line itself — identical results barring a 2^-60 collision (the
+    # minhash band-key convention)
+    sql["line_dedup_docs"] = """
+        WITH w AS (
+          SELECT doc_id, source, string_split(text, ' ') AS ws
+          FROM documents
+        ),
+        built AS (
+          SELECT doc_id,
+                 'subscribe to the ' || source || ' newsletter'
+                 || chr(10)
+                 || array_to_string(
+                      [array_to_string(ws[(i*8+1):(i*8+8)], ' ')
+                       for i in range(0,
+                         CAST(ceil(len(ws)/8.0) AS INTEGER))],
+                      chr(10))
+                 || CASE WHEN doc_id % 4 = 0
+                         THEN chr(10) ||
+                              'copyright example corp all rights reserved'
+                         ELSE '' END AS text
+          FROM w
+        ),
+        l AS (
+          SELECT doc_id,
+                 unnest(string_split(text, chr(10))) AS line,
+                 unnest(range(1, len(string_split(text, chr(10))) + 1))
+                   AS pos
+          FROM built
+        ),
+        c AS (SELECT line, count(*) AS lc FROM l GROUP BY 1),
+        j AS (
+          SELECT l.doc_id, l.pos, l.line,
+                 CASE WHEN c.lc <= 1 THEN 1 ELSE 0 END AS keep
+          FROM l JOIN c ON c.line = l.line
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(keep) AS BIGINT) AS n_lines_kept,
+               coalesce(string_agg(CASE WHEN keep = 1 THEN line END,
+                                   chr(10) ORDER BY pos), '') AS text
+        FROM j GROUP BY doc_id
+    """
+    # UniMax waterfilling (operators/sampling.unimax_plan): capped set
+    # is the ascending-cap prefix with cap_j*(n-j+1) <= B - cum_{j-1};
+    # the uncapped share theta and the epoch ratios round to 6 dp
+    sql["unimax_mixture_docs"] = """
+        WITH per AS (
+          SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_chars
+          FROM documents GROUP BY 1
+        ),
+        capd AS (
+          SELECT lang, n_chars,
+                 CAST(n_chars * 2 AS BIGINT) AS cap_chars
+          FROM per
+        ),
+        win AS (
+          SELECT *,
+                 row_number() OVER (ORDER BY cap_chars, lang) AS rn,
+                 coalesce(sum(cap_chars) OVER (
+                   ORDER BY cap_chars, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_prev,
+                 count(*) OVER () AS n,
+                 1.5 * (sum(n_chars) OVER ()) AS b
+          FROM capd
+        ),
+        flag AS (
+          SELECT *,
+                 (cap_chars * (n - rn + 1) <= b - cum_prev) AS capped
+          FROM win
+        ),
+        scalar AS (
+          SELECT sum(CASE WHEN capped THEN cap_chars ELSE 0 END)
+                   AS capsum,
+                 sum(CASE WHEN capped THEN 1 ELSE 0 END) AS m,
+                 max(n) AS nn, max(b) AS bb
+          FROM flag
+        )
+        SELECT lang, n_chars, cap_chars,
+               round(CASE WHEN capped OR m = nn
+                          THEN CAST(cap_chars AS DOUBLE)
+                          ELSE round((bb - capsum) / (nn - m), 6)
+                     END, 6) AS alloc_chars,
+               round(round(CASE WHEN capped OR m = nn
+                          THEN CAST(cap_chars AS DOUBLE)
+                          ELSE round((bb - capsum) / (nn - m), 6)
+                     END, 6) / n_chars, 6) AS epochs
+        FROM flag, scalar
     """
     return sql

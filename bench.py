@@ -115,6 +115,11 @@ HEADLINE = [
     "dsir_weights_docs",
     "kll_value_daily",
     "kll_value_monthly_rollup",
+    # round 9: deterministic power-iteration PCA, corpus line dedup,
+    # UniMax language-budget allocation
+    "pca_embeddings",
+    "line_dedup_docs",
+    "unimax_mixture_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

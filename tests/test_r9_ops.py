@@ -1,0 +1,127 @@
+"""Round-9 operator pins: corpus line dedup and UniMax allocation.
+
+(The PCA family has its own tests/test_pca.py; the oracle gate pins
+cross-engine equality for all three registered queries.)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tweetaggregates_spark.operators.sampling import unimax_plan
+from tweetaggregates_spark.operators.text import line_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestLineDedup:
+    def test_boilerplate_dropped_content_kept_in_order(self, spark):
+        df = _docs(
+            spark,
+            [
+                (1, "BANNER\nalpha beta\ngamma delta\nBANNER2"),
+                (2, "BANNER\nepsilon zeta\nBANNER2"),
+                (3, "BANNER\nunique only here"),
+            ],
+        )
+        out = {
+            r.doc_id: r for r in line_dedup(df, max_occurrences=1).collect()
+        }
+        assert out[1].text == "alpha beta\ngamma delta"
+        assert (out[1].n_lines, out[1].n_lines_kept) == (4, 2)
+        assert out[2].text == "epsilon zeta"
+        assert out[3].text == "unique only here"
+
+    def test_all_boilerplate_doc_survives_empty(self, spark):
+        df = _docs(spark, [(1, "SAME\nSAME2"), (2, "SAME\nSAME2")])
+        out = {
+            r.doc_id: r for r in line_dedup(df, max_occurrences=1).collect()
+        }
+        assert set(out) == {1, 2}  # docs stay visible for the funnel
+        for r in out.values():
+            assert r.text == "" and r.n_lines_kept == 0 and r.n_lines == 2
+
+    def test_max_occurrences_threshold(self, spark):
+        df = _docs(
+            spark,
+            [(1, "twice\na"), (2, "twice\nb"), (3, "thrice\nc"),
+             (4, "thrice\nd"), (5, "thrice\ne")],
+        )
+        out = {
+            r.doc_id: r.text
+            for r in line_dedup(df, max_occurrences=2).collect()
+        }
+        # 'twice' (count 2) survives at threshold 2; 'thrice' doesn't
+        assert out[1] == "twice\na"
+        assert out[3] == "c"
+
+    def test_duplicate_lines_within_one_doc_also_count(self, spark):
+        # corpus-level count includes within-doc repeats (RefinedWeb
+        # counts occurrences, not documents)
+        df = _docs(spark, [(1, "loop\nloop\nbody")])
+        r = line_dedup(df, max_occurrences=1).collect()[0]
+        assert r.text == "body" and r.n_lines == 3 and r.n_lines_kept == 1
+
+    def test_order_preserved_under_repartition(self, spark):
+        lines = [f"unique line {i}" for i in range(40)]
+        df = _docs(spark, [(1, "\n".join(lines))]).repartition(8)
+        r = line_dedup(df).collect()[0]
+        assert r.text == "\n".join(lines)
+
+
+class TestUnimax:
+    def _plan(self, spark, sizes, frac, epochs):
+        df = spark.createDataFrame(
+            [(g, int(s)) for g, s in sizes.items()], ["lang", "n_chars"]
+        )
+        return {
+            r.lang: r
+            for r in unimax_plan(
+                df, "lang", "n_chars",
+                budget_fraction=frac, max_epochs=epochs,
+            ).collect()
+        }
+
+    def test_waterfill_caps_low_resource_first(self, spark):
+        out = self._plan(
+            spark, {"en": 1000, "de": 100, "zh": 50}, 1.0, 2
+        )
+        # B = 1150; caps: zh 100, de 200, en 2000.
+        # zh: 100*3=300 <= 1150 -> capped; de: 200*2=400 <= 1050 ->
+        # capped; en: 2000*1 > 850 -> theta = 850
+        assert out["zh"].alloc_chars == 100.0
+        assert out["de"].alloc_chars == 200.0
+        assert out["en"].alloc_chars == 850.0
+        assert out["zh"].epochs == 2.0 and out["en"].epochs == 0.85
+        # budget conserved
+        assert sum(r.alloc_chars for r in out.values()) == 1150.0
+
+    def test_budget_above_all_caps_allocates_caps(self, spark):
+        out = self._plan(spark, {"a": 10, "b": 20}, 5.0, 2)
+        assert out["a"].alloc_chars == 20.0
+        assert out["b"].alloc_chars == 40.0
+        assert out["a"].epochs == 2.0 == out["b"].epochs
+
+    def test_equal_groups_get_equal_shares(self, spark):
+        out = self._plan(spark, {"a": 100, "b": 100, "c": 100}, 0.9, 2)
+        # B = 270 < any cap*(rem): theta = 90 each
+        assert {r.alloc_chars for r in out.values()} == {90.0}
+
+    def test_partitioning_invariance(self, spark):
+        rows = [(f"l{i % 7}", 10 + i) for i in range(200)]
+        df = spark.createDataFrame(rows, ["lang", "n_chars"])
+        a = sorted(
+            map(tuple, unimax_plan(df, "lang", "n_chars").collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                unimax_plan(
+                    df.repartition(13), "lang", "n_chars"
+                ).collect(),
+            )
+        )
+        assert a == b

@@ -463,3 +463,88 @@ def dsir_select(
     return weighted_sample(
         scored, id_col, "keep_prob", base_rate=base_rate, salt=salt
     )
+
+
+def unimax_plan(
+    df: DataFrame,
+    group_col: str = "lang",
+    size_col: str = "n_chars",
+    budget_fraction: float = 1.5,
+    max_epochs: int = 2,
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining" — public): waterfill a total training
+    budget B = budget_fraction * corpus chars across groups, capping
+    every group at ``max_epochs`` passes over its own data — the
+    closed-form alternative to temperature sampling that never
+    over-epochs a low-resource language.
+
+    Closed form: with groups sorted ASCENDING by cap_g = c_g *
+    max_epochs, group j is CAPPED iff cap_j * (n - j + 1) <= B -
+    cum_{j-1} (prefix-monotone, so the capped set is exactly that
+    ascending prefix); every uncapped group gets the equal share
+    theta = (B - sum of capped caps) / n_uncapped. Everything up to
+    theta is exact BIGINT/double-on-integers arithmetic (chars < 2^53
+    — at a true 100 TB corpus switch size_col to a per-group count of
+    1e6-char units); theta and the epoch ratios round to 6 dp.
+
+    Plan shape: one per-group aggregate over the corpus (the only
+    corpus-sized pass), then windows over the |groups|-row allocation
+    table — model-sized, like the prefix machinery's offset table.
+
+    Output: (group_col, n_chars, cap_chars, alloc_chars, epochs).
+    """
+    per = df.groupBy(group_col).agg(
+        F.sum(size_col).cast("bigint").alias("n_chars")
+    )
+    cap = (F.col("n_chars") * F.lit(int(max_epochs))).cast("bigint")
+    per = per.withColumn("cap_chars", cap)
+    w = Window.orderBy("cap_chars", group_col)
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    per = (
+        per.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_cum_prev",
+            F.coalesce(F.sum("cap_chars").over(wprev), F.lit(0)),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "_b",
+            F.lit(float(budget_fraction))
+            * F.sum("n_chars").over(wall),
+        )
+    )
+    capped = (
+        F.col("cap_chars") * (F.col("_n") - F.col("_rn") + 1)
+        <= F.col("_b") - F.col("_cum_prev")
+    )
+    per = per.withColumn("_capped", capped)
+    scalar = per.groupBy().agg(
+        F.sum(F.when(F.col("_capped"), F.col("cap_chars"))
+              .otherwise(F.lit(0))).alias("_capsum"),
+        F.sum(F.col("_capped").cast("int")).alias("_m"),
+        F.max("_n").alias("_nn"),
+        F.max("_b").alias("_bb"),
+    )
+    theta = F.round(
+        (F.col("_bb") - F.col("_capsum"))
+        / (F.col("_nn") - F.col("_m")),
+        6,
+    )
+    alloc = F.when(
+        F.col("_capped") | (F.col("_m") == F.col("_nn")),
+        F.col("cap_chars").cast("double"),
+    ).otherwise(theta)
+    return (
+        per.join(F.broadcast(scalar))
+        .withColumn("alloc_chars", F.round(alloc, 6))
+        .withColumn(
+            "epochs",
+            F.round(F.col("alloc_chars") / F.col("n_chars"), 6),
+        )
+        .select(
+            group_col, "n_chars", "cap_chars", "alloc_chars", "epochs"
+        )
+    )

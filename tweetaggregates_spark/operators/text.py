@@ -888,3 +888,68 @@ def c4_rules(
         has_brace.alias("has_curly_brace"),
         keep.alias("c4_keep"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_occurrences: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level LINE deduplication (RefinedWeb, Penedo et al. 2023
+    §"line-wise corrections"; also the C4 line filter family): a line
+    occurring more than ``max_occurrences`` times ACROSS THE CORPUS is
+    boilerplate (headers, nav bars, cookie banners) and is dropped from
+    every document; documents are reassembled from their surviving
+    lines in original order.
+
+    Output: (id_col, n_lines, n_lines_kept, text) — text '' when every
+    line was boilerplate (the doc stays visible for the curation
+    funnel; dropping it is the caller's policy decision).
+
+    Plan shape at 100 TB: explode to lines (map), count by 60-bit line
+    hash (one shuffle, map-side combined — the md5-based ``hash64``
+    keeps the shuffle key 8 bytes instead of the line string), join
+    lines<->counts on the hash (second shuffle; the hot boilerplate
+    keys are exactly the skewed ones, which is AQE skew-join territory
+    — a Window count-over-hash would funnel each hot line through ONE
+    task with no mitigation), and one groupBy(doc) to reassemble
+    (third shuffle, proportional to surviving lines). Hash collisions:
+    2^-60 per pair — the same accepted risk as the minhash band keys;
+    an exact-paranoid variant joins on (hash, line).
+    """
+    lines = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+    ).withColumn("_lh", hash64(F.col("_line")))
+    counts = lines.groupBy("_lh").agg(
+        F.count(F.lit(1)).alias("_line_count")
+    )
+    joined = lines.join(counts, "_lh")
+    keep = F.col("_line_count") <= F.lit(max_occurrences)
+    rows = joined.select(
+        id_col,
+        "_pos",
+        "_line",
+        keep.cast("int").alias("_keep"),
+    )
+    kept_lines = F.filter(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("_pos"),
+                    F.col("_keep"),
+                    F.col("_line"),
+                )
+            )
+        ),
+        lambda s: s["_keep"] == 1,
+    )
+    return rows.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("_keep").cast("bigint").alias("n_lines_kept"),
+        F.array_join(
+            F.transform(kept_lines, lambda s: s["_line"]), sep
+        ).alias("text"),
+    )

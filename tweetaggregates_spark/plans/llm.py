@@ -924,3 +924,83 @@ def coreset_embeddings_batched(
     where the O(k/batch) driver-action count is the point."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cluster.kcenter_coreset_batched(emb, k=5, batch=2)
+
+
+def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA projection of the embedding corpus (operators/pca):
+    deterministic fixed-iteration power method with deflation over a
+    DECIMAL-routed covariance — the data-DEPENDENT companion to
+    random_projection_embeddings. One corpus scan fits the model
+    (d(d+1)/2-wide decimal aggregate), an O(d^2) driver solve, one
+    map-only projection pass; the DuckDB twin replays the whole fit
+    with unrolled left-associative sum chains."""
+    from tweetaggregates_spark.operators.pca import pca_fit_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 30 iterations: the synthetic embeddings are near-isotropic
+    # (lambda2/lambda1 ~ 0.93-0.99), where fixed-T power iteration
+    # converges slowly -- 30 steps capture >= 97% of lambda1 as
+    # Rayleigh quotient at every test SF (pinned in tests/test_pca.py)
+    return pca_fit_project(
+        emb, vec_col="embedding", id_col="vec_id", dim=64,
+        n_components=2, iters=30,
+    )
+
+
+def _docs_with_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The testdata documents are single-line and (nearly) all-unique,
+    so corpus-level line dedup would be vacuous; synthesize the crawl
+    shape it targets (same convention as _docs_with_dups /
+    _docs_with_urls): body text re-wrapped into 8-word lines, a
+    per-source subscription header shared by every doc of the source,
+    and a global copyright banner on every 4th doc."""
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * 8 + 1, 8), " "
+            ),
+        ),
+        "\n",
+    )
+    text = F.concat(
+        F.lit("subscribe to the "),
+        F.col("source"),
+        F.lit(" newsletter"),
+        F.lit("\n"),
+        body,
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("\ncopyright example corp all rights reserved"),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style corpus-level line dedup over the
+    boilerplate-augmented documents: the per-source headers and the
+    copyright banner occur corpus-wide and are dropped from every doc;
+    unique 8-word body lines survive in order."""
+    return text.line_dedup(
+        _docs_with_boilerplate(spark, sf_dir), max_occurrences=1
+    )
+
+
+def unimax_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax per-language budget allocation over the documents table:
+    budget = 1.5x corpus chars, epoch cap 2 — low-resource languages
+    hit the epoch cap (full-corpus x2), the high-resource head splits
+    the remaining budget equally (operators/sampling.unimax_plan)."""
+    from tweetaggregates_spark.operators.sampling import unimax_plan
+
+    return unimax_plan(
+        _docs(spark, sf_dir),
+        group_col="lang",
+        size_col="n_chars",
+        budget_fraction=1.5,
+        max_epochs=2,
+    )
