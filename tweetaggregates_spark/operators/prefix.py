@@ -164,13 +164,18 @@ def grouped_partitioned_rank(
     order = [srt] + [F.asc(t) for t in tiebreakers or []]
     wloc = W.partitionBy(*group_cols, "__b").orderBy(*order)
     # the per-(group,bucket) count rides the SAME window partitioning
-    # as the local rank, so the offsets branch aggregates the already-
-    # shuffled frame instead of re-scanning the input: one scan, one
-    # corpus exchange total (the count aggregate's distribution
-    # requirement is already satisfied — no second exchange)
+    # as the local rank; a LAZY localCheckpoint then makes this frame
+    # physically shared by its two consumers (the offsets aggregate
+    # and the join probe). Without the barrier, column pruning
+    # specializes the two subtrees (the offsets branch drops the
+    # payload columns), the exchanges stop being identical, ReuseExchange
+    # never fires, and the scan + corpus shuffle + window execute
+    # TWICE — measured 4.6 s -> 2.0 s on the KLL daily rank at sf0.1
+    # (round 9; the same two-consumer hazard round 8 fixed in
+    # dsir_select, SCALE.md)
     local = b.withColumn("__lr", F.row_number().over(wloc)).withColumn(
         "__c", F.count(F.lit(1)).over(W.partitionBy(*group_cols, "__b"))
-    )
+    ).localCheckpoint(eager=False)
     counts = local.groupBy(*group_cols, "__b").agg(
         F.max("__c").alias("__c")
     )
