@@ -115,79 +115,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate: the driver's correctness gate samples the
-    # FIRST 50 entries. ROUND-8 ROTATION (VERDICT r5 #7 policy): the
-    # five never-checked round-8 registrations lead, then entries run
-    # STALEST-FIRST by the round of their most recent driver
-    # CORRECTNESS row (unioned over CORRECTNESS_r1..r7: 47 entries at
-    # r5, then r6, then r7), so every entry's driver row stays at most
-    # a few rounds old as the gate rotates. The rows-only HLL-sketch
-    # entry (approx_users_daily) sits just past position 50 so the
-    # whole gated block stays hash-checkable.
     return {
+        # Ordering is stalest-first for the driver gate (first 50
+        # entries are hash-checked): the four never-checked round-9
+        # registrations lead, then the two entries whose newest
+        # driver row is r5, then r6-era entries in stable order (44
+        # fit the 50-entry block). The rows-only HLL entry
+        # (approx_users_daily) is pinned to position 51 so the gated
+        # block stays fully hash-checkable; r7/r8-era entries follow.
         # -- never driver-checked (round-9 registrations) --
         "pca_embeddings": llm.pca_embeddings,
         "line_dedup_docs": llm.line_dedup_docs,
         "unimax_mixture_docs": llm.unimax_mixture_docs,
-        # -- never driver-checked (round-8 registrations) --
-        "stream_exact_dedup_docs": llm.stream_exact_dedup_docs,
-        "dsir_weights_docs": llm.dsir_weights_docs,
-        "kll_value_daily": ev.kll_value_daily,
-        "kll_value_monthly_rollup": ev.kll_value_monthly_rollup,
-        "coreset_embeddings_batched": llm.coreset_embeddings_batched,
-        # -- stalest: newest driver row r5 — 47 entries; the first --
-        # 45 fit the 50-entry gate with the r8 block, the tail
-        # leads the r9 rotation
-        "cumulative_new_users": sequence.cumulative_new_users,
-        "kmeans_clusters_embeddings": llm.kmeans_clusters_embeddings,
-        "semantic_dup_embeddings": llm.semantic_dup_embeddings,
-        "knn_pq_embeddings": llm.knn_pq_embeddings,
-        "lm_quality_docs": llm.lm_quality_docs,
-        "media_frames_docs": llm.media_frames_docs,
-        "media_waveform_docs": llm.media_waveform_docs,
-        "bpe_merges_docs": llm.bpe_merges_docs,
-        "incremental_dedup_docs": llm.incremental_dedup_docs,
-        "incremental_exact_dedup_docs": llm.incremental_exact_dedup_docs,
-        "knn_ivf_pq_embeddings": llm.knn_ivf_pq_embeddings,
-        "knn_ivf_pq_trained_embeddings": llm.knn_ivf_pq_trained_embeddings,
-        "dense_tumbling_counts": ev.dense_tumbling_counts,
-        "daily_count_anomalies": ev.daily_count_anomalies,
-        "latest_events_snapshot": ev.latest_events_snapshot,
-        "viewers_never_erroring": ev.viewers_never_erroring,
-        "events_profile": ev.events_profile,
-        "user_activity_concentration": ev.user_activity_concentration,
-        "winsorized_value_stats": ev.winsorized_value_stats,
-        "revenue_grouping_sets": ev.revenue_grouping_sets,
-        "q2_min_cost_supplier": star.q2_min_cost_supplier,
-        "q4_priority_counts": star.q4_priority_counts,
-        "q7_nation_volume": star.q7_nation_volume,
-        "q8_market_share": star.q8_market_share,
-        "q11_part_revenue_share": star.q11_part_revenue_share,
-        "q12_late_priority_counts": star.q12_late_priority_counts,
-        "q15_top_supplier": star.q15_top_supplier,
-        "q16_supplier_counts": star.q16_supplier_counts,
-        "q17_small_quantity_revenue": star.q17_small_quantity_revenue,
-        "q19_disjunctive_revenue": star.q19_disjunctive_revenue,
-        "q22_idle_customers": star.q22_idle_customers,
-        "hll_users_daily": ev.hll_users_daily,
-        "hll_users_monthly_rollup": ev.hll_users_monthly_rollup,
-        "value_quantile_sketch_daily": ev.value_quantile_sketch_daily,
-        "value_quantile_sketch_monthly": ev.value_quantile_sketch_monthly,
-        "cms_heavy_hitters_daily": ev.cms_heavy_hitters_daily,
-        "substring_dup_docs": llm.substring_dup_docs,
-        "dup_cluster_size_histogram": llm.dup_cluster_size_histogram,
-        "cosine_near_dups_banded": llm.cosine_near_dups_banded,
-        "cosine_near_dups_blocked": llm.cosine_near_dups_blocked,
-        "quantized_embeddings": llm.quantized_embeddings_docs,
-        "embedding_stats": llm.embedding_stats,
-        "label_centroids": llm.label_centroids_query,
-        "vocab_docs": llm.vocab_docs,
-        "tfidf_docs": llm.tfidf_docs,
+        "stream_pca_embeddings": llm.stream_pca_embeddings,
+        # -- newest driver row r5 --
         "inverted_index_docs": llm.inverted_index_docs,
         "repeated_ngrams_docs": llm.repeated_ngrams_docs,
-        # -- rows-only by design (no DuckDB HLL twin): kept just past --
-        # the hash-gated block
-        "approx_users_daily": ev.approx_users_daily,
         # -- newest driver row r6 --
         "knn_ivf_pq_refined_embeddings": llm.knn_ivf_pq_refined_embeddings,
         "incremental_dedup_delta_docs": llm.incremental_dedup_delta_docs,
@@ -233,6 +176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_revenue_change": star.q6_revenue_change,
         "q10_returned_items": star.q10_returned_items,
         "q18_large_orders": star.q18_large_orders,
+        # -- rows-only by design, pinned past the gate --
+        "approx_users_daily": ev.approx_users_daily,
+        # -- newest driver row r6 --
         "q9_profit_by_nation": star.q9_profit_by_nation,
         "q13_order_count_distribution": star.q13_order_count_distribution,
         "q20_heavy_suppliers": star.q20_heavy_suppliers,
@@ -290,6 +236,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_order_docs": llm.shuffle_order_docs,
         "time_weighted_value_daily": sequence.time_weighted_value_daily,
         "daily_growth_by_type": sequence.daily_growth_by_type,
+        # -- newest driver row r8 --
+        "stream_exact_dedup_docs": llm.stream_exact_dedup_docs,
+        "dsir_weights_docs": llm.dsir_weights_docs,
+        "kll_value_daily": ev.kll_value_daily,
+        "kll_value_monthly_rollup": ev.kll_value_monthly_rollup,
+        "coreset_embeddings_batched": llm.coreset_embeddings_batched,
+        "cumulative_new_users": sequence.cumulative_new_users,
+        "kmeans_clusters_embeddings": llm.kmeans_clusters_embeddings,
+        "semantic_dup_embeddings": llm.semantic_dup_embeddings,
+        "knn_pq_embeddings": llm.knn_pq_embeddings,
+        "lm_quality_docs": llm.lm_quality_docs,
+        "media_frames_docs": llm.media_frames_docs,
+        "media_waveform_docs": llm.media_waveform_docs,
+        "bpe_merges_docs": llm.bpe_merges_docs,
+        "incremental_dedup_docs": llm.incremental_dedup_docs,
+        "incremental_exact_dedup_docs": llm.incremental_exact_dedup_docs,
+        "knn_ivf_pq_embeddings": llm.knn_ivf_pq_embeddings,
+        "knn_ivf_pq_trained_embeddings": llm.knn_ivf_pq_trained_embeddings,
+        "dense_tumbling_counts": ev.dense_tumbling_counts,
+        "daily_count_anomalies": ev.daily_count_anomalies,
+        "latest_events_snapshot": ev.latest_events_snapshot,
+        "viewers_never_erroring": ev.viewers_never_erroring,
+        "events_profile": ev.events_profile,
+        "user_activity_concentration": ev.user_activity_concentration,
+        "winsorized_value_stats": ev.winsorized_value_stats,
+        "revenue_grouping_sets": ev.revenue_grouping_sets,
+        "q2_min_cost_supplier": star.q2_min_cost_supplier,
+        "q4_priority_counts": star.q4_priority_counts,
+        "q7_nation_volume": star.q7_nation_volume,
+        "q8_market_share": star.q8_market_share,
+        "q11_part_revenue_share": star.q11_part_revenue_share,
+        "q12_late_priority_counts": star.q12_late_priority_counts,
+        "q15_top_supplier": star.q15_top_supplier,
+        "q16_supplier_counts": star.q16_supplier_counts,
+        "q17_small_quantity_revenue": star.q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": star.q19_disjunctive_revenue,
+        "q22_idle_customers": star.q22_idle_customers,
+        "hll_users_daily": ev.hll_users_daily,
+        "hll_users_monthly_rollup": ev.hll_users_monthly_rollup,
+        "value_quantile_sketch_daily": ev.value_quantile_sketch_daily,
+        "value_quantile_sketch_monthly": ev.value_quantile_sketch_monthly,
+        "cms_heavy_hitters_daily": ev.cms_heavy_hitters_daily,
+        "substring_dup_docs": llm.substring_dup_docs,
+        "dup_cluster_size_histogram": llm.dup_cluster_size_histogram,
+        "cosine_near_dups_banded": llm.cosine_near_dups_banded,
+        "cosine_near_dups_blocked": llm.cosine_near_dups_blocked,
+        "quantized_embeddings": llm.quantized_embeddings_docs,
+        "embedding_stats": llm.embedding_stats,
+        "label_centroids": llm.label_centroids_query,
+        "vocab_docs": llm.vocab_docs,
+        "tfidf_docs": llm.tfidf_docs,
     }
 
 def _pca_sql(dim: int = 64, iters: int = 10) -> str:
@@ -3594,6 +3591,10 @@ def oracle_sql() -> dict[str, str]:
         WHERE rnk <= 5
     """
     sql["pca_embeddings"] = _pca_sql(dim=64, iters=30)
+    # the streamed-ingest fit folds per-trigger decimal sums that merge
+    # to EXACTLY the one-shot covariance aggregate (associative +
+    # commutative), so its twin is the same full-fit SQL
+    sql["stream_pca_embeddings"] = _pca_sql(dim=64, iters=30)
     # RefinedWeb-style corpus line dedup over the boilerplate-augmented
     # docs (plans/llm._docs_with_boilerplate replayed verbatim); the
     # Spark side counts by the 60-bit md5 line hash, the twin by the

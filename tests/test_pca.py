@@ -127,3 +127,84 @@ def test_rnd_is_shortest_repr_half_up():
     assert _rnd(0.1234567885, 9) == 0.123456789  # was 0.1234567885 tie
     assert _rnd(-0.1234567885, 9) == -0.123456789  # away from zero
     assert _rnd(0.125, 9) == 0.125
+
+
+class TestStreamingCovIngest:
+    """Lifecycle pins for the streamed covariance store beyond the
+    parametrized versioned-store contract: batching invariance of the
+    fitted model and constant compacted size."""
+
+    def _drop_dir(self, tmp_path, rows, n_files):
+        import json as _json
+        import os
+
+        in_dir = str(tmp_path / "in")
+        os.makedirs(in_dir, exist_ok=True)
+        n = len(rows)
+        cuts = [i * n // n_files for i in range(n_files)] + [n]
+        for i in range(n_files):
+            p = os.path.join(in_dir, f"{i}.ndjson")
+            with open(p, "w") as fh:
+                fh.write(
+                    "\n".join(
+                        _json.dumps(
+                            {"vec_id": r.vec_id,
+                             "embedding": [float(x) for x in r.embedding]}
+                        )
+                        for r in rows[cuts[i]: cuts[i + 1]]
+                    )
+                )
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        return in_dir
+
+    def test_streamed_fit_equals_batch_fit(self, spark, emb, tmp_path):
+        from tweetaggregates_spark.streaming.covstream import (
+            fit_from_cov_index,
+            read_cov_index,
+            run_streaming_cov_ingest,
+        )
+
+        rows = sorted(
+            emb.select("vec_id", "embedding").collect(),
+            key=lambda r: r.vec_id,
+        )
+        in_dir = self._drop_dir(tmp_path, rows, 3)
+        index_path = str(tmp_path / "index")
+        run_streaming_cov_ingest(
+            spark, in_dir, index_path, str(tmp_path / "ckpt"),
+            dim=64, available_now=True, max_files_per_trigger=1,
+            compact_every=2,
+        )
+        streamed = fit_from_cov_index(spark, index_path, dim=64,
+                                      n_components=2, iters=30)
+        batch = pca_power_fit(emb, dim=64, n_components=2, iters=30)
+        assert streamed == batch  # bit-identical model
+        # compaction + deltas: folded index is d(d+3)/2 rows
+        assert read_cov_index(spark, index_path).count() == 64 * 67 // 2
+
+    def test_compaction_is_fold_invariant_and_constant_size(
+        self, spark, emb, tmp_path
+    ):
+        from tweetaggregates_spark.streaming.covstream import (
+            compact_cov_index,
+            read_cov_index,
+            run_streaming_cov_ingest,
+        )
+
+        rows = sorted(
+            emb.select("vec_id", "embedding").collect(),
+            key=lambda r: r.vec_id,
+        )[:120]
+        in_dir = self._drop_dir(tmp_path, rows, 4)
+        index_path = str(tmp_path / "index")
+        run_streaming_cov_ingest(
+            spark, in_dir, index_path, str(tmp_path / "ckpt"),
+            dim=64, available_now=True, max_files_per_trigger=1,
+        )
+        before = sorted(map(tuple, read_cov_index(spark, index_path).collect()))
+        compact_cov_index(spark, index_path)
+        after = sorted(map(tuple, read_cov_index(spark, index_path).collect()))
+        assert after == before  # exact-sum fold
+        import os
+        base = [d for d in os.listdir(index_path) if d == "sums_base"]
+        assert base, "compaction committed a base"

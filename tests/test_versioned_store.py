@@ -160,9 +160,57 @@ class KllFamily:
         compact_kll_index(spark, path, k=8, below=below)
 
 
+class CovFamily:
+    """Driver for the streamed PCA covariance-sums store
+    (sums/sums_base, round 9). Merge and compaction are the exact
+    per-key decimal sum, so the folded fingerprint is fully
+    fold-invariant — and compaction output is CONSTANT size
+    (d(d+3)/2 rows) regardless of trigger count."""
+
+    name = "cov"
+    delta_subs = ("sums",)
+    base_subs = ("sums_base",)
+    fold_invariant = True
+
+    DIM = 4
+
+    def append(self, spark, path, v):
+        from pyspark.sql import functions as F
+
+        from tweetaggregates_spark.operators.pca import cov_term_sums
+
+        df = spark.createDataFrame(
+            [
+                (v * 100 + i, [float((i + j + v) % 5) for j in range(self.DIM)])
+                for i in range(6)
+            ],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        )
+        cov_term_sums(df, dim=self.DIM).withColumn(
+            "ingest", F.lit(v)
+        ).write.mode("overwrite").parquet(f"{path}/sums/v={v}")
+
+    def fingerprint(self, spark, path, below=None):
+        from tweetaggregates_spark.streaming.covstream import (
+            read_cov_index,
+        )
+
+        idx = read_cov_index(spark, path, below=below)
+        if idx is None:
+            return []
+        return sorted(map(tuple, idx.collect()))
+
+    def compact(self, spark, path, below=None):
+        from tweetaggregates_spark.streaming.covstream import (
+            compact_cov_index,
+        )
+
+        compact_cov_index(spark, path, below=below)
+
+
 @pytest.fixture(
-    params=[BandFamily(), HashFamily(), KllFamily()],
-    ids=["band", "hash", "kll"],
+    params=[BandFamily(), HashFamily(), KllFamily(), CovFamily()],
+    ids=["band", "hash", "kll", "cov"],
 )
 def family(request):
     return request.param

@@ -53,7 +53,13 @@ from decimal import ROUND_HALF_UP, Decimal
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pca_power_fit", "pca_project", "pca_fit_project"]
+__all__ = [
+    "cov_term_sums",
+    "pca_fit_from_sums",
+    "pca_fit_project",
+    "pca_power_fit",
+    "pca_project",
+]
 
 
 def _rnd(x: float, scale: int = 9) -> float:
@@ -74,19 +80,42 @@ def pca_power_fit(
     """Fit: returns (mu, components, eigenvalues, n). mu and cov are
     assembled from ONE wide decimal aggregate; the power iterations
     follow the module contract exactly."""
-    vec = F.col(vec_col)
+    got = cov_term_sums(df, vec_col=vec_col, dim=dim).collect()
+    if not got:
+        raise ValueError("pca_power_fit: empty input")
+    n = got[0]["_c"]
+    sums = {r["_k"]: r["_s"] for r in got}
+    return pca_fit_from_sums(
+        sums, n, dim=dim, n_components=n_components, iters=iters
+    )
 
-    # One wide row of d + d(d+1)/2 decimal sums, WITHOUT d^2 aggregate
-    # expressions: a 2000+-expression decimal aggregate OOMs codegen on
-    # a default-heap session (DecimalAddNoOverflowCheck code explodes;
-    # measured: 5.7 MB task binary, executor OOM at 1g). Instead the
-    # per-row terms come from ONE zip_with over two literal index
-    # arrays (a runtime loop over 2144 elements, constant-size
-    # codegen), posexplode to (term_idx, term) rows, and a
-    # groupBy(term_idx) decimal sum — 2144 keys, map-side combined, so
-    # the shuffle is O(partitions * d^2/2) tiny rows and the per-task
-    # work is the same O(n * d^2) multiply-adds the wide agg would do.
-    # j = -1 encodes the plain Σx_i terms.
+
+def cov_term_sums(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """The corpus pass of the PCA fit, as a mergeable aggregate:
+    (_k, _s DECIMAL(38,12), _c BIGINT) rows — term index, exact
+    decimal sum of that term over the rows, row count. Term layout:
+    _k < dim are the plain Σx_i sums; the rest are the upper-triangle
+    Σx_i·x_j sums in (i, j>=i) order. Because decimal sums and counts
+    are ASSOCIATIVE AND COMMUTATIVE, these rows are the natural
+    incremental state: per-batch outputs merge by (_k) summation into
+    exactly the one-shot result — the streaming covariance ingest
+    (streaming/covstream.py) appends one such 2144-row block per
+    trigger.
+
+    Shape: one wide row of d + d(d+1)/2 decimal sums WITHOUT d^2
+    aggregate expressions — a 2000+-expression decimal aggregate OOMs
+    codegen on a default-heap session (DecimalAddNoOverflowCheck code
+    explodes; measured: 5.7 MB task binary, executor OOM at 1g).
+    Instead the per-row terms come from ONE zip_with over two literal
+    index arrays (a runtime loop over the 2144 elements, constant-size
+    codegen), posexplode to (term_idx, term) rows, and a
+    groupBy(term_idx) decimal sum — 2144 keys, map-side combined, so
+    the shuffle is O(partitions * d^2/2) tiny rows and the per-task
+    work is the same O(n * d^2) multiply-adds the wide agg would do.
+    j = -1 encodes the plain Σx_i terms."""
+    vec = F.col(vec_col)
     pairs: list[tuple[int, int]] = [(i, -1) for i in range(dim)]
     pairs += [(i, j) for i in range(dim) for j in range(i, dim)]
     ii = F.lit([p[0] for p in pairs])
@@ -110,15 +139,22 @@ def pca_power_fit(
         .select(F.posexplode_outer(terms).alias("_k", "_t"))
         .filter(F.col("_k").isNotNull())
     )
-    got = (
-        rows.groupBy("_k")
-        .agg(F.sum("_t").alias("_s"), F.count(F.lit(1)).alias("_c"))
-        .collect()
+    return rows.groupBy("_k").agg(
+        F.sum("_t").alias("_s"), F.count(F.lit(1)).alias("_c")
     )
-    if not got:
-        raise ValueError("pca_power_fit: empty input")
-    n = got[0]["_c"]
-    sums = {r["_k"]: r["_s"] for r in got}
+
+
+def pca_fit_from_sums(
+    sums: dict[int, object],
+    n: int,
+    dim: int = 64,
+    n_components: int = 2,
+    iters: int = 10,
+) -> tuple[list[float], list[list[float]], list[float], int]:
+    """Driver-side fit from the collected term sums (``cov_term_sums``
+    layout): assemble mu/cov, run the derandomized power iterations.
+    Shared by the batch fit and the streaming-index fit — both produce
+    bit-identical models for the same ingested multiset."""
     # float(Decimal) is the correctly-rounded cast — identical to both
     # engines' CAST(dec AS DOUBLE) while the scaled mantissa < 2^53
     mu = [_rnd(float(sums[i]) / n, 6) for i in range(dim)]

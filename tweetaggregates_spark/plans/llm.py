@@ -1004,3 +1004,77 @@ def unimax_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_fraction=1.5,
         max_epochs=2,
     )
+
+
+def stream_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL PCA lifecycle under the correctness gate: the
+    embedding corpus is replayed as a 3-file NDJSON drop-dir, drained
+    trigger-by-trigger through ``run_streaming_cov_ingest`` (one
+    2144-row covariance-sums delta per trigger; inline compaction
+    rebases mid-run), the model is fitted from the FOLDED persisted
+    sums, and the static corpus is projected. Per-key decimal
+    summation is associative and commutative, so the folded sums equal
+    the one-shot ``cov_term_sums`` aggregate exactly — the DuckDB twin
+    is therefore the SAME full-fit SQL as ``pca_embeddings``.
+
+    Harness note: writing the drop-dir collects the sf embeddings to
+    the driver — the TEST-GATE replay harness, not the operator; the
+    result localCheckpoints before the temp tree is removed. Floats
+    round-trip exactly (repr shortest-form JSON -> DOUBLE parse)."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from tweetaggregates_spark.operators.pca import pca_project
+    from tweetaggregates_spark.streaming.covstream import (
+        fit_from_cov_index,
+        run_streaming_cov_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        emb.select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    root = tempfile.mkdtemp(prefix="stream_pca_")
+    try:
+        in_dir = os.path.join(root, "in")
+        os.makedirs(in_dir)
+        n = len(rows)
+        cuts = [i * n // 3 for i in range(3)] + [n]
+        for i in range(3):
+            p = os.path.join(in_dir, f"{i}.ndjson")
+            with open(p, "w") as fh:
+                fh.write(
+                    "\n".join(
+                        _json.dumps(
+                            {
+                                "vec_id": r.vec_id,
+                                "embedding": [float(x) for x in r.embedding],
+                            }
+                        )
+                        for r in rows[cuts[i] : cuts[i + 1]]
+                    )
+                )
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        index_path = os.path.join(root, "index")
+        run_streaming_cov_ingest(
+            spark,
+            in_dir,
+            index_path,
+            os.path.join(root, "ckpt"),
+            dim=64,
+            available_now=True,
+            max_files_per_trigger=1,
+            compact_every=2,
+        )
+        mu, comps, _lams, _n = fit_from_cov_index(
+            spark, index_path, dim=64, n_components=2, iters=30
+        )
+        proj = pca_project(emb, mu, comps).select(
+            "vec_id", "pc1", "pc2"
+        )
+        return proj.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
