@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": llm.line_dedup_docs,
         "unimax_mixture_docs": llm.unimax_mixture_docs,
         "stream_pca_embeddings": llm.stream_pca_embeddings,
+        "quality_classifier_docs": llm.quality_classifier_docs,
         # -- newest driver row r5 --
         "inverted_index_docs": llm.inverted_index_docs,
         "repeated_ngrams_docs": llm.repeated_ngrams_docs,
@@ -288,6 +289,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_docs": llm.vocab_docs,
         "tfidf_docs": llm.tfidf_docs,
     }
+
+def _logreg_sql(
+    n_buckets: int = 256,
+    iters: int = 8,
+    lr: float = 500.0,
+    thr: float = 0.5,
+) -> str:
+    """DuckDB twin of plans/llm.quality_classifier_docs — replays the
+    full-batch GD training step by step: the hashed uni+bigram+bias
+    features, the length-normalized decimal-exact margin, the 9dp
+    sigmoid round (JVM vs libm exp 1-ulp noise absorbed), the
+    DECIMAL(28,12) gradient sums, and the 6dp weight updates. All
+    per-doc/per-bucket sums are order-free decimals, so plain GROUP BY
+    replays them (no unrolled chains needed, unlike the PCA twin)."""
+    bigrams = (
+        "[array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]"
+    )
+    parts = [
+        f"""
+        WITH toksrc AS MATERIALIZED (
+          SELECT doc_id, {_D_TOKS} AS toks FROM documents
+        ),
+        lab AS MATERIALIZED (
+          SELECT doc_id, toks,
+                 CASE WHEN 2 * coalesce(list_aggregate(
+                          [length(x) for x in toks], 'sum'), 0)
+                      >= 9 * len(toks)
+                      THEN 1.0 ELSE 0.0 END AS y
+          FROM toksrc
+        ),
+        fb AS MATERIALIZED (
+          SELECT doc_id, y,
+                 ({_D_HASH.format(x="f")}) % {n_buckets} AS b
+          FROM (SELECT doc_id, y,
+                       unnest(list_concat(toks, {bigrams})) AS f
+                FROM lab)
+          UNION ALL
+          SELECT doc_id, y, {n_buckets} AS b FROM lab
+        ),
+        fl AS MATERIALIZED (
+          SELECT doc_id, count(*) AS flen FROM fb GROUP BY 1
+        ),
+        nn AS MATERIALIZED (
+          SELECT CAST(count(*) AS DOUBLE) AS n FROM lab
+        ),
+        w0 AS MATERIALIZED (
+          SELECT unnest(range(0, {n_buckets + 1})) AS b, 0.0 AS w
+        )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+        z{t} AS MATERIALIZED (
+          SELECT fb.doc_id, fl.flen,
+                 CAST(sum(CAST(coalesce(w.w, 0.0) AS DECIMAL(18,6)))
+                   AS DOUBLE) / fl.flen AS z
+          FROM fb JOIN fl USING (doc_id)
+          LEFT JOIN w{t - 1} w USING (b)
+          GROUP BY fb.doc_id, fl.flen
+        ),
+        s{t} AS MATERIALIZED (
+          SELECT doc_id, round(1.0/(1.0+exp(-z)), 9) AS s FROM z{t}
+        ),
+        g{t} AS MATERIALIZED (
+          SELECT fb.b,
+                 CAST(sum(CAST((s.s - fb.y) / fl.flen
+                   AS DECIMAL(28,12))) AS DOUBLE) AS g
+          FROM fb JOIN s{t} s USING (doc_id) JOIN fl USING (doc_id)
+          GROUP BY fb.b
+        ),
+        w{t} AS MATERIALIZED (
+          SELECT g.b,
+                 round(coalesce(wp.w, 0.0) - {lr!r} * g.g / nn.n, 6) AS w
+          FROM g{t} g LEFT JOIN w{t - 1} wp USING (b) CROSS JOIN nn
+        )"""
+        )
+    parts.append(
+        f""",
+        zf AS (
+          SELECT fb.doc_id,
+                 CAST(sum(CAST(coalesce(w.w, 0.0) AS DECIMAL(18,6)))
+                   AS DOUBLE) / fl.flen AS z
+          FROM fb JOIN fl USING (doc_id)
+          LEFT JOIN w{iters} w USING (b)
+          GROUP BY fb.doc_id, fl.flen
+        )
+        SELECT lab.doc_id, CAST(lab.y AS INTEGER) AS label,
+               round(1.0/(1.0+exp(-zf.z)), 6) AS quality_prob,
+               (round(1.0/(1.0+exp(-zf.z)), 6) >= {thr!r}) AS clf_keep
+        FROM lab JOIN zf USING (doc_id)
+    """
+    )
+    return "".join(parts)
+
 
 def _pca_sql(dim: int = 64, iters: int = 10) -> str:
     """DuckDB twin of plans/llm.pca_embeddings — recomputes the whole
@@ -3595,6 +3690,9 @@ def oracle_sql() -> dict[str, str]:
     # to EXACTLY the one-shot covariance aggregate (associative +
     # commutative), so its twin is the same full-fit SQL
     sql["stream_pca_embeddings"] = _pca_sql(dim=64, iters=30)
+    sql["quality_classifier_docs"] = _logreg_sql(
+        n_buckets=256, iters=8, lr=500.0, thr=0.5
+    )
     # RefinedWeb-style corpus line dedup over the boilerplate-augmented
     # docs (plans/llm._docs_with_boilerplate replayed verbatim); the
     # Spark side counts by the 60-bit md5 line hash, the twin by the

@@ -120,6 +120,7 @@ HEADLINE = [
     "pca_embeddings",
     "line_dedup_docs",
     "unimax_mixture_docs",
+    "quality_classifier_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

@@ -125,3 +125,64 @@ class TestUnimax:
             )
         )
         assert a == b
+
+
+class TestQualityClassifier:
+    def test_planted_lexical_signal_separates(self, spark):
+        """Positive docs carry a distinctive vocabulary; 8 GD steps
+        must separate the classes nearly perfectly."""
+        from tweetaggregates_spark.operators.classifier import (
+            logreg_quality_scores,
+            logreg_quality_train,
+        )
+
+        rows = []
+        for i in range(200):
+            if i % 2 == 0:
+                rows.append((i, 1, "excellent prose careful writing " * 4))
+            else:
+                rows.append((i, 0, "spam junk clickbait noise " * 4))
+        df = spark.createDataFrame(rows, ["doc_id", "label", "text"])
+        w = logreg_quality_train(df, "label", iters=8, lr=500.0)
+        scored = logreg_quality_scores(df, w).collect()
+        acc = sum(
+            1 for r in scored if (r.quality_prob >= 0.5) == (r.label == 1)
+        ) / len(scored)
+        assert acc == 1.0
+        pos = [r.quality_prob for r in scored if r.label == 1]
+        neg = [r.quality_prob for r in scored if r.label == 0]
+        assert min(pos) > 0.9 and max(neg) < 0.1
+
+    def test_corpus_heuristic_distillation_accuracy(self, spark):
+        """The registered query's framing: recover the mean-token-len
+        rule from hashed BOW on the real corpus — accuracy must beat
+        the base rate comfortably."""
+        from tweetaggregates_spark.plans.llm import quality_classifier_docs
+
+        rows = quality_classifier_docs(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        acc = sum(
+            1 for r in rows if r.clf_keep == (r.label == 1)
+        ) / len(rows)
+        base = max(
+            sum(1 for r in rows if r.label == 1),
+            sum(1 for r in rows if r.label == 0),
+        ) / len(rows)
+        assert acc > base + 0.15, (acc, base)
+
+    def test_training_is_partitioning_invariant(self, spark):
+        from tweetaggregates_spark.operators.classifier import (
+            logreg_quality_train,
+        )
+        from tweetaggregates_spark.sources.tables import load_table
+        from pyspark.sql import functions as F2
+
+        docs = load_table(
+            spark, "/root/testdata/sf0.001", "documents"
+        ).withColumn("label", (F2.col("doc_id") % 3 == 0).cast("int"))
+        a = logreg_quality_train(docs, "label", iters=2, lr=100.0)
+        b = logreg_quality_train(
+            docs.repartition(11), "label", iters=2, lr=100.0
+        )
+        assert a == b  # decimal gradient sums are partitioning-free

@@ -1078,3 +1078,32 @@ def stream_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         return proj.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter, DISTILLED (operators/classifier):
+    train the hashed logistic classifier for 8 full-batch GD steps to
+    recover a token-level heuristic (label = mean token length >= 4.5,
+    tested as the exact integer rule 2*sum(len) >= 9*count — no float
+    boundary), then score and keep at 0.5 — the GPT-3-recipe shape
+    (heuristic/reference labels -> classifier -> corpus-wide keep)
+    with every training step replayed by the DuckDB twin."""
+    from tweetaggregates_spark.functions.textstats import tokens
+    from tweetaggregates_spark.operators import classifier
+
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    sum_len = F.aggregate(
+        F.transform(toks, F.length),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    labeled = docs.withColumn(
+        "label", (sum_len * 2 >= F.size(toks) * 9).cast("int")
+    )
+    w = classifier.logreg_quality_train(
+        labeled, "label", n_buckets=256, iters=8, lr=500.0
+    )
+    return classifier.logreg_quality_scores(
+        labeled, w, n_buckets=256, threshold=0.5
+    ).select("doc_id", "label", "quality_prob", "clf_keep")
