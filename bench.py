@@ -397,7 +397,9 @@ def main() -> int:
     # O(k/batch) driver-action variant, output bit-identical to the
     # sequential greedy (pinned in tests/test_r8_ops.py); measured at
     # k=100 where the sequential loop's per-center job launch dominates
-    # (sf0.1 local measure: 23.0 s sequential vs 7.9 s batched-16)
+    # (sf0.1 local: 23.0 s sequential vs 7.9 s batched-16; round 9
+    # bumps to batch=32 — 6.7-7.5 s, output verified identical — the
+    # acceptance prefix on this corpus fills larger batches fine)
     from tweetaggregates_spark.operators.cluster import (
         kcenter_coreset_batched,
     )
@@ -405,7 +407,7 @@ def main() -> int:
     runs = []
     for _ in range(3):
         t0 = time.perf_counter()
-        kcenter_coreset_batched(emb, k=100, batch=16).write.mode(
+        kcenter_coreset_batched(emb, k=100, batch=32).write.mode(
             "overwrite"
         ).format("noop").save()
         runs.append(time.perf_counter() - t0)
