@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_mixture_docs": llm.unimax_mixture_docs,
         "stream_pca_embeddings": llm.stream_pca_embeddings,
         "quality_classifier_docs": llm.quality_classifier_docs,
+        "unimax_sample_docs": llm.unimax_sample_docs,
         # -- newest driver row r5 --
         "inverted_index_docs": llm.inverted_index_docs,
         "repeated_ngrams_docs": llm.repeated_ngrams_docs,
@@ -3693,6 +3694,7 @@ def oracle_sql() -> dict[str, str]:
     sql["quality_classifier_docs"] = _logreg_sql(
         n_buckets=256, iters=8, lr=500.0, thr=0.5
     )
+
     # RefinedWeb-style corpus line dedup over the boilerplate-augmented
     # docs (plans/llm._docs_with_boilerplate replayed verbatim); the
     # Spark side counts by the 60-bit md5 line hash, the twin by the
@@ -3784,5 +3786,31 @@ def oracle_sql() -> dict[str, str]:
                           ELSE round((bb - capsum) / (nn - m), 6)
                      END, 6) / n_chars, 6) AS epochs
         FROM flag, scalar
+    """
+    # the executed UniMax keep: full copies for floor(epochs), one
+    # fractional epoch via the deterministic md5 bucket rule — the
+    # plan subquery is the unimax_mixture_docs SQL verbatim
+    sql["unimax_sample_docs"] = f"""
+        WITH plan AS ({sql["unimax_mixture_docs"]}),
+        j AS (
+          SELECT d.doc_id, d.lang, p.epochs
+          FROM documents d JOIN plan p USING (lang)
+        ),
+        fullcp AS (
+          SELECT doc_id, lang,
+                 CAST(unnest(range(1, CAST(floor(epochs) AS INTEGER) + 1))
+                   AS INTEGER) AS epoch
+          FROM j
+        ),
+        extra AS (
+          SELECT doc_id, lang,
+                 CAST(floor(epochs) AS INTEGER) + 1 AS epoch
+          FROM j
+          WHERE CAST({_dbucket("unimax")} AS DOUBLE)
+                < round(epochs - floor(epochs), 6) * 1000000.0
+        )
+        SELECT doc_id, lang, epoch FROM fullcp
+        UNION ALL
+        SELECT doc_id, lang, epoch FROM extra
     """
     return sql

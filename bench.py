@@ -121,6 +121,7 @@ HEADLINE = [
     "line_dedup_docs",
     "unimax_mixture_docs",
     "quality_classifier_docs",
+    "unimax_sample_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

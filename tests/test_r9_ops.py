@@ -186,3 +186,52 @@ class TestQualityClassifier:
             docs.repartition(11), "label", iters=2, lr=100.0
         )
         assert a == b  # decimal gradient sums are partitioning-free
+
+
+class TestUnimaxSample:
+    def test_executes_the_plan(self, spark):
+        from tweetaggregates_spark.operators.sampling import (
+            unimax_plan,
+            unimax_sample,
+        )
+
+        rows = [(f"d{i}", "en" if i < 100 else "zh", 100) for i in range(150)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+        plan = {
+            r.lang: r
+            for r in unimax_plan(
+                df, "lang", "n_chars", budget_fraction=1.0, max_epochs=2
+            ).collect()
+        }
+        out = unimax_sample(
+            df, "lang", "n_chars", "doc_id",
+            budget_fraction=1.0, max_epochs=2,
+        ).collect()
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r.lang, []).append(r)
+        for lang, rws in by_lang.items():
+            e = plan[lang].epochs
+            group_n = 100 if lang == "en" else 50
+            full = sum(1 for r in rws if r.epoch <= int(e))
+            assert full == int(e) * group_n
+            extra = [r for r in rws if r.epoch == int(e) + 1]
+            frac = e - int(e)
+            if frac == 0:
+                assert not extra
+            else:
+                # deterministic hash rate: within 15% of frac
+                assert abs(len(extra) / group_n - frac) < 0.15
+        # every (doc, epoch) pair unique
+        assert len({(r.doc_id, r.epoch) for r in out}) == len(out)
+
+    def test_deterministic_under_repartition(self, spark):
+        from tweetaggregates_spark.operators.sampling import unimax_sample
+
+        rows = [(i, f"l{i % 4}", 50 + i) for i in range(200)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+        a = sorted(map(tuple, unimax_sample(df).collect()))
+        b = sorted(
+            map(tuple, unimax_sample(df.repartition(9)).collect())
+        )
+        assert a == b

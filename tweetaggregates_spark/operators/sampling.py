@@ -321,11 +321,12 @@ def mixture_temperature(
 
 def dsir_log_weights(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 1024,
     smoothing: float = 1.0,
+    target_predicate: Column | None = None,
 ) -> DataFrame:
     """DSIR-style hashed n-gram importance weights (Xie et al. 2023,
     "Data Selection for Language Models via Importance Resampling" —
@@ -395,8 +396,37 @@ def dsir_log_weights(
         )
         return {r["_b"]: r["_c"] for r in rows}
 
-    tc = _counts(target)
-    rc = _counts(df)
+    if target_predicate is not None:
+        # the common production case: the reference set IS a predicate
+        # over the raw corpus (a language, a source, a label). ONE
+        # pass then computes BOTH bucket-count tables — the md5
+        # feature hashing (the dominant cost of the two _counts
+        # passes) runs once per doc instead of twice; the math and
+        # the oracle twin are unchanged. Measured ~3.1 -> ~2.8 s warm at
+        # sf0.1 on the registered query.
+        rows = (
+            _feat_buckets(df)
+            .select(
+                F.explode_outer("_fb").alias("_b"),
+                target_predicate.cast("int").alias("_t"),
+            )
+            .filter(F.col("_b").isNotNull())
+            .groupBy("_b")
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.sum("_t").alias("_tc"),
+            )
+            .collect()
+        )
+        rc = {r["_b"]: r["_c"] for r in rows}
+        tc = {r["_b"]: r["_tc"] for r in rows if r["_tc"]}
+    else:
+        if target is None:
+            raise ValueError(
+                "dsir_log_weights: pass target or target_predicate"
+            )
+        tc = _counts(target)
+        rc = _counts(df)
     t_tot = sum(tc.values())
     r_tot = sum(rc.values())
     s = smoothing
@@ -429,12 +459,13 @@ def dsir_log_weights(
 
 def dsir_select(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 1024,
     base_rate: float = 1.0,
     salt: str = "dsir",
+    target_predicate: Column | None = None,
 ) -> DataFrame:
     """The EXECUTED DSIR keep: score with ``dsir_log_weights``, then
     keep each doc with probability min(1, e^log_weight) * base_rate
@@ -443,7 +474,8 @@ def dsir_select(
     probability rounds to 6 dp so the threshold comparison is
     engine-exact)."""
     scored = dsir_log_weights(
-        df, target, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+        df, target, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, target_predicate=target_predicate,
     )
     # Materialize the scored frame ONCE (lazy checkpoint) before the
     # keep: without a physical barrier, Catalyst inlines the whole
@@ -548,3 +580,54 @@ def unimax_plan(
             group_col, "n_chars", "cap_chars", "alloc_chars", "epochs"
         )
     )
+
+
+def unimax_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    budget_fraction: float = 1.5,
+    max_epochs: int = 2,
+    salt: str = "unimax",
+) -> DataFrame:
+    """The EXECUTED UniMax keep (the repo convention: every allocation
+    plan ships with its executed sampler — temperature_sample,
+    dsir_select, weighted_sample): per group with allocation e =
+    epochs from ``unimax_plan``, emit floor(e) full copies of every
+    doc (epoch = 1..floor(e)) plus one fractional epoch containing a
+    deterministic hash-sample of the group at rate frac(e) — exactly
+    the "repeat low-resource languages up to the cap, downsample the
+    head" training mix UniMax prescribes.
+
+    Map-only after the plan: the |groups|-row plan broadcasts onto the
+    corpus, full copies come from one explode of a per-row epoch range
+    (cheap literal-range generate — nothing expensive sits above it),
+    the fractional epoch is the ``sample_bucket`` hash rule. Output:
+    (id_col, group_col, epoch)."""
+    plan = unimax_plan(
+        df,
+        group_col=group_col,
+        size_col=size_col,
+        budget_fraction=budget_fraction,
+        max_epochs=max_epochs,
+    )
+    joined = df.select(id_col, group_col).join(
+        F.broadcast(plan.select(group_col, "epochs")), group_col
+    )
+    whole = F.floor(F.col("epochs")).cast("int")
+    frac = F.round(F.col("epochs") - F.floor(F.col("epochs")), 6)
+    full = joined.select(
+        id_col,
+        group_col,
+        F.explode(
+            F.when(whole >= 1, F.sequence(F.lit(1), whole)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("epoch"),
+    )
+    extra = joined.filter(
+        sample_bucket(F.col(id_col), salt).cast("double")
+        < frac * F.lit(float(BUCKETS))
+    ).select(id_col, group_col, (whole + 1).alias("epoch"))
+    return full.unionAll(extra)

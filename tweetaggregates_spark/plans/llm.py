@@ -899,11 +899,13 @@ def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     importance weights (sampling.dsir_log_weights, B=1024) and the
     deterministic keep at probability min(1, e^log_weight) — docs that
     look like the target survive, off-domain docs thin out. Map-only
-    scoring after two B-key count aggregates; the twin replays the
-    hashing, the smoothed log-ratios, and the keep rule in SQL."""
+    scoring after ONE B-key count aggregate (the target is a predicate
+    over the corpus, so one pass computes both count tables — round 9);
+    the twin replays the hashing, the smoothed log-ratios, and the
+    keep rule in SQL."""
     docs = _docs(spark, sf_dir)
     kept = sampling.dsir_select(
-        docs, docs.filter(F.col("lang") == "en")
+        docs, target_predicate=F.col("lang") == "en"
     )
     return kept.select(
         "doc_id",
@@ -1107,3 +1109,18 @@ def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier.logreg_quality_scores(
         labeled, w, n_buckets=256, threshold=0.5
     ).select("doc_id", "label", "quality_prob", "clf_keep")
+
+
+def unimax_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UniMax allocation EXECUTED (operators/sampling.unimax_sample):
+    capped languages repeat for their full epochs, the head's
+    fractional epoch is a deterministic hash-sample — the actual
+    training-mix row stream, one row per (doc, epoch)."""
+    return sampling.unimax_sample(
+        _docs(spark, sf_dir),
+        group_col="lang",
+        size_col="n_chars",
+        id_col="doc_id",
+        budget_fraction=1.5,
+        max_epochs=2,
+    )
