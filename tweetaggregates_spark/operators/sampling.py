@@ -600,11 +600,13 @@ def unimax_sample(
     the "repeat low-resource languages up to the cap, downsample the
     head" training mix UniMax prescribes.
 
-    Map-only after the plan: the |groups|-row plan broadcasts onto the
-    corpus, full copies come from one explode of a per-row epoch range
-    (cheap literal-range generate — nothing expensive sits above it),
-    the fractional epoch is the ``sample_bucket`` hash rule. Output:
-    (id_col, group_col, epoch)."""
+    ONE corpus pass after the plan: the |groups|-row plan broadcasts
+    onto the corpus and each row explodes its own epoch ARRAY —
+    sequence(1, floor(e)), plus floor(e)+1 when the doc passes the
+    ``sample_bucket`` hash rule at rate frac(e). (A full-copies UNION
+    ALL fractional-branch formulation would scan the corpus twice —
+    the round-9 two-consumer lesson, avoided structurally here.)
+    Output: (id_col, group_col, epoch)."""
     plan = unimax_plan(
         df,
         group_col=group_col,
@@ -617,17 +619,16 @@ def unimax_sample(
     )
     whole = F.floor(F.col("epochs")).cast("int")
     frac = F.round(F.col("epochs") - F.floor(F.col("epochs")), 6)
-    full = joined.select(
-        id_col,
-        group_col,
-        F.explode(
-            F.when(whole >= 1, F.sequence(F.lit(1), whole)).otherwise(
-                F.array().cast("array<int>")
-            )
-        ).alias("epoch"),
-    )
-    extra = joined.filter(
+    sampled = (
         sample_bucket(F.col(id_col), salt).cast("double")
         < frac * F.lit(float(BUCKETS))
-    ).select(id_col, group_col, (whole + 1).alias("epoch"))
-    return full.unionAll(extra)
+    )
+    base = F.when(whole >= 1, F.sequence(F.lit(1), whole)).otherwise(
+        F.array().cast("array<int>")
+    )
+    epochs_arr = F.when(
+        sampled, F.concat(base, F.array(whole + 1))
+    ).otherwise(base)
+    return joined.select(
+        id_col, group_col, F.explode(epochs_arr).alias("epoch")
+    )
