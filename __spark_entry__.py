@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_pca_embeddings": llm.stream_pca_embeddings,
         "quality_classifier_docs": llm.quality_classifier_docs,
         "unimax_sample_docs": llm.unimax_sample_docs,
+        "decontaminated_docs": llm.decontaminated_docs,
+        "quality_signals_docs": llm.quality_signals_docs,
         # -- newest driver row r5 --
         "inverted_index_docs": llm.inverted_index_docs,
         "repeated_ngrams_docs": llm.repeated_ngrams_docs,
@@ -1772,6 +1774,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_shared
         FROM tr JOIN ev USING (h)
         GROUP BY 1, 2 HAVING count(*) >= 1
+    """
+    # the executed decontamination keep: train minus the flagged ids
+    sql["decontaminated_docs"] = f"""
+        WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct({_d_sh4})) AS shingle
+               FROM t),
+        h AS (SELECT doc_id, {_D_HASH.format(x="shingle")} AS h FROM sh),
+        tr AS (SELECT doc_id AS train_doc_id, h FROM h
+               WHERE doc_id % 50 <> 0),
+        ev AS (SELECT doc_id AS eval_doc_id, h FROM h
+               WHERE doc_id % 50 = 0),
+        flagged AS (
+          SELECT DISTINCT train_doc_id AS doc_id
+          FROM tr JOIN ev USING (h)
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d
+        WHERE d.doc_id % 50 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
     """
     _url_frag = 'https?://[^ \t\n]+'
     sql["domain_stats_docs"] = f"""
@@ -3812,5 +3833,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, epoch FROM fullcp
         UNION ALL
         SELECT doc_id, lang, epoch FROM extra
+    """
+    # the unified signal table: the four per-doc twins joined on
+    # doc_id (the Spark side is one projection chain; the twin's joins
+    # are over the same 1-row-per-doc outputs, so equality is exact)
+    sql["quality_signals_docs"] = f"""
+        WITH q AS ({sql["quality_docs"]}),
+        g AS ({sql["gopher_rules_docs"]}),
+        c AS ({sql["c4_filter_docs"]}),
+        l AS ({sql["lang_id_docs"]})
+        SELECT d.doc_id, d.lang, d.source,
+               q.n_chars, q.n_tokens, q.mean_token_len, q.alpha_ratio,
+               q.punct_ratio, q.quality_score,
+               g.n_words, g.mean_word_len, g.symbol_ratio,
+               g.bullet_line_frac, g.ellipsis_line_frac,
+               g.alpha_word_ratio, g.stop_hits, g.gopher_keep,
+               c.n_lines, c.terminal_punct_line_frac,
+               c.min_words_line_frac, c.n_sentences, c.has_lorem_ipsum,
+               c.has_curly_brace, c.c4_keep,
+               l.en_stop_ratio, l.es_stop_ratio, l.fr_stop_ratio,
+               l.de_stop_ratio, l.lang_pred
+        FROM documents d
+        JOIN q USING (doc_id) JOIN g USING (doc_id)
+        JOIN c USING (doc_id) JOIN l USING (doc_id)
     """
     return sql

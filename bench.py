@@ -122,6 +122,8 @@ HEADLINE = [
     "unimax_mixture_docs",
     "quality_classifier_docs",
     "unimax_sample_docs",
+    "decontaminated_docs",
+    "quality_signals_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

@@ -22,7 +22,13 @@ from tweetaggregates_spark.functions.textstats import (
 BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+    emit_n_tokens: bool = True,
+) -> DataFrame:
     """Heuristic multi-language ID: per-language function-word ratios
     (en/es/fr/de), prediction = argmax over rounded ratios with a fixed
     en>es>fr>de tie order, "unknown" below LANG_PRED_THRESHOLD.
@@ -40,7 +46,8 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         pred = pred.when(ratios[lang] == best, F.lit(lang))
     return df.select(
         F.col(id_col).alias("doc_id"),
-        n_tok.alias("n_tokens"),
+        *[F.col(c) for c in keep_cols],
+        *([n_tok.alias("n_tokens")] if emit_n_tokens else []),
         *[ratios[lang].alias(f"{lang}_stop_ratio") for lang in LANG_STOPWORDS],
         pred.alias("lang_pred"),
     )
@@ -778,7 +785,10 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
 def gopher_rules(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The Gopher quality rule set (Rae et al. 2021, Appendix A1.1) as
     a per-doc flag table: word-count bounds, mean word length bounds,
@@ -835,6 +845,7 @@ def gopher_rules(
     )
     return df.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"),
@@ -847,7 +858,10 @@ def gopher_rules(
 
 
 def c4_rules(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The C4 cleaning rule set (Raffel et al. 2020 §2.2) as a per-doc
     flag table: terminal-punctuation line fraction, >=3-word line
@@ -880,6 +894,7 @@ def c4_rules(
     keep = (n_sentences >= 3) & ~has_lorem & ~has_brace
     return df.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
         F.size(lines).alias("n_lines"),
         term_frac.alias("terminal_punct_line_frac"),
         min_words_frac.alias("min_words_line_frac"),
@@ -953,3 +968,33 @@ def line_dedup(
             F.transform(kept_lines, lambda s: s["_line"]), sep
         ).alias("text"),
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """The EXECUTED decontamination keep (the repo convention: every
+    detector ships its executed filter — dedup -> canonical_docs,
+    DSIR -> dsir_select, UniMax -> unimax_sample): drop every training
+    doc ``contamination_pairs`` flags and return the clean corpus —
+    schema-preserving, the surviving train rows as-is.
+
+    Scale shape: the flagged set is distilled to DISTINCT train ids
+    (tiny relative to the corpus — contamination is rare) and removed
+    with a LEFT ANTI join; the eval side of the detector broadcasts,
+    so the train corpus is scanned once for shingles and once for the
+    anti-join probe."""
+    flagged = (
+        contamination_pairs(
+            train, evalset, text_col=text_col, id_col=id_col,
+            k=k, min_overlap=min_overlap,
+        )
+        .select(F.col("train_doc_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(flagged, id_col, "left_anti")

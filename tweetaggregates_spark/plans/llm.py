@@ -1124,3 +1124,45 @@ def unimax_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_fraction=1.5,
         max_epochs=2,
     )
+
+
+def decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination EXECUTED (operators/text.decontaminate):
+    training docs (doc_id % 50 != 0) minus everything sharing a 4-gram
+    with the synthetic eval split (doc_id % 50 == 0) — the clean-corpus
+    counterpart of contamination_docs, anti-joined on the distilled
+    flagged-id set."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    evalset = docs.filter(F.col("doc_id") % 50 == 0)
+    out = text.decontaminate(train, evalset, k=4)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def quality_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified per-doc quality-signal table (the RedPajama-Data-v2
+    shape — public: one wide row of curation signals per document,
+    computed once and reused by every downstream filter): heuristic
+    quality stats, the Gopher rule set, the C4 rule set, and the
+    language-ID ratios, in ONE scan — the rule operators chain via
+    ``keep_cols`` passthrough (pure projection composition, no joins;
+    a join-of-four-frames formulation would shuffle the corpus four
+    times)."""
+    docs = _docs(spark, sf_dir)
+    q = text.quality_score(docs, keep_cols=("text", "lang", "source"))
+    qcols = (
+        "lang", "source", "n_chars", "n_tokens", "mean_token_len",
+        "alpha_ratio", "punct_ratio", "quality_score",
+    )
+    g = text.gopher_rules(q, keep_cols=("text",) + qcols)
+    gcols = qcols + (
+        "n_words", "mean_word_len", "symbol_ratio", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_ratio", "stop_hits",
+        "gopher_keep",
+    )
+    c = text.c4_rules(g, keep_cols=("text",) + gcols)
+    ccols = gcols + (
+        "n_lines", "terminal_punct_line_frac", "min_words_line_frac",
+        "n_sentences", "has_lorem_ipsum", "has_curly_brace", "c4_keep",
+    )
+    return text.lang_id(c, keep_cols=ccols, emit_n_tokens=False)
