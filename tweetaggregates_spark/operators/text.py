@@ -997,4 +997,9 @@ def decontaminate(
         .select(F.col("train_doc_id").alias(id_col))
         .distinct()
     )
-    return train.join(flagged, id_col, "left_anti")
+    # broadcast the flagged ids: contamination is bounded by the eval
+    # set's shingle reach (benchmarks are thousands of docs), so the
+    # distilled id set is always dim-table-sized — without the hint the
+    # derived aggregate has no stats and the anti-join plans sort-merge,
+    # shuffling the WHOLE train corpus
+    return train.join(F.broadcast(flagged), id_col, "left_anti")
