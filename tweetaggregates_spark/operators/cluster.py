@@ -839,24 +839,28 @@ def kcenter_coreset_batched(
                 cands, key=lambda i: (-cands[i][1], i)
             )  # max min-dist, lowest id on ties
             vec, mind = cands.pop(cid)
+            if accepted and not (mind > m_p):
+                break  # an outside point might now be farther — next round
             if mind == 0.0:
-                # The selected candidate is the global argmax (first
-                # of a round, or mid-loop in a short-fetch round where
-                # cands IS the whole remaining corpus), so max
-                # min-dist over the corpus is 0: every point now
-                # coincides with a chosen center. The sequential
-                # greedy re-picks the LOWEST corpus id — the seed —
-                # for every remaining rank (orderBy desc _mind, _id
-                # over an all-zero column). Mirror that exactly
-                # instead of accepting batch leftovers in corpus
-                # order, which for k >= n_rows would admit each
-                # already-chosen center once and diverge from
-                # ``kcenter_coreset`` and the shared SQL oracle.
+                # Only reachable on a round's FIRST pop (the true
+                # global argmax) or mid-loop in a short-fetch round
+                # (m_p = -inf, so cands IS the whole remaining
+                # corpus) — in both cases max min-dist over the
+                # corpus is 0: every point now coincides with a
+                # chosen center. The sequential greedy re-picks the
+                # LOWEST corpus id — the seed — for every remaining
+                # rank (orderBy desc _mind, _id over an all-zero
+                # column). Mirror that exactly instead of accepting
+                # batch leftovers in corpus order. NOTE: this check
+                # must sit BELOW the outside-point guard — mid-loop
+                # in a full-fetch round a candidate whose min-dist
+                # dropped to 0 (a duplicate of a just-accepted
+                # center) says nothing about points outside the
+                # batch, which can still have positive min-dist
+                # (ADVICE r9 high).
                 while len(chosen) < k:
                     chosen.append((len(chosen), seed["_id"], 0.0))
                 break
-            if accepted and not (mind > m_p):
-                break  # an outside point might now be farther — next round
             chosen.append((len(chosen), cid, mind))
             accepted.append((cid, vec))
             for other in cands.values():

@@ -933,10 +933,21 @@ def line_dedup(
     (third shuffle, proportional to surviving lines). Hash collisions:
     2^-60 per pair — the same accepted risk as the minhash band keys;
     an exact-paranoid variant joins on (hash, line).
+
+    NULL text behaves like an empty doc (one empty line) so the doc
+    stays visible, per the output contract; ``sep`` is regex-escaped
+    before F.split so callers may pass literal separators like '.'
+    or '|' (ADVICE r9).
     """
+    import re as _re
+
     lines = df.select(
         id_col,
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+        F.posexplode(
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep)
+            )
+        ).alias("_pos", "_line"),
     ).withColumn("_lh", hash64(F.col("_line")))
     counts = lines.groupBy("_lh").agg(
         F.count(F.lit(1)).alias("_line_count")

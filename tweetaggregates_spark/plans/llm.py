@@ -1100,8 +1100,14 @@ def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, x: acc + x,
     )
+    # coalesce: NULL text must label 0 like the twin's CASE/coalesce,
+    # not NULL (a NULL y would poison that doc's gradient contribution
+    # and diverge from the DuckDB replay) — ADVICE r9.
     labeled = docs.withColumn(
-        "label", (sum_len * 2 >= F.size(toks) * 9).cast("int")
+        "label",
+        F.coalesce(
+            (sum_len * 2 >= F.size(toks) * 9).cast("int"), F.lit(0)
+        ),
     )
     w = classifier.logreg_quality_train(
         labeled, "label", n_buckets=256, iters=8, lr=500.0
