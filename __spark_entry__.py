@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_mixture_docs": llm.unimax_mixture_docs,
         "stream_pca_embeddings": llm.stream_pca_embeddings,
         "quality_classifier_docs": llm.quality_classifier_docs,
+        "quality_classifier_sampled_docs": llm.quality_classifier_sampled_docs,
         "unimax_sample_docs": llm.unimax_sample_docs,
         "decontaminated_docs": llm.decontaminated_docs,
         "quality_signals_docs": llm.quality_signals_docs,
@@ -298,6 +299,7 @@ def _logreg_sql(
     iters: int = 8,
     lr: float = 500.0,
     thr: float = 0.5,
+    train_where: str = "",
 ) -> str:
     """DuckDB twin of plans/llm.quality_classifier_docs — replays the
     full-batch GD training step by step: the hashed uni+bigram+bias
@@ -305,7 +307,13 @@ def _logreg_sql(
     sigmoid round (JVM vs libm exp 1-ulp noise absorbed), the
     DECIMAL(28,12) gradient sums, and the 6dp weight updates. All
     per-doc/per-bucket sums are order-free decimals, so plain GROUP BY
-    replays them (no unrolled chains needed, unlike the PCA twin)."""
+    replays them (no unrolled chains needed, unlike the PCA twin).
+
+    ``train_where``: optional 'WHERE ...' clause restricting the
+    TRAINING set (the sampled-training production variant,
+    quality_classifier_sampled_docs) — gradients and n come only from
+    the selected docs; the final scoring pass always covers the full
+    corpus."""
     bigrams = (
         "[array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]"
     )
@@ -334,8 +342,11 @@ def _logreg_sql(
         fl AS MATERIALIZED (
           SELECT doc_id, count(*) AS flen FROM fb GROUP BY 1
         ),
+        trd AS MATERIALIZED (
+          SELECT doc_id FROM lab {train_where}
+        ),
         nn AS MATERIALIZED (
-          SELECT CAST(count(*) AS DOUBLE) AS n FROM lab
+          SELECT CAST(count(*) AS DOUBLE) AS n FROM trd
         ),
         w0 AS MATERIALIZED (
           SELECT unnest(range(0, {n_buckets + 1})) AS b, 0.0 AS w
@@ -348,7 +359,7 @@ def _logreg_sql(
           SELECT fb.doc_id, fl.flen,
                  CAST(sum(CAST(coalesce(w.w, 0.0) AS DECIMAL(18,6)))
                    AS DOUBLE) / fl.flen AS z
-          FROM fb JOIN fl USING (doc_id)
+          FROM fb JOIN trd USING (doc_id) JOIN fl USING (doc_id)
           LEFT JOIN w{t - 1} w USING (b)
           GROUP BY fb.doc_id, fl.flen
         ),
@@ -3714,6 +3725,22 @@ def oracle_sql() -> dict[str, str]:
     sql["stream_pca_embeddings"] = _pca_sql(dim=64, iters=30)
     sql["quality_classifier_docs"] = _logreg_sql(
         n_buckets=256, iters=8, lr=500.0, thr=0.5
+    )
+    # sampled-training production variant: gradients come only from the
+    # deterministic 20% hash-sample (salt 'clf_train'), scoring covers
+    # the full corpus — same predicate as operators/sampling.hash_sample
+    sql["quality_classifier_sampled_docs"] = _logreg_sql(
+        n_buckets=256,
+        iters=8,
+        lr=500.0,
+        thr=0.5,
+        train_where=(
+            "WHERE ("
+            + _D_HASH.format(
+                x="concat('clf_train:', CAST(doc_id AS VARCHAR))"
+            )
+            + " % 1000000) < 200000"
+        ),
     )
 
     # RefinedWeb-style corpus line dedup over the boilerplate-augmented

@@ -124,6 +124,9 @@ HEADLINE = [
     "unimax_sample_docs",
     "decontaminated_docs",
     "quality_signals_docs",
+    # round 10: sampled-training classifier (the production shape —
+    # gradients from a 20% hash-sample, map-only full-corpus scoring)
+    "quality_classifier_sampled_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

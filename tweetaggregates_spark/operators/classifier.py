@@ -53,6 +53,7 @@ __all__ = [
     "feature_buckets",
     "logreg_quality_scores",
     "logreg_quality_train",
+    "logreg_quality_train_local",
 ]
 
 
@@ -145,6 +146,90 @@ def logreg_quality_train(
         grad = {r["_b"]: float(r["_g"]) for r in g}
         w = [
             _rnd(w[b] - lr * grad.get(b, 0.0) / n, 6)
+            for b in range(n_buckets + 1)
+        ]
+    return w
+
+
+def logreg_quality_train_local(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    n_buckets: int = 256,
+    iters: int = 3,
+    lr: float = 0.5,
+    max_rows: int = 200_000,
+) -> list[float]:
+    """Driver-side trainer for a BOUNDED training set — the production
+    shape (Brown et al. 2020 App. A / fastText: the classifier's
+    training set is a fixed-size reference sample regardless of corpus
+    size, and a 257-weight model trains on one node; only SCORING is
+    corpus-sized and distributed). One Spark job collects the sample's
+    feature buckets (O(sample), guarded by ``max_rows`` — exceeding it
+    is a caller error, not a silent driver OOM), then the ``iters`` GD
+    steps run locally with ZERO per-iteration Spark jobs — vs
+    ``logreg_quality_train``'s one corpus pass per step.
+
+    Bit-identical to ``logreg_quality_train`` on the same input (pinned
+    in tests/test_r10_ops.py): every decimal step is replayed exactly —
+    6 dp weights sum as integer MICROS (exact, and int/1e6 is the same
+    correctly-rounded double DECIMAL(38,6)->DOUBLE produces), the 9 dp
+    sigmoid round is the shared HALF_UP-on-shortest-repr rule (libm vs
+    JVM exp 1-ulp noise absorbed, the accepted class), per-occurrence
+    residuals quantize to 12 dp and sum as integer PICOS (exact, the
+    DECIMAL(28,12) sum), and the weight update reuses ``_rnd``."""
+    rows = (
+        feature_buckets(df, text_col, n_buckets)
+        .select(F.col(label_col).cast("double").alias("_y"), "_fb")
+        .collect()
+    )
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"logreg_quality_train_local: training set has {len(rows)} "
+            f"rows > max_rows={max_rows}; cap the sample (hash bottom-k) "
+            "or use the distributed logreg_quality_train"
+        )
+    if not rows:
+        raise ValueError("logreg_quality_train_local: empty input")
+    n = len(rows)
+    docs = [(float(r["_y"]), list(r["_fb"])) for r in rows]
+    q6 = Decimal(1).scaleb(-6)
+    q9 = Decimal(1).scaleb(-9)
+    q12 = Decimal(1).scaleb(-12)
+    from decimal import ROUND_HALF_UP
+    from math import exp
+
+    w = [0.0] * (n_buckets + 1)
+    for _ in range(iters):
+        # weights as exact integer micros (the DECIMAL(18,6) cast of a
+        # 6 dp-rounded double is that decimal exactly — shortest repr)
+        wi = [
+            int(
+                Decimal(repr(x)).quantize(q6, ROUND_HALF_UP).scaleb(6)
+            )
+            for x in w
+        ]
+        grad = [0] * (n_buckets + 1)  # integer picos — exact decimal sum
+        for y, fb in docs:
+            flen = len(fb)
+            z = sum(wi[b] for b in fb) / 1e6 / flen
+            sig = float(
+                Decimal(repr(1.0 / (1.0 + exp(-z)))).quantize(
+                    q9, ROUND_HALF_UP
+                )
+            )
+            r = (sig - y) / flen
+            rq = int(
+                Decimal(repr(r)).quantize(q12, ROUND_HALF_UP).scaleb(12)
+            )
+            for b in fb:
+                grad[b] += rq
+        # float(Decimal) is correctly rounded for ANY magnitude; a bare
+        # grad[b]/1e12 would double-round once the pico sum passes 2^53
+        w = [
+            _rnd(
+                w[b] - lr * float(Decimal(grad[b]).scaleb(-12)) / n, 6
+            )
             for b in range(n_buckets + 1)
         ]
     return w

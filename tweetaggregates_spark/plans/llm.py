@@ -1082,35 +1082,89 @@ def stream_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-based quality filter, DISTILLED (operators/classifier):
-    train the hashed logistic classifier for 8 full-batch GD steps to
-    recover a token-level heuristic (label = mean token length >= 4.5,
-    tested as the exact integer rule 2*sum(len) >= 9*count — no float
-    boundary), then score and keep at 0.5 — the GPT-3-recipe shape
-    (heuristic/reference labels -> classifier -> corpus-wide keep)
-    with every training step replayed by the DuckDB twin."""
+def _clf_labeled(docs: DataFrame) -> DataFrame:
+    """Heuristic 0/1 quality label for the classifier family: mean
+    token length >= 4.5, tested as the exact integer rule
+    2*sum(len) >= 9*count (no float boundary). NULL text coalesces to
+    label 0 like the twin's CASE/coalesce — a NULL y would poison that
+    doc's gradient contribution and diverge from the DuckDB replay
+    (ADVICE r9)."""
     from tweetaggregates_spark.functions.textstats import tokens
-    from tweetaggregates_spark.operators import classifier
 
-    docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
     sum_len = F.aggregate(
         F.transform(toks, F.length),
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    # coalesce: NULL text must label 0 like the twin's CASE/coalesce,
-    # not NULL (a NULL y would poison that doc's gradient contribution
-    # and diverge from the DuckDB replay) — ADVICE r9.
-    labeled = docs.withColumn(
+    return docs.withColumn(
         "label",
         F.coalesce(
             (sum_len * 2 >= F.size(toks) * 9).cast("int"), F.lit(0)
         ),
     )
+
+
+def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter, DISTILLED (operators/classifier):
+    train the hashed logistic classifier for 8 full-batch GD steps to
+    recover a token-level heuristic label, then score and keep at 0.5
+    — the GPT-3-recipe shape (heuristic/reference labels -> classifier
+    -> corpus-wide keep) with every training step replayed by the
+    DuckDB twin. Kept as the DETERMINISM BASELINE: at scale the
+    production shape is quality_classifier_sampled_docs (train on a
+    hash-sample, score map-only) — 8 full-corpus GD passes at 100 TB
+    is ~800 TB of scan for a 257-weight model (VERDICT r9 #1)."""
+    from tweetaggregates_spark.operators import classifier
+
+    labeled = _clf_labeled(_docs(spark, sf_dir))
     w = classifier.logreg_quality_train(
         labeled, "label", n_buckets=256, iters=8, lr=500.0
+    )
+    return classifier.logreg_quality_scores(
+        labeled, w, n_buckets=256, threshold=0.5
+    ).select("doc_id", "label", "quality_prob", "clf_keep")
+
+
+CLF_SAMPLE_FRACTION = 0.2
+CLF_SAMPLE_SALT = "clf_train"
+
+
+def quality_classifier_sampled_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION shape of the model-based quality filter (Brown
+    et al. 2020 Appendix A at real scale; VERDICT r9 #1): train the
+    hashed logistic classifier on a deterministic 20% ``hash_sample``
+    of the corpus (operators/sampling.hash_sample — map-only,
+    hash-keyed, so the training set is a pure function of doc_id and
+    the DuckDB twin replays it exactly), then score the FULL corpus
+    map-only. Training cost drops from iters×|corpus| scans to
+    iters×|sample| — at 100 TB that is 8×20 TB instead of 8×100 TB,
+    and the sample fraction is the knob (a real run would sample a
+    fixed ~1-10 GB training set regardless of corpus size).
+
+    Same labels, features, hyperparameters and output shape as
+    quality_classifier_docs (the full-batch determinism baseline);
+    only the training set differs, so the two entries' ``clf_keep``
+    columns disagree exactly where the decision boundary moved.
+
+    Training runs DRIVER-SIDE on the collected sample
+    (logreg_quality_train_local — bit-identical to the distributed
+    trainer, pinned): the 257-weight model trains on one node like
+    fastText; only scoring is corpus-sized. One Spark job for the
+    sample + one map-only scoring pass, vs 8 corpus passes. The
+    collect is bounded by the trainer's max_rows contract — at real
+    scale the caller sizes the sample to the driver (fixed-size
+    bottom-k by hash), not a fixed fraction."""
+    from tweetaggregates_spark.operators import classifier
+
+    labeled = _clf_labeled(_docs(spark, sf_dir))
+    train = sampling.hash_sample(
+        labeled, "doc_id", CLF_SAMPLE_FRACTION, salt=CLF_SAMPLE_SALT
+    )
+    w = classifier.logreg_quality_train_local(
+        train, "label", n_buckets=256, iters=8, lr=500.0
     )
     return classifier.logreg_quality_scores(
         labeled, w, n_buckets=256, threshold=0.5
