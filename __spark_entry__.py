@@ -1677,21 +1677,87 @@ def oracle_sql() -> dict[str, str]:
     # it from the blob hex, so the binary plumbing is hash-checked end
     # to end (the NotImplementedError stub remains only where a real
     # image library would plug in)
-    sql["media_meta_docs"] = """
-        WITH m AS (SELECT doc_id, encode(text) AS media FROM documents),
-        h AS (
+    # media_meta: BUILD the same container payloads (valid PNG / JFIF /
+    # GIF89a headers by doc_id % 4, mirroring attach_synth_media byte
+    # for byte) and RE-PARSE them from the blob's hex — an independent
+    # replay of both the builder and parse_image_dims. Byte offset k
+    # (0-based) lives at hex position 2k+1 (1-based), 2 chars per byte.
+    # The JPEG branch reads SOF0 at the JFIF layout's fixed offset 20
+    # (SOI + 18-byte APP0); the Spark kernel walks segments generically
+    # — covered by pytest, while this twin replays this dataset.
+    sql["media_meta_docs"] = r"""
+        WITH base AS (
           SELECT doc_id,
-                 octet_length(media) AS n_bytes,
+                 coalesce(encode(text), ''::BLOB) AS body,
+                 CAST((doc_id * 7) % 1920 + 16 AS BIGINT) AS w,
+                 CAST((doc_id * 13) % 1080 + 16 AS BIGINT) AS h
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+            CASE doc_id % 4
+              WHEN 0 THEN
+                '\x89PNG\x0D\x0A\x1A\x0A\x00\x00\x00\x0DIHDR'::BLOB
+                || unhex(lpad(to_hex(w), 8, '0'))
+                || unhex(lpad(to_hex(h), 8, '0'))
+                || '\x08\x06\x00\x00\x00\x00\x00\x00\x00'::BLOB || body
+              WHEN 1 THEN
+                ('\xFF\xD8\xFF\xE0\x00\x10JFIF\x00\x01\x02\x00'
+                 || '\x00\x48\x00\x48\x00\x00\xFF\xC0\x00\x11\x08')::BLOB
+                || unhex(lpad(to_hex(h), 4, '0'))
+                || unhex(lpad(to_hex(w), 4, '0'))
+                || '\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01'::BLOB || body
+              WHEN 2 THEN
+                'GIF89a'::BLOB
+                || unhex(substr(lpad(to_hex(w), 4, '0'), 3, 2)
+                         || substr(lpad(to_hex(w), 4, '0'), 1, 2))
+                || unhex(substr(lpad(to_hex(h), 4, '0'), 3, 2)
+                         || substr(lpad(to_hex(h), 4, '0'), 1, 2))
+                || '\xF7\x00\x00'::BLOB || body
+              ELSE body
+            END AS media
+          FROM base
+        ),
+        hx AS (
+          SELECT doc_id, octet_length(media) AS n_bytes,
+                 hex(media) AS x,
                  (('0x' || rpad(substr(hex(media), 1, 16), 16, '0'))::UBIGINT
                    % 1152921504606846976)::BIGINT AS checksum
           FROM m
+        ),
+        typed AS (
+          SELECT *,
+            CASE
+              WHEN n_bytes >= 24
+                   AND substr(x, 1, 16) = '89504E470D0A1A0A'
+                   AND substr(x, 25, 8) = '49484452'
+                THEN 'image/png'
+              WHEN n_bytes >= 10
+                   AND substr(x, 1, 12) IN ('474946383761', '474946383961')
+                THEN 'image/gif'
+              WHEN n_bytes >= 29 AND substr(x, 1, 4) = 'FFD8'
+                   AND substr(x, 41, 4) = 'FFC0'
+                THEN 'image/jpeg'
+              ELSE 'image/fake'
+            END AS media_type
+          FROM hx
         )
-        SELECT doc_id, 'image/fake' AS media_type,
+        SELECT doc_id, media_type,
                CAST(n_bytes AS BIGINT) AS n_bytes,
-               CAST(checksum % 640 + 1 AS INTEGER) AS width,
-               CAST(checksum % 480 + 1 AS INTEGER) AS height,
+               CAST(CASE media_type
+                 WHEN 'image/png' THEN ('0x' || substr(x, 33, 8))::BIGINT
+                 WHEN 'image/gif' THEN
+                   ('0x' || substr(x, 15, 2) || substr(x, 13, 2))::BIGINT
+                 WHEN 'image/jpeg' THEN ('0x' || substr(x, 55, 4))::BIGINT
+                 ELSE checksum % 640 + 1 END AS INTEGER) AS width,
+               CAST(CASE media_type
+                 WHEN 'image/png' THEN ('0x' || substr(x, 41, 8))::BIGINT
+                 WHEN 'image/gif' THEN
+                   ('0x' || substr(x, 19, 2) || substr(x, 17, 2))::BIGINT
+                 WHEN 'image/jpeg' THEN ('0x' || substr(x, 51, 4))::BIGINT
+                 ELSE checksum % 480 + 1 END AS INTEGER) AS height,
                checksum
-        FROM h
+        FROM typed
     """
     # strided frame sampling: frame i = bytes [i*32, i*32+32) of the
     # blob, stride = ceil(n/8); checksum mirrors the media_meta rule

@@ -7,9 +7,89 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from tweetaggregates_spark.operators import sampling
+from tweetaggregates_spark.operators.multimodal import (
+    attach_synth_media,
+    extract_media_meta,
+    parse_image_dims,
+)
 from tweetaggregates_spark.plans import llm
 
 SF = "/root/testdata/sf0.001"
+
+
+def _png(w: int, h: int, body: bytes = b"x") -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00" + b"\x00\x00\x00\x00" + body
+    )
+
+
+class TestImageHeaderParsing:
+    def test_png(self):
+        assert parse_image_dims(_png(640, 480)) == ("image/png", 640, 480)
+
+    def test_png_requires_ihdr(self):
+        bad = b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dXXXX" + b"\0" * 16
+        assert parse_image_dims(bad) is None
+
+    def test_gif_both_versions(self):
+        for ver in (b"GIF87a", b"GIF89a"):
+            blob = ver + (300).to_bytes(2, "little") + (200).to_bytes(
+                2, "little"
+            ) + b"\xf7\x00\x00"
+            assert parse_image_dims(blob) == ("image/gif", 300, 200)
+
+    def test_jpeg_walks_arbitrary_segments(self):
+        # SOF behind APP1 (Exif) and a COM segment of odd lengths —
+        # layouts the fixed-offset DuckDB twin never sees
+        app1 = b"\xff\xe1" + (2 + 11).to_bytes(2, "big") + b"Exif\x00\x00hello"
+        com = b"\xff\xfe" + (2 + 3).to_bytes(2, "big") + b"abc"
+        sof2 = (  # progressive
+            b"\xff\xc2\x00\x11\x08"
+            + (768).to_bytes(2, "big")
+            + (1024).to_bytes(2, "big")
+            + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        )
+        blob = b"\xff\xd8" + app1 + com + sof2 + b"payload"
+        assert parse_image_dims(blob) == ("image/jpeg", 1024, 768)
+
+    def test_jpeg_without_sof_is_unrecognized(self):
+        blob = b"\xff\xd8\xff\xd9"  # SOI then EOI
+        assert parse_image_dims(blob) is None
+
+    def test_truncated_and_raw_payloads(self):
+        assert parse_image_dims(None) is None
+        assert parse_image_dims(b"") is None
+        assert parse_image_dims(b"\x89PNG\r\n\x1a\n\x00") is None
+        assert parse_image_dims(b"plain text payload") is None
+
+    def test_synth_media_roundtrip(self, spark):
+        # builder writes real headers; parser reads the dims back
+        from tweetaggregates_spark.operators.multimodal import (
+            synth_height,
+            synth_width,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "body text %d" % i) for i in range(8, 16)],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in extract_media_meta(attach_synth_media(df)).collect()
+        }
+        for i in range(8, 16):
+            r = out[i]
+            expect_type = {
+                0: "image/png", 1: "image/jpeg", 2: "image/gif",
+                3: "image/fake",
+            }[i % 4]
+            assert r.media_type == expect_type, i
+            if expect_type != "image/fake":
+                assert r.width == (i * 7) % 1920 + 16
+                assert r.height == (i * 13) % 1080 + 16
 
 
 class TestSampledClassifier:

@@ -20,6 +20,7 @@ from tweetaggregates_spark.operators import (
 )
 from tweetaggregates_spark.operators.multimodal import (
     attach_fake_media,
+    attach_synth_media,
     extract_media_meta,
 )
 from tweetaggregates_spark.sources.tables import load_table
@@ -207,9 +208,14 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (rows-only check: decode is a deliberate
-    deterministic stub — see operators/multimodal.py)."""
-    return extract_media_meta(attach_fake_media(_docs(spark, sf_dir)))
+    """Multimodal metadata with REAL container-header parsing: docs get
+    synthetic payloads carrying valid PNG / JPEG / GIF headers (plus a
+    raw-bytes cohort), and extract_media_meta reads width/height from
+    the actual header bytes (operators/multimodal.parse_image_dims);
+    the checksum-derived fake dims remain only for the unrecognizable
+    cohort. The DuckDB twin builds the same blobs and re-parses them
+    with hex/substr blob functions — full hash check."""
+    return extract_media_meta(attach_synth_media(_docs(spark, sf_dir)))
 
 
 def media_frames_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
