@@ -117,6 +117,29 @@ def clamp_late(df: DataFrame, ts_col: str, tolerance: str = DISORDER_TOLERANCE) 
     return df.withColumn(ts_col, F.greatest(F.col(ts_col), bound))
 
 
+def clamp_late_carried(
+    df: DataFrame, ts_col: str, prev_watermark
+) -> DataFrame:
+    """Cross-batch Trill ``DisorderPolicy.Adjust`` (Query.cs:27-31) for
+    micro-batch streams: clamp each NEW arrival's timestamp forward to
+    the watermark carried from PREVIOUS batches (watermark = running
+    max arrival ts − tolerance, exactly Trill's adjustment bound M −
+    tol). Cross-batch late events adjust exactly like Trill, because
+    batch order IS their arrival order; within one batch arrival order
+    is lost, so same-batch disorder passes through unmodified (events
+    of one batch are treated as concurrent — the documented micro-batch
+    approximation; ``clamp_late`` is the whole-replay batch analog that
+    instead assumes everything already arrived).
+
+    ``prev_watermark`` None (first batch, no carry) returns the frame
+    unchanged."""
+    if prev_watermark is None:
+        return df
+    return df.withColumn(
+        ts_col, F.greatest(F.col(ts_col), F.lit(prev_watermark))
+    )
+
+
 def _all_rows():
     from pyspark.sql import Window
 

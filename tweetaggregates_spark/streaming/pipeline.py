@@ -325,6 +325,7 @@ def run_streaming_aggregates_manual(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    disorder_policy: str = "drop",
 ) -> list:
     """Manual-watermark variant of ``run_streaming_aggregates``: the
     whole five-family computation runs inside foreachBatch against a
@@ -334,7 +335,17 @@ def run_streaming_aggregates_manual(
     advances the watermark past their end, not one trigger later) and
     for environments without a native state store; the native version is
     the production path — this one rewrites the open-window frontier to
-    parquet every micro-batch."""
+    parquet every micro-batch.
+
+    ``disorder_policy``: 'drop' (default — late rows older than the
+    carried watermark are discarded, Spark's native semantics) or
+    'adjust' (Trill ``DisorderPolicy.Adjust``, Query.cs:27-31: late
+    arrivals clamp forward to the carried watermark — cross-batch
+    exact, within-batch arrival order documented-approximate; see
+    operators/window.clamp_late_carried). Adjusted rows land in the
+    currently-open window frontier instead of vanishing."""
+    if disorder_policy not in ("drop", "adjust"):
+        raise ValueError(f"unknown disorder_policy: {disorder_policy!r}")
     store = AggregateStore(spark, store_dir)
     state_dir = os.path.join(store_dir, "_state")
     commits_dir = os.path.join(state_dir, "commits")
@@ -348,8 +359,19 @@ def run_streaming_aggregates_manual(
 
         flat = parse_tweets(batch_lines)
         if prev_wm is not None:
-            # W1 drop policy: rows older than the watermark drop
-            flat = flat.filter(F.col("ts") >= F.lit(prev_wm))
+            if disorder_policy == "adjust":
+                # W1 Trill Adjust: late arrivals clamp forward to the
+                # carried watermark (= running arrival max − tolerance)
+                # — the clamped ts flows into the carry, so replays and
+                # later batches see the ADJUSTED event, like Trill
+                from tweetaggregates_spark.operators.window import (
+                    clamp_late_carried,
+                )
+
+                flat = clamp_late_carried(flat, "ts", prev_wm)
+            else:
+                # W1 drop policy: rows older than the watermark drop
+                flat = flat.filter(F.col("ts") >= F.lit(prev_wm))
         carry_path = (
             os.path.join(carry_root, f"batch_id={last_id}")
             if last_id is not None
