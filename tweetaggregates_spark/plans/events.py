@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from tweetaggregates_spark.operators.aggregate import (
     db_summary,
     entity_window_agg,
+    entity_window_agg_bounded,
     top_entities_per_window,
 )
 from tweetaggregates_spark.operators.topk import dedupe_array_keep_first
@@ -96,7 +97,8 @@ def top_users_with_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id, example_value) so the oracle can hash-compare it.
     """
     ev = _events(spark, sf_dir).withColumn("valued", _dec("value"))
-    stage1 = entity_window_agg(
+    # O(k) pre-rank default for payload-carrying aggs (VERDICT r9 #5)
+    stage1 = entity_window_agg_bounded(
         ev,
         "user_id",
         "valued",

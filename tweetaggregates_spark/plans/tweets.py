@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from tweetaggregates_spark.operators.aggregate import (
     NUMBER_OF_AGGREGATES_PER_WINDOW,
     NUMBER_OF_EXAMPLES,
-    entity_window_agg,
+    entity_window_agg_bounded,
     top_entities_per_window,
 )
 from tweetaggregates_spark.operators.project import (
@@ -113,7 +113,9 @@ def top_entities(flat: DataFrame, array_col: str, entity_name: str) -> DataFrame
     sum + top-10 example tweets (A2/A3/A5), keep top-10 entities per
     window (A6), dedupe example arrays (D3)."""
     exploded = explode_entities(flat, array_col, "entity")
-    stage1 = entity_window_agg(
+    # O(k) pre-rank is the default (VERDICT r9 #5): a viral entity
+    # must not buffer its whole window through the shuffle
+    stage1 = entity_window_agg_bounded(
         exploded,
         "entity",
         "follower_count",
@@ -133,22 +135,19 @@ def top_retweets(flat: DataFrame) -> DataFrame:
     id; representative text = Max(Text) (Query.cs:127); top users = the
     top-10 retweeters' screen names (Query.cs:130,137)."""
     rts = retweets_only(flat)
-    stage1 = rts.groupBy(
-        F.window("ts", WINDOW_SIZE, HOP_SIZE).alias("window"),
-        F.col("original_tweet_id").alias("entity"),
-    ).agg(
-        F.max("text").alias("text"),
-        F.count(F.lit(1)).alias("tweet_count"),
-        F.sum("follower_count").alias("follower_count_sum"),
-        F.slice(
-            F.sort_array(
-                F.collect_list(F.struct("follower_count", "id", "screen_name")),
-                asc=False,
-            ),
-            1,
-            NUMBER_OF_EXAMPLES,
-        ).alias("top_user_payloads"),
-    )
+    # O(k) pre-rank default (VERDICT r9 #5) — a viral retweet is THE
+    # hot-key case; max(text) rides the count/sum branch
+    stage1 = entity_window_agg_bounded(
+        rts,
+        "original_tweet_id",
+        "follower_count",
+        payload_cols=[F.col("id"), F.col("screen_name")],
+        size=WINDOW_SIZE,
+        slide=HOP_SIZE,
+        k_examples=NUMBER_OF_EXAMPLES,
+        carry_cols=("text",),
+        extra_aggs=(F.max("text").alias("text"),),
+    ).withColumnRenamed("top_payloads", "top_user_payloads")
     top = top_entities_per_window(
         stage1, k=NUMBER_OF_AGGREGATES_PER_WINDOW, tiebreak="entity"
     ).drop("rank")
