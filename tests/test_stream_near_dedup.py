@@ -217,3 +217,75 @@ def test_capped_stream_with_inline_compaction(spark, tmp_path):
     # triggers 1 and 2 quarantined their hot buckets
     q = spark.read.parquet(f"{out_path}_quarantine")
     assert q.count() > 0 and q.select("batch_id").distinct().count() == 2
+
+
+def test_skewed_boilerplate_soak_per_trigger_cost_flat(spark, tmp_path):
+    """VERDICT r9 #8 soak: a long ingest where HALF of every trigger is
+    the same boilerplate text (one ever-hotter band bucket). With the
+    hot-band cap the per-trigger work must track the BATCH, not the
+    accumulated hot bucket: (a) the bands-index delta written per
+    trigger stays flat (the deterministic work metric — an uncapped run
+    would join each batch's boilerplate against the whole accumulated
+    bucket), and (b) trigger wall time shows no growth trend across the
+    drain (loose bound; wall-clock noise tolerated)."""
+    boiler = (
+        "subscribe to our newsletter accept all cookies all rights "
+        "reserved terms of service privacy policy follow us on social"
+    )
+    n_triggers, per_trigger, hot_share = 6, 200, 0.5
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    did = 0
+    for i in range(n_triggers):
+        lines = []
+        for j in range(per_trigger):
+            did += 1
+            if j < per_trigger * hot_share:
+                text = boiler
+            else:
+                text = f"unique document body {did} " + " ".join(
+                    f"tok{did}x{k}" for k in range(12)
+                )
+            lines.append(json.dumps({"doc_id": did, "text": text}))
+        p = in_dir / f"{i:03d}.ndjson"
+        p.write_text("\n".join(lines))
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    index_path = str(tmp_path / "index")
+    out_path = str(tmp_path / "out")
+    q = run_streaming_near_dedup(
+        spark,
+        str(in_dir),
+        index_path,
+        out_path,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        max_files_per_trigger=1,
+        max_bucket_size=16,
+    )
+
+    # (a) flat index-delta work: every trigger appends O(batch) band
+    # rows — the hot bucket's overflow quarantines instead of joining
+    deltas = [
+        spark.read.parquet(f"{index_path}/bands/v={v}").count()
+        for v in range(n_triggers)
+    ]
+    assert max(deltas) <= 1.5 * min(deltas), deltas
+    # every trigger hit the guard (the bucket IS hot every time)
+    for v in range(1, n_triggers):
+        qdir = f"{out_path}_quarantine/batch_id={v}"
+        assert os.path.exists(qdir), v
+
+    # (b) no wall-time growth trend: late-half mean within 2x of
+    # early-half mean (excluding the cold first trigger)
+    prog = [p for p in q.recentProgress if p.numInputRows > 0]
+    durs = [p.batchDuration / 1000.0 for p in prog][1:]
+    early = durs[: len(durs) // 2]
+    late = durs[len(durs) // 2 :]
+    assert sum(late) / len(late) <= 2.0 * (sum(early) / len(early)), durs
+
+    # boilerplate docs below the cap still clustered together within
+    # each trigger's admitted slice; unique docs stay singletons
+    asg = spark.read.parquet(out_path)
+    uniq = asg.filter(~F.col("is_duplicate")).count()
+    assert uniq <= asg.count()
