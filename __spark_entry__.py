@@ -116,81 +116,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Ordering is stalest-first for the driver gate (first 50
-        # entries are hash-checked): the four never-checked round-9
-        # registrations lead, then the two entries whose newest
-        # driver row is r5, then r6-era entries in stable order (44
-        # fit the 50-entry block). The rows-only HLL entry
-        # (approx_users_daily) is pinned to position 51 so the gated
-        # block stays fully hash-checkable; r7/r8-era entries follow.
-        # -- never driver-checked (round-9 registrations) --
-        "pca_embeddings": llm.pca_embeddings,
-        "line_dedup_docs": llm.line_dedup_docs,
-        "unimax_mixture_docs": llm.unimax_mixture_docs,
-        "stream_pca_embeddings": llm.stream_pca_embeddings,
-        "quality_classifier_docs": llm.quality_classifier_docs,
+        # Ordering is stalest-first for the driver gate (the first 50
+        # entries are hash-checked). Round-10 block: the 1 never-
+        # driver-checked round-10 registration(s) lead, then
+        # media_meta_docs (its twin changed this round: real header
+        # parsing), then the 10 entries whose newest driver row is r6,
+        # then the first 38 r7-era entries in stable order — 50 exactly.
+        # approx_users_daily (the one rows-only HLL entry) is RETIRED
+        # from the registry this round (VERDICT r9 #7): kmv_users_daily
+        # is the deterministic hash-checkable day-level variant, and the
+        # HLL-vs-exact accuracy pin lives in
+        # tests/test_extensions.py::test_approx_distinct_close_to_exact.
+        # The registry is now fully hash-checkable.
+        # -- round-10 registrations / twin changes --
         "quality_classifier_sampled_docs": llm.quality_classifier_sampled_docs,
-        "unimax_sample_docs": llm.unimax_sample_docs,
-        "decontaminated_docs": llm.decontaminated_docs,
-        "quality_signals_docs": llm.quality_signals_docs,
-        # -- newest driver row r5 --
-        "inverted_index_docs": llm.inverted_index_docs,
-        "repeated_ngrams_docs": llm.repeated_ngrams_docs,
-        # -- newest driver row r6 --
-        "knn_ivf_pq_refined_embeddings": llm.knn_ivf_pq_refined_embeddings,
-        "incremental_dedup_delta_docs": llm.incremental_dedup_delta_docs,
-        "clickers_without_purchase": ev.clickers_without_purchase,
-        "cosine_near_dups": llm.cosine_near_dups,
-        "simhash_pairs_docs": llm.simhash_pairs_docs,
-        "clickers_who_purchased": ev.clickers_who_purchased,
-        "value_quantiles_by_type": ev.value_quantiles_by_type,
-        "purchase_asof_click": ev.purchase_asof_click,
-        "q14_promo_revenue": star.q14_promo_revenue,
-        "customers_without_orders": star.customers_without_orders,
-        "customers_with_orders_semi": star.customers_with_orders_semi,
-        "brand_supplier_stats": star.brand_supplier_stats,
-        "top_orders_per_customer": star.top_orders_per_customer,
-        "minhash_lsh_capped": llm.minhash_lsh_capped_docs,
-        "simhash_docs": llm.simhash_docs,
-        "normalize_docs": llm.normalize_docs,
-        "repetition_docs": llm.repetition_docs,
-        "contamination_docs": llm.contamination_docs,
-        "domain_stats_docs": llm.domain_stats_docs,
-        "fingerprint_docs": llm.fingerprint_docs,
         "media_meta_docs": llm.media_meta_docs,
-        "distinct_users_daily": ev.distinct_users_daily,
-        "kmv_users_monthly_rollup": ev.kmv_users_monthly_rollup,
-        "tumbling_counts": ev.tumbling_counts,
-        "hopping_counts": ev.hopping_counts,
-        "top_users_hopping": ev.top_users_hopping,
-        "top_event_types_tumbling": ev.top_event_types_tumbling,
-        "top_users_with_examples": ev.top_users_with_examples,
-        "top_retweets_shape": ev.top_retweets_shape,
-        "session_windows": ev.session_windows,
-        "throughput_5min": ev.throughput_5min,
-        "events_summary": ev.events_summary,
-        "counts_range": ev.counts_range,
-        "top_users_for_entity": ev.top_users_for_entity,
-        "recent_counts": ev.recent_counts,
-        "running_total_counts": ev.running_total_counts,
-        "daily_rollup_counts": ev.daily_rollup_counts,
-        "json_props_daily": ev.json_props_daily,
-        "q1_pricing_summary": star.q1_pricing_summary,
-        "q3_shipping_priority": star.q3_shipping_priority,
+        # -- newest driver row r6 --
         "q5_region_revenue": star.q5_region_revenue,
         "q6_revenue_change": star.q6_revenue_change,
         "q10_returned_items": star.q10_returned_items,
         "q18_large_orders": star.q18_large_orders,
-        # -- rows-only by design, pinned past the gate --
-        "approx_users_daily": ev.approx_users_daily,
-        # -- newest driver row r6 --
         "q9_profit_by_nation": star.q9_profit_by_nation,
         "q13_order_count_distribution": star.q13_order_count_distribution,
         "q20_heavy_suppliers": star.q20_heavy_suppliers,
         "q21_last_shipper": star.q21_last_shipper,
         "order_latency_distribution": star.order_latency_distribution,
         "revenue_rollup": star.revenue_rollup,
-        # -- newest driver row r7 --
+        # -- newest driver row r7 (first 38; gate block ends here) --
         "bloom_dedup_new_docs": llm.bloom_dedup_new_docs,
         "random_projection_embeddings": llm.random_projection_embeddings,
         "domain_quality_filter_docs": llm.domain_quality_filter_docs,
@@ -229,6 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan_docs": llm.mixture_plan_docs,
         "split_docs": llm.split_docs,
         "pack_sequences_docs": llm.pack_sequences_docs,
+        # -- newest driver row r7 (remainder) --
         "user_event_gaps": sequence.user_event_gaps,
         "event_type_transitions": sequence.event_type_transitions,
         "value_ntile_quartiles": sequence.value_ntile_quartiles,
@@ -292,6 +245,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": llm.label_centroids_query,
         "vocab_docs": llm.vocab_docs,
         "tfidf_docs": llm.tfidf_docs,
+        # -- newest driver row r9 --
+        "pca_embeddings": llm.pca_embeddings,
+        "line_dedup_docs": llm.line_dedup_docs,
+        "unimax_mixture_docs": llm.unimax_mixture_docs,
+        "stream_pca_embeddings": llm.stream_pca_embeddings,
+        "quality_classifier_docs": llm.quality_classifier_docs,
+        "unimax_sample_docs": llm.unimax_sample_docs,
+        "decontaminated_docs": llm.decontaminated_docs,
+        "quality_signals_docs": llm.quality_signals_docs,
+        "inverted_index_docs": llm.inverted_index_docs,
+        "repeated_ngrams_docs": llm.repeated_ngrams_docs,
+        "knn_ivf_pq_refined_embeddings": llm.knn_ivf_pq_refined_embeddings,
+        "incremental_dedup_delta_docs": llm.incremental_dedup_delta_docs,
+        "clickers_without_purchase": ev.clickers_without_purchase,
+        "cosine_near_dups": llm.cosine_near_dups,
+        "simhash_pairs_docs": llm.simhash_pairs_docs,
+        "clickers_who_purchased": ev.clickers_who_purchased,
+        "value_quantiles_by_type": ev.value_quantiles_by_type,
+        "purchase_asof_click": ev.purchase_asof_click,
+        "q14_promo_revenue": star.q14_promo_revenue,
+        "customers_without_orders": star.customers_without_orders,
+        "customers_with_orders_semi": star.customers_with_orders_semi,
+        "brand_supplier_stats": star.brand_supplier_stats,
+        "top_orders_per_customer": star.top_orders_per_customer,
+        "minhash_lsh_capped": llm.minhash_lsh_capped_docs,
+        "simhash_docs": llm.simhash_docs,
+        "normalize_docs": llm.normalize_docs,
+        "repetition_docs": llm.repetition_docs,
+        "contamination_docs": llm.contamination_docs,
+        "domain_stats_docs": llm.domain_stats_docs,
+        "fingerprint_docs": llm.fingerprint_docs,
+        "distinct_users_daily": ev.distinct_users_daily,
+        "kmv_users_monthly_rollup": ev.kmv_users_monthly_rollup,
+        "tumbling_counts": ev.tumbling_counts,
+        "hopping_counts": ev.hopping_counts,
+        "top_users_hopping": ev.top_users_hopping,
+        "top_event_types_tumbling": ev.top_event_types_tumbling,
+        "top_users_with_examples": ev.top_users_with_examples,
+        "top_retweets_shape": ev.top_retweets_shape,
+        "session_windows": ev.session_windows,
+        "throughput_5min": ev.throughput_5min,
+        "events_summary": ev.events_summary,
+        "counts_range": ev.counts_range,
+        "top_users_for_entity": ev.top_users_for_entity,
+        "recent_counts": ev.recent_counts,
+        "running_total_counts": ev.running_total_counts,
+        "daily_rollup_counts": ev.daily_rollup_counts,
+        "json_props_daily": ev.json_props_daily,
+        "q1_pricing_summary": star.q1_pricing_summary,
+        "q3_shipping_priority": star.q3_shipping_priority,
     }
 
 def _logreg_sql(
