@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_extensions.py::test_approx_distinct_close_to_exact.
         # The registry is now fully hash-checkable.
         # -- round-10 registrations / twin changes --
+        "quality_classifier_bottomk_docs": llm.quality_classifier_bottomk_docs,
         "quality_classifier_sampled_docs": llm.quality_classifier_sampled_docs,
         "media_meta_docs": llm.media_meta_docs,
         # -- newest driver row r6 --
@@ -312,11 +313,13 @@ def _logreg_sql(
     per-doc/per-bucket sums are order-free decimals, so plain GROUP BY
     replays them (no unrolled chains needed, unlike the PCA twin).
 
-    ``train_where``: optional 'WHERE ...' clause restricting the
-    TRAINING set (the sampled-training production variant,
-    quality_classifier_sampled_docs) — gradients and n come only from
-    the selected docs; the final scoring pass always covers the full
-    corpus."""
+    ``train_where``: optional SQL suffix after ``FROM lab`` restricting
+    the TRAINING set — a 'WHERE ...' filter (the fraction-sampled
+    variant, quality_classifier_sampled_docs) or an
+    'ORDER BY ... LIMIT k' selection (the fixed-size bottom-k variant,
+    quality_classifier_bottomk_docs); gradients and n come only from
+    the selected docs, and the final scoring pass always covers the
+    full corpus."""
     bigrams = (
         "[array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]"
     )
@@ -3798,6 +3801,22 @@ def oracle_sql() -> dict[str, str]:
     # sampled-training production variant: gradients come only from the
     # deterministic 20% hash-sample (salt 'clf_train'), scoring covers
     # the full corpus — same predicate as operators/sampling.hash_sample
+    # fixed-size bottom-k-by-hash training set: constant training cost
+    # at any corpus size; the twin replays the identical deterministic
+    # ORDER BY (hash, doc_id) LIMIT k selection
+    sql["quality_classifier_bottomk_docs"] = _logreg_sql(
+        n_buckets=256,
+        iters=8,
+        lr=500.0,
+        thr=0.5,
+        train_where=(
+            "ORDER BY ("
+            + _D_HASH.format(
+                x="concat('clf_fix:', CAST(doc_id AS VARCHAR))"
+            )
+            + "), doc_id LIMIT 256"
+        ),
+    )
     sql["quality_classifier_sampled_docs"] = _logreg_sql(
         n_buckets=256,
         iters=8,

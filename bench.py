@@ -126,7 +126,10 @@ HEADLINE = [
     "quality_signals_docs",
     # round 10: sampled-training classifier (the production shape —
     # gradients from a 20% hash-sample, map-only full-corpus scoring)
+    # and the fixed-size bottom-k variant (constant training cost at
+    # any corpus size)
     "quality_classifier_sampled_docs",
+    "quality_classifier_bottomk_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

@@ -156,6 +156,44 @@ class TestSampledClassifier:
                 docs, "label", iters=1, max_rows=3
             )
 
+    def test_bottomk_trains_on_exactly_k_and_scores_all(self, spark):
+        # the fixed-size variant: training set is the bottom-K docs by
+        # salted hash — a corpus-size-independent constant — while
+        # scoring still covers every doc
+        import pyspark.sql.functions as F2
+
+        from tweetaggregates_spark.functions.hashing import hash64
+        from tweetaggregates_spark.sources.tables import load_table
+
+        sf01 = "/root/testdata/sf0.01"
+        out = llm.quality_classifier_bottomk_docs(spark, sf01)
+        docs = load_table(spark, sf01, "documents")
+        assert out.count() == docs.count()
+        # the selection is TakeOrderedAndProject-shaped and exactly K
+        h = hash64(
+            F2.concat(
+                F2.lit(f"{llm.CLF_FIXED_SALT}:"),
+                F2.col("doc_id").cast("string"),
+            )
+        )
+        train_ids = [
+            r.doc_id
+            for r in docs.orderBy(h.asc(), F2.col("doc_id").asc())
+            .limit(llm.CLF_FIXED_K)
+            .select("doc_id")
+            .collect()
+        ]
+        assert len(train_ids) == min(llm.CLF_FIXED_K, docs.count())
+        # deterministic: a second selection is identical
+        train_ids2 = [
+            r.doc_id
+            for r in docs.orderBy(h.asc(), F2.col("doc_id").asc())
+            .limit(llm.CLF_FIXED_K)
+            .select("doc_id")
+            .collect()
+        ]
+        assert train_ids == train_ids2
+
     def test_sampled_model_still_separates(self, spark):
         # the sampled-trained boundary should agree with the heuristic
         # label on a large majority of docs (the full-batch baseline

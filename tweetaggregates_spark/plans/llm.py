@@ -1177,6 +1177,49 @@ def quality_classifier_sampled_docs(
     ).select("doc_id", "label", "quality_prob", "clf_keep")
 
 
+CLF_FIXED_K = 256
+CLF_FIXED_SALT = "clf_fix"
+
+
+def quality_classifier_bottomk_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CONSTANT-training-cost classifier: the training set is the
+    bottom-``CLF_FIXED_K`` docs by salted hash (deterministic, ordered
+    (hash64, doc_id) — a uniform FIXED-SIZE sample whatever the corpus
+    size, which is what Brown et al.'s reference-vs-CC classifier
+    actually trains on). Spark plans the selection as
+    TakeOrderedAndProject (per-partition top-k + driver merge, O(k)
+    driver bytes); training runs driver-side
+    (logreg_quality_train_local) and scoring is one map-only corpus
+    pass — so at ANY corpus size the whole entry costs one scan plus a
+    constant. Compare quality_classifier_sampled_docs, whose 20%
+    fraction keeps training cost proportional to the corpus (exponent
+    0.71 measured at sf0.1->sf1); this one is the flat-cost endpoint
+    of the same recipe. Twin: the DuckDB trainer replays the identical
+    ORDER BY (hash, doc_id) LIMIT k selection."""
+    from tweetaggregates_spark.functions.hashing import hash64
+    from tweetaggregates_spark.operators import classifier
+
+    docs = _docs(spark, sf_dir)
+    h = hash64(
+        F.concat(F.lit(f"{CLF_FIXED_SALT}:"), F.col("doc_id").cast("string"))
+    )
+    # order on (hash, id) only, THEN label the k survivors — labeling
+    # inside the TakeOrdered child would evaluate the token fold for
+    # every corpus row just to throw it away
+    train = _clf_labeled(
+        docs.orderBy(h.asc(), F.col("doc_id").asc()).limit(CLF_FIXED_K)
+    )
+    labeled = _clf_labeled(docs)
+    w = classifier.logreg_quality_train_local(
+        train, "label", n_buckets=256, iters=8, lr=500.0
+    )
+    return classifier.logreg_quality_scores(
+        labeled, w, n_buckets=256, threshold=0.5
+    ).select("doc_id", "label", "quality_prob", "clf_keep")
+
+
 def unimax_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UniMax allocation EXECUTED (operators/sampling.unimax_sample):
     capped languages repeat for their full epochs, the head's
