@@ -117,11 +117,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is stalest-first for the driver gate (the first 50
-        # entries are hash-checked). Round-10 block: the 1 never-
-        # driver-checked round-10 registration(s) lead, then
-        # media_meta_docs (its twin changed this round: real header
-        # parsing), then the 10 entries whose newest driver row is r6,
-        # then the first 38 r7-era entries in stable order — 50 exactly.
+        # entries are hash-checked). Round-10 block: the TWO never-
+        # driver-checked round-10 registrations lead (bottom-k and
+        # sampled classifier), then media_meta_docs (its twin changed
+        # this round: real header parsing), then the 10 entries whose
+        # newest driver row is r6, then r7-era entries in stable order
+        # — the gate boundary falls after the 37th r7 entry
+        # (split_docs at position 50); pack_sequences_docs is the
+        # first entry outside the block (r7-green, re-checked on a
+        # later rotation).
         # approx_users_daily (the one rows-only HLL entry) is RETIRED
         # from the registry this round (VERDICT r9 #7): kmv_users_daily
         # is the deterministic hash-checkable day-level variant, and the
