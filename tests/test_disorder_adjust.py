@@ -115,3 +115,32 @@ def test_clamp_late_carried_unit(spark):
     # first batch (no carry): unchanged frame
     out0 = {r.id: r.ts for r in clamp_late_carried(df, "ts", None).collect()}
     assert out0[1] == BASE + datetime.timedelta(seconds=30)
+
+
+def test_adjust_replay_is_idempotent(spark, tmp_path):
+    """The adjust policy rides the same commit-marker protocol as drop:
+    re-running the drained stream over a fresh checkpoint (forcing full
+    re-delivery) must leave the store unchanged — the clamped ts went
+    INTO the carry, so a replayed batch re-reads its exact pre-batch
+    state and overwrites the same outputs."""
+    from tweetaggregates_spark.streaming.pipeline import (
+        run_streaming_aggregates_manual,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _write_batches(in_dir)
+    store = tmp_path / "store"
+    for ckpt in ("ckpt_a", "ckpt_b"):
+        run_streaming_aggregates_manual(
+            spark,
+            str(in_dir),
+            str(store),
+            str(tmp_path / ckpt),
+            available_now=True,
+            max_files_per_trigger=1,
+            disorder_policy="adjust",
+        )
+    counts = _counts(spark, store)
+    assert counts[BASE + datetime.timedelta(minutes=10)] == 11
+    assert counts[BASE + datetime.timedelta(minutes=30)] == 1
