@@ -117,15 +117,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is stalest-first for the driver gate (the first 50
-        # entries are hash-checked). Round-10 block: the TWO never-
-        # driver-checked round-10 registrations lead (bottom-k and
-        # sampled classifier), then media_meta_docs (its twin changed
-        # this round: real header parsing), then the 10 entries whose
-        # newest driver row is r6, then r7-era entries in stable order
-        # — the gate boundary falls after the 37th r7 entry
-        # (split_docs at position 50); pack_sequences_docs is the
-        # first entry outside the block (r7-green, re-checked on a
-        # later rotation).
+        # entries are hash-checked). Round-10 block: the THREE never-
+        # driver-checked round-10 registrations lead (bottom-k
+        # classifier, streaming scorer, sampled classifier), then
+        # media_meta_docs (its twin changed this round: real header
+        # parsing), then the 10 entries whose newest driver row is r6,
+        # then r7-era entries in stable order — the gate boundary
+        # falls after the 36th r7 entry (mixture_plan_docs at position
+        # 50); split_docs is the first entry outside the block
+        # (r7-green, re-checked on a later rotation).
         # approx_users_daily (the one rows-only HLL entry) is RETIRED
         # from the registry this round (VERDICT r9 #7): kmv_users_daily
         # is the deterministic hash-checkable day-level variant, and the
@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The registry is now fully hash-checkable.
         # -- round-10 registrations / twin changes --
         "quality_classifier_bottomk_docs": llm.quality_classifier_bottomk_docs,
+        "stream_quality_scores_docs": llm.stream_quality_scores_docs,
         "quality_classifier_sampled_docs": llm.quality_classifier_sampled_docs,
         "media_meta_docs": llm.media_meta_docs,
         # -- newest driver row r6 --
@@ -3820,6 +3821,25 @@ def oracle_sql() -> dict[str, str]:
             )
             + "), doc_id LIMIT 256"
         ),
+    )
+    # score-on-ingest lifecycle: scoring is a stateless projection, so
+    # the streamed union equals the one-shot bottom-k-trained scorer
+    sql["stream_quality_scores_docs"] = (
+        "SELECT doc_id, quality_prob, clf_keep FROM ("
+        + _logreg_sql(
+            n_buckets=256,
+            iters=8,
+            lr=500.0,
+            thr=0.5,
+            train_where=(
+                "ORDER BY ("
+                + _D_HASH.format(
+                    x="concat('clf_fix:', CAST(doc_id AS VARCHAR))"
+                )
+                + "), doc_id LIMIT 256"
+            ),
+        )
+        + ") t"
     )
     sql["quality_classifier_sampled_docs"] = _logreg_sql(
         n_buckets=256,

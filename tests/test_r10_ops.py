@@ -204,3 +204,55 @@ class TestSampledClassifier:
         ).count()
         total = samp.count()
         assert agree / total >= 0.8
+
+
+class TestStreamingQualityScores:
+    def test_drain_equals_batch_scores_and_replay_idempotent(
+        self, spark, tmp_path
+    ):
+        import json as _json
+        import os
+        import time as _time
+
+        from tweetaggregates_spark.operators import classifier
+        from tweetaggregates_spark.sources.tables import load_table
+        from tweetaggregates_spark.streaming.classify import (
+            run_streaming_quality_scores,
+        )
+
+        docs = load_table(spark, SF, "documents").select("doc_id", "text")
+        labeled = llm._clf_labeled(docs)
+        w = classifier.logreg_quality_train_local(
+            labeled.limit(50), "label", iters=2, lr=500.0
+        )
+        batch = {
+            r.doc_id: (r.quality_prob, r.clf_keep)
+            for r in classifier.logreg_quality_scores(docs, w)
+            .select("doc_id", "quality_prob", "clf_keep")
+            .collect()
+        }
+        rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        half = len(rows) // 2
+        now = _time.time()
+        for i, chunk in enumerate((rows[:half], rows[half:])):
+            p = in_dir / f"{i}.ndjson"
+            p.write_text(
+                "\n".join(
+                    _json.dumps({"doc_id": r.doc_id, "text": r.text})
+                    for r in chunk
+                )
+            )
+            os.utime(p, (now - 60 + i, now - 60 + i))
+        out = str(tmp_path / "out")
+        for ckpt in ("c1", "c2"):  # second pass = full redelivery
+            run_streaming_quality_scores(
+                spark, str(in_dir), out, str(tmp_path / ckpt),
+                weights=w, available_now=True, max_files_per_trigger=1,
+            )
+        got = {
+            r.doc_id: (r.quality_prob, r.clf_keep)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == batch

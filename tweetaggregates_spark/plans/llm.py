@@ -1220,6 +1220,78 @@ def quality_classifier_bottomk_docs(
     ).select("doc_id", "label", "quality_prob", "clf_keep")
 
 
+def stream_quality_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-on-ingest LIFECYCLE under the correctness gate: train the
+    fixed-size bottom-k classifier offline (driver-side, constant
+    cost), then replay the corpus as a 3-file NDJSON drop-dir through
+    ``run_streaming_quality_scores`` — the stateless map-only scoring
+    projection with the weights as one Literal — and return the union
+    of the per-batch outputs. Scoring is trigger-count-invariant (a
+    pure projection), so the DuckDB twin is the same bottom-k-trained
+    scorer over the whole corpus at once.
+
+    Harness note: writing the drop-dir collects the sf docs to the
+    driver — the TEST-GATE replay harness, not the operator
+    (production ingest reads an existing drop-dir / socket / Kafka)."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from tweetaggregates_spark.functions.hashing import hash64
+    from tweetaggregates_spark.operators import classifier
+    from tweetaggregates_spark.streaming.classify import (
+        run_streaming_quality_scores,
+    )
+
+    docs = _docs(spark, sf_dir)
+    h = hash64(
+        F.concat(F.lit(f"{CLF_FIXED_SALT}:"), F.col("doc_id").cast("string"))
+    )
+    train = _clf_labeled(
+        docs.orderBy(h.asc(), F.col("doc_id").asc()).limit(CLF_FIXED_K)
+    )
+    w = classifier.logreg_quality_train_local(
+        train, "label", n_buckets=256, iters=8, lr=500.0
+    )
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    root = tempfile.mkdtemp(prefix="stream_clf_scores_")
+    try:
+        in_dir = os.path.join(root, "in")
+        os.makedirs(in_dir)
+        n = len(rows)
+        cuts = [i * n // 3 for i in range(3)] + [n]
+        for i in range(3):
+            p = os.path.join(in_dir, f"{i}.ndjson")
+            with open(p, "w") as fh:
+                fh.write(
+                    "\n".join(
+                        _json.dumps({"doc_id": r.doc_id, "text": r.text})
+                        for r in rows[cuts[i] : cuts[i + 1]]
+                    )
+                )
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        out_path = os.path.join(root, "out")
+        run_streaming_quality_scores(
+            spark,
+            in_dir,
+            out_path,
+            os.path.join(root, "ckpt"),
+            weights=w,
+            n_buckets=256,
+            threshold=0.5,
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        return (
+            spark.read.parquet(out_path)
+            .select("doc_id", "quality_prob", "clf_keep")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def unimax_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UniMax allocation EXECUTED (operators/sampling.unimax_sample):
     capped languages repeat for their full epochs, the head's
