@@ -117,15 +117,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is stalest-first for the driver gate (the first 50
-        # entries are hash-checked). Round-10 block: the THREE never-
+        # entries are hash-checked). Round-10 block: the FOUR never-
         # driver-checked round-10 registrations lead (bottom-k
-        # classifier, streaming scorer, sampled classifier), then
-        # media_meta_docs (its twin changed this round: real header
-        # parsing), then the 10 entries whose newest driver row is r6,
-        # then r7-era entries in stable order — the gate boundary
-        # falls after the 36th r7 entry (mixture_plan_docs at position
-        # 50); split_docs is the first entry outside the block
-        # (r7-green, re-checked on a later rotation).
+        # classifier, streaming scorer, ANN recall metric, sampled
+        # classifier), then media_meta_docs (its twin changed this
+        # round: real header parsing), then the 10 entries whose
+        # newest driver row is r6, then r7-era entries in stable order
+        # — the gate boundary falls after the 35th r7 entry
+        # (weighted_sample_docs at position 50); mixture_plan_docs is
+        # the first entry outside the block (r7-green, re-checked on a
+        # later rotation).
         # approx_users_daily (the one rows-only HLL entry) is RETIRED
         # from the registry this round (VERDICT r9 #7): kmv_users_daily
         # is the deterministic hash-checkable day-level variant, and the
@@ -135,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-10 registrations / twin changes --
         "quality_classifier_bottomk_docs": llm.quality_classifier_bottomk_docs,
         "stream_quality_scores_docs": llm.stream_quality_scores_docs,
+        "ann_recall_ivf_embeddings": llm.ann_recall_ivf_embeddings,
         "quality_classifier_sampled_docs": llm.quality_classifier_sampled_docs,
         "media_meta_docs": llm.media_meta_docs,
         # -- newest driver row r6 --
@@ -2455,6 +2457,40 @@ def oracle_sql() -> dict[str, str]:
             PARTITION BY query_id ORDER BY exact_dist, neighbor_id) AS rnk2
           FROM ex)
         WHERE rnk2 <= 5
+    """
+    # recall@5 of IVF-PQ+refine vs the exact L2 top-5: recompute both
+    # sides (the approx side is the refined twin verbatim, as a
+    # subquery) and the same |Q| x k intersection join
+    sql["ann_recall_ivf_embeddings"] = f"""
+        WITH approx AS ({sql["knn_ivf_pq_refined_embeddings"]}),
+        e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+        exd AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round({_KM_DIST("q.v", "c.v")}, 6) AS l2_dist
+          FROM e2 q JOIN e2 c
+            ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        ),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY l2_dist ASC, neighbor_id ASC) AS rn
+            FROM exd)
+          WHERE rn <= 5
+        ),
+        hits AS (
+          SELECT x.query_id, count(*) AS n_hits
+          FROM exact x JOIN approx a
+            ON x.query_id = a.query_id
+           AND x.neighbor_id = a.neighbor_id
+          GROUP BY x.query_id
+        )
+        SELECT q.query_id,
+               CAST(coalesce(h.n_hits, 0) AS INTEGER) AS n_hits,
+               round(coalesce(h.n_hits, 0) / 5.0, 6) AS recall
+        FROM (SELECT DISTINCT query_id FROM exact) q
+        LEFT JOIN hits h ON q.query_id = h.query_id
     """
     # cross-document substring dedup: positional 8-token shingles,
     # hash equi-join, gaps-and-islands longest-run per (pair, diagonal)

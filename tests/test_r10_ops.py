@@ -256,3 +256,57 @@ class TestStreamingQualityScores:
             for r in spark.read.parquet(out).collect()
         }
         assert got == batch
+
+
+class TestAnnRecall:
+    def test_ann_recall_unit(self, spark):
+        from tweetaggregates_spark.operators.similarity import ann_recall
+
+        exact = spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 20), (2, 21)],
+            "query_id int, neighbor_id int",
+        )
+        approx = spark.createDataFrame(
+            [(1, 10), (1, 99), (2, 20), (2, 21)],
+            "query_id int, neighbor_id int",
+        )
+        got = {
+            r.query_id: (r.n_hits, r.recall)
+            for r in ann_recall(exact, approx, k=2).collect()
+        }
+        assert got == {1: (1, 0.5), 2: (2, 1.0)}
+        # a query whose approx found nothing still reports 0.0
+        approx_none = spark.createDataFrame(
+            [(1, 99)], "query_id int, neighbor_id int"
+        )
+        got0 = {
+            r.query_id: r.recall
+            for r in ann_recall(exact, approx_none, k=2).collect()
+        }
+        assert got0 == {1: 0.0, 2: 0.0}
+
+    def test_exact_l2_ground_truth_and_ivf_recall_beats_random(self, spark):
+        from tweetaggregates_spark.operators.similarity import (
+            knn_bruteforce_l2,
+        )
+        from tweetaggregates_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        n = emb.count()
+        exact = knn_bruteforce_l2(
+            emb, emb.filter(F.col("vec_id") < 5), k=5
+        )
+        per_q = {
+            r.query_id: r["cnt"]
+            for r in exact.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert all(v == 5 for v in per_q.values())
+        recalls = [
+            r.recall
+            for r in llm.ann_recall_ivf_embeddings(spark, SF).collect()
+        ]
+        assert all(0.0 <= x <= 1.0 for x in recalls)
+        # the index must do far better than random candidate picking
+        assert sum(recalls) / len(recalls) > 5.0 / n * 5

@@ -54,6 +54,78 @@ def knn_bruteforce(
     return top.select("query_id", "neighbor_id", "cos_sim", "knn_rank")
 
 
+def knn_bruteforce_l2(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k SQUARED-L2 neighbors per query (self excluded) —
+    the ground truth the IVF/PQ family approximates (those indexes
+    rank by L2, not cosine). Output: query_id, neighbor_id, l2_dist
+    (rounded 6), knn_rank. Deterministic rank: (rounded dist asc,
+    neighbor_id asc)."""
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) ** 2),
+        F.lit(0.0).cast("double"),
+        lambda acc, d: acc + d,
+    )
+    scored = q.join(
+        c, F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("l2_dist", F.round(d2, 6))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "l2_dist", "knn_rank")
+    )
+
+
+def ann_recall(
+    exact: DataFrame, approx: DataFrame, k: int
+) -> DataFrame:
+    """Index-quality metric: per-query recall@k of an ANN result
+    against the exact top-k — the number every production ANN
+    deployment monitors (faiss benchmarks report exactly this). Both
+    inputs carry (query_id, neighbor_id); output one row per exact
+    query: (query_id, n_hits, recall).
+
+    Plan shape: both sides are |Q| x k rows (model-sized), so the
+    intersection join and the per-query count broadcast — nothing
+    corpus-sized moves; the expensive parts are the two kNN inputs
+    this composes."""
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qids = exact.select("query_id").distinct()
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 6
+        ).alias("recall"),
+    )
+
+
 def knn_bruteforce_vectorized(
     corpus: DataFrame,
     queries: DataFrame,

@@ -568,6 +568,27 @@ def knn_ivf_pq_refined_embeddings(
     )
 
 
+def ann_recall_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the production IVF-PQ+refine index against the
+    exact L2 top-5 (operators/similarity.ann_recall) — the quality
+    number a real ANN deployment monitors next to its latency: per
+    query vector, how many of the true neighbors the probe/ADC/rescore
+    pipeline recovered. Composes the two oracle-checked kNN entries;
+    the metric join itself is |Q| x k rows (broadcast, nothing
+    corpus-sized). The DuckDB twin recomputes both sides and the same
+    join."""
+    from tweetaggregates_spark.operators.similarity import (
+        ann_recall,
+        knn_bruteforce_l2,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce_l2(emb, queries, k=5)
+    approx = knn_ivf_pq_refined_embeddings(spark, sf_dir)
+    return ann_recall(exact, approx, k=5)
+
+
 def quantized_embeddings_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 symmetric quantization of every embedding: scale + exact
     integer summary stats (the full qvec is checked through q_sum /
