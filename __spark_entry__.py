@@ -117,16 +117,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is stalest-first for the driver gate (the first 50
-        # entries are hash-checked). Round-10 block: the FOUR never-
-        # driver-checked round-10 registrations lead (bottom-k
-        # classifier, streaming scorer, ANN recall metric, sampled
-        # classifier), then media_meta_docs (its twin changed this
-        # round: real header parsing), then the 10 entries whose
+        # entries are hash-checked). Round-10 block: the EIGHT never-
+        # driver-checked round-10 registrations lead (winnowing
+        # fingerprints + pairs, bigram-LM quality, LSH recall metric,
+        # bottom-k classifier, streaming scorer, ANN recall metric,
+        # sampled classifier), then media_meta_docs (its twin changed
+        # this round: real header parsing), then the 10 entries whose
         # newest driver row is r6, then r7-era entries in stable order
-        # — the gate boundary falls after the 35th r7 entry
-        # (weighted_sample_docs at position 50); mixture_plan_docs is
-        # the first entry outside the block (r7-green, re-checked on a
-        # later rotation).
+        # — the gate boundary falls at cms_heavy_hitters_monthly_rollup
+        # (position 50); conversion_funnel is the first entry outside
+        # the block (r7-green, re-checked on a later rotation).
         # approx_users_daily (the one rows-only HLL entry) is RETIRED
         # from the registry this round (VERDICT r9 #7): kmv_users_daily
         # is the deterministic hash-checkable day-level variant, and the
@@ -134,6 +134,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_extensions.py::test_approx_distinct_close_to_exact.
         # The registry is now fully hash-checkable.
         # -- round-10 registrations / twin changes --
+        "winnow_fingerprints_docs": llm.winnow_fingerprints_docs,
+        "winnow_dup_pairs_docs": llm.winnow_dup_pairs_docs,
+        "bigram_lm_quality_docs": llm.bigram_lm_quality_docs,
+        "lsh_recall_docs": llm.lsh_recall_docs,
         "quality_classifier_bottomk_docs": llm.quality_classifier_bottomk_docs,
         "stream_quality_scores_docs": llm.stream_quality_scores_docs,
         "ann_recall_ivf_embeddings": llm.ann_recall_ivf_embeddings,
@@ -4031,5 +4035,146 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         JOIN q USING (doc_id) JOIN g USING (doc_id)
         JOIN c USING (doc_id) JOIN l USING (doc_id)
+    """
+    # winnowing (Schleimer et al. 2003): positional 4-gram hashes, the
+    # rightmost-min of each 4-hash window via min over a (h, -pos)
+    # struct — identical struct-ordering semantics in both engines
+    _D_WINNOW_FPS = f"""
+        WITH toksrc AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+        sh0 AS (
+          SELECT doc_id,
+                 unnest([{{'pos': i - 1,
+                           'g': array_to_string(toks[i:i+3], ' ')}}
+                         for i in range(1, len(toks) - 2)]) AS u
+          FROM toksrc
+        ),
+        sh AS (
+          SELECT doc_id, u.pos AS pos,
+                 {_D_HASH.format(x="u.g")} AS h
+          FROM sh0
+        ),
+        picked AS (
+          SELECT doc_id,
+                 min({{'h': h, 'negpos': -pos}}) OVER win AS m,
+                 count(*) OVER win AS n_in_win
+          FROM sh
+          WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+        ),
+        fpsel AS (
+          SELECT DISTINCT doc_id, m.h AS fp_hash,
+                 -m.negpos AS fp_pos
+          FROM picked WHERE n_in_win = 4
+        )
+    """
+    sql["winnow_fingerprints_docs"] = f"""
+        {_D_WINNOW_FPS}
+        SELECT doc_id, fp_hash, CAST(fp_pos AS INTEGER) AS fp_pos
+        FROM fpsel
+    """
+    sql["winnow_dup_pairs_docs"] = f"""
+        {_D_WINNOW_FPS},
+        fps AS (SELECT DISTINCT doc_id, fp_hash FROM fpsel),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+                  FROM fps GROUP BY 1),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM fps a JOIN fps b
+            ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_shared,
+               sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+               round(n_shared / least(sa.n_fp, sb.n_fp), 6) AS overlap
+        FROM shared
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE round(n_shared / least(sa.n_fp, sb.n_fp), 6) >= 0.2
+    """
+    # CCNet-shape bigram LM: model on the 20% hash slice, score all
+    _D_REF_PRED = (
+        "(('0x' || substr(md5(concat('bigram-ref:', "
+        "CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT) % 100 < 20"
+    )
+    sql["bigram_lm_quality_docs"] = f"""
+        WITH base AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+        big AS (
+          SELECT doc_id,
+                 unnest([array_to_string(toks[i:i+1], ' ')
+                         for i in range(1, len(toks))]) AS bigram
+          FROM base
+        ),
+        refbig AS (
+          SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                         for i in range(1, len(toks))]) AS bigram
+          FROM base WHERE {_D_REF_PRED}
+        ),
+        c12 AS (SELECT bigram, count(*) AS c12 FROM refbig GROUP BY 1),
+        c1 AS (SELECT split_part(bigram, ' ', 1) AS ctx, count(*) AS c1
+               FROM refbig GROUP BY 1),
+        v AS (SELECT count(DISTINCT token) AS v FROM
+                (SELECT unnest(toks) AS token FROM base
+                 WHERE {_D_REF_PRED})),
+        scored AS (
+          SELECT big.doc_id,
+                 round(ln((coalesce(c12.c12, 0) + 1.0)
+                          / (coalesce(c1.c1, 0) + 1.0 * v.v)), 9) AS lp
+          FROM big
+          LEFT JOIN c12 USING (bigram)
+          LEFT JOIN c1 ON split_part(big.bigram, ' ', 1) = c1.ctx
+          CROSS JOIN v
+        ),
+        perdoc AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 round(CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE)
+                       / count(*), 6) AS avg_logprob
+          FROM scored GROUP BY 1
+        )
+        SELECT b.doc_id, {_D_REF_PRED} AS is_ref,
+               coalesce(p.n_bigrams, 0) AS n_bigrams,
+               p.avg_logprob,
+               round(exp(-p.avg_logprob), 6) AS ppl
+        FROM base b LEFT JOIN perdoc p USING (doc_id)
+    """
+    # LSH candidate recall/precision vs exact 3-gram Jaccard >= 0.3 —
+    # composes the two existing twins over the shared shingle CTE
+    sql["lsh_recall_docs"] = f"""
+        {_D_SHINGLES},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS n_inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        truth AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.3
+        ),
+        sig AS (
+          SELECT doc_id, {_MINHASH_MINS}
+          FROM sh GROUP BY doc_id
+        ),
+        bands AS ({_BAND_SELECTS}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        hit AS (SELECT count(*) AS n_hit
+                FROM truth JOIN cand USING (doc_a, doc_b)),
+        nt AS (SELECT count(*) AS n_truth FROM truth),
+        nc AS (SELECT count(*) AS n_cand FROM cand)
+        SELECT CAST(n_truth AS BIGINT) AS n_truth,
+               CAST(n_cand AS BIGINT) AS n_cand,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               round(n_hit / greatest(n_truth, 1), 6) AS recall,
+               round(n_hit / greatest(n_cand, 1), 6) AS precision
+        FROM nt CROSS JOIN nc CROSS JOIN hit
     """
     return sql

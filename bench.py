@@ -130,6 +130,15 @@ HEADLINE = [
     # any corpus size)
     "quality_classifier_sampled_docs",
     "quality_classifier_bottomk_docs",
+    # round 10 (cont.): winnowing near-dup (positional sketch with the
+    # >= w+k-1 shared-run detection guarantee), CCNet-shape bigram-LM
+    # quality (reference-slice-trained), and the LSH candidate
+    # recall/precision audit (composes the exact-Jaccard ground truth
+    # with the banded candidates — at 100 TB the truth side runs on a
+    # sampled audit slice; timed here at full sf for honesty)
+    "winnow_dup_pairs_docs",
+    "bigram_lm_quality_docs",
+    "lsh_recall_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

@@ -1,0 +1,210 @@
+"""Winnowing fingerprints, bigram-LM quality scores, pair_recall.
+
+Winnowing reference: Schleimer, Wilkerson & Aiken, "Winnowing: Local
+Algorithms for Document Fingerprinting", SIGMOD 2003. The key contract
+pinned here is the paper's detection guarantee: with shingle size k and
+window size w, any shared token run of length >= w + k - 1 produces at
+least one shared fingerprint (basic winnowing, content-local
+rightmost-min tie-break).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tweetaggregates_spark.operators.dedup import (
+    pair_recall,
+    winnow_dup_pairs,
+    winnow_fingerprints,
+)
+from tweetaggregates_spark.operators.text import bigram_logprob_scores
+
+K, W = 4, 4
+GUARANTEE = W + K - 1  # shared runs of >= 7 tokens are always detected
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_winnow_hand_trace(spark):
+    """4 tokens -> exactly one shingle -> one window short of w=4 =>
+    no fingerprint; 7 tokens -> 4 shingles -> exactly one full window
+    => exactly one fingerprint."""
+    df = _docs(spark, ["a b c d", "p q r s t u v"])
+    fps = winnow_fingerprints(df, k=K, w=W).collect()
+    assert all(r.doc_id == 2 for r in fps)
+    assert len(fps) == 1
+    assert 0 <= fps[0].fp_pos <= 3
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Planted shared run of GUARANTEE tokens inside otherwise
+    disjoint documents => at least one shared fp_hash."""
+    run = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    assert len(run.split()) == GUARANTEE
+    df = _docs(
+        spark,
+        [
+            f"one two three four five six {run} seven eight nine ten",
+            f"red orange yellow green blue {run} indigo violet pink gray",
+        ],
+    )
+    fps = winnow_fingerprints(df, k=K, w=W)
+    shared = (
+        fps.groupBy("fp_hash")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .where("n = 2")
+        .count()
+    )
+    assert shared >= 1
+
+
+def test_winnow_rightmost_min_tiebreak(spark):
+    """A document whose shingle hashes tie inside a window must select
+    the RIGHTMOST minimal position — pinned indirectly: a doc of one
+    repeated token has all-equal shingle hashes, so each window selects
+    its last row; fingerprints = positions w-1 .. n_shingles-1."""
+    df = _docs(spark, ["x " * 12])  # 12 tokens -> 9 shingles, pos 0..8
+    fps = winnow_fingerprints(df, k=K, w=W)
+    got = sorted(r.fp_pos for r in fps.collect())
+    assert got == list(range(W - 1, 9))  # [3..8]
+
+
+def test_winnow_dup_pairs_and_cap(spark):
+    boiler = "terms of service apply to all users of this site"
+    a = f"{boiler} unique alpha content one two three four"
+    b = f"{boiler} different beta words five six seven eight"
+    c = "completely unrelated text about gardening and tomato plants today"
+    pairs = winnow_dup_pairs(
+        _docs(spark, [a, b, c]), k=K, w=W, threshold=0.2
+    ).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
+    assert 0 < pairs[0].overlap <= 1.0
+    # capping at max_fp_freq=1 drops every fingerprint the pair shares
+    # (shared fps have doc-frequency 2) => the boilerplate pair vanishes
+    capped = winnow_dup_pairs(
+        _docs(spark, [a, b, c]), k=K, w=W, threshold=0.2, max_fp_freq=1
+    )
+    assert capped.count() == 0
+
+
+def test_winnow_null_and_short_docs_yield_no_fps(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "too short")],
+        "doc_id long, text string",
+    )
+    assert winnow_fingerprints(df, k=K, w=W).count() == 0
+
+
+def test_bigram_scores_hand_check(spark):
+    """Single-doc corpus where the doc IS the reference slice:
+    bigrams of 'a b a b a' are 'a b' x2 and 'b a' x2; both contexts
+    appear twice and V=2, so every bigram scores
+    lp = ln((2+1)/(2+2)) = ln(3/4)."""
+    # doc_id=13: hash64('bigram-ref:13') % 100 < 20 => in the slice
+    df = spark.createDataFrame([(13, "a b a b a")], "doc_id long, text string")
+    import math
+
+    out = bigram_logprob_scores(df, train_pct=20).collect()[0]
+    assert out.is_ref
+    assert out.n_bigrams == 4
+    want = round(round(math.log(3 / 4), 9), 6)
+    assert out.avg_logprob == want
+    assert out.ppl == round(math.exp(-want), 6)
+
+
+def test_bigram_short_docs_stay_visible(spark):
+    # doc 13 sits inside the reference slice, so the model is non-empty
+    df = spark.createDataFrame(
+        [(13, "a b a b a"), (2, "solo"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_logprob_scores(df).collect()}
+    assert set(rows) == {13, 2, 3, 4}
+    for d in (2, 3, 4):
+        assert rows[d].n_bigrams == 0
+        assert rows[d].avg_logprob is None and rows[d].ppl is None
+
+
+def test_bigram_ref_slice_is_deterministic_hash(spark):
+    from tweetaggregates_spark.functions.hashing import hash64
+
+    df = spark.createDataFrame(
+        [(i, "w x y z") for i in range(1, 51)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.is_ref for r in bigram_logprob_scores(df).collect()
+    }
+    want = {
+        r.doc_id: r.ref
+        for r in df.select(
+            "doc_id",
+            (
+                F.pmod(
+                    hash64(F.concat(F.lit("bigram-ref:"), F.col("doc_id").cast("string"))),
+                    F.lit(100),
+                )
+                < 20
+            ).alias("ref"),
+        ).collect()
+    }
+    assert got == want
+    assert 0 < sum(want.values()) < 50  # slice is non-trivial both ways
+
+
+def test_pair_recall_arithmetic(spark):
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (5, 6), (7, 8), (9, 10)], "doc_a long, doc_b long"
+    )
+    r = pair_recall(truth, cand).collect()[0]
+    assert (r.n_truth, r.n_cand, r.n_hit) == (3, 4, 2)
+    assert r.recall == round(2 / 3, 6)
+    assert r.precision == 0.5
+
+
+def test_pair_recall_empty_inputs(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    r = pair_recall(empty, cand).collect()[0]
+    assert (r.n_truth, r.n_cand, r.n_hit) == (0, 1, 0)
+    assert r.recall == 0.0 and r.precision == 0.0
+
+
+def test_winnow_guarantee_property(spark):
+    """Hypothesis form of the SIGMOD'03 detection guarantee: for random
+    surrounding text and a random planted run of exactly w + k - 1
+    tokens, the two docs always share a fingerprint."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(
+        "cat dog sun moon tree rock bird fish leaf rain snow wind".split()
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        run=st.lists(word, min_size=GUARANTEE, max_size=GUARANTEE),
+        pre_a=st.lists(word, min_size=0, max_size=6),
+        post_a=st.lists(word, min_size=0, max_size=6),
+        pre_b=st.lists(word, min_size=0, max_size=6),
+        post_b=st.lists(word, min_size=0, max_size=6),
+    )
+    def check(run, pre_a, post_a, pre_b, post_b):
+        a = " ".join(pre_a + run + post_a)
+        b = " ".join(pre_b + run + post_b)
+        fps = winnow_fingerprints(_docs(spark, [a, b]), k=K, w=W)
+        shared = (
+            fps.groupBy("fp_hash")
+            .agg(F.countDistinct("doc_id").alias("n"))
+            .where("n = 2")
+            .count()
+        )
+        assert shared >= 1, (a, b)
+
+    check()

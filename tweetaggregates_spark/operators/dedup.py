@@ -1617,3 +1617,184 @@ def exact_dedup_new_batch_bloom(
         F.col("_b_n").cast("long").alias("n_copies"),
     )
     return assignments, new_rows
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the
+# MOSS algorithm). Complements the existing near-dup family: MinHash
+# estimates whole-document Jaccard, SimHash whole-document cosine-ish
+# similarity, substring_dup_pairs finds fixed-length verbatim spans;
+# winnowing selects a POSITIONAL sketch with a coverage guarantee — any
+# shared token run of length >= w + k - 1 is certain to produce at least
+# one shared fingerprint (the paper's detection guarantee for basic
+# winnowing with a content-local tie-break).
+# ---------------------------------------------------------------------------
+
+
+def _winnow_picked(
+    df: DataFrame, text_col: str, id_col: str, k: int, w: int
+) -> DataFrame:
+    """Pre-distinct winnowing selection: one (doc_id, fp_hash, fp_pos)
+    row per full hash window (adjacent windows usually re-select the
+    same hash — consumers distinct at their own grain)."""
+    from pyspark.sql import Window as W
+
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            word_shingles(tokens(F.col(text_col)), k)
+        ).alias("pos", "shingle"),
+    ).select("doc_id", "pos", hash64(F.col("shingle")).alias("h"))
+    frame = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.currentRow, w - 1)
+    )
+    # rightmost-min via min(struct(h, -pos)): minimum hash first, then
+    # the greatest position among equal hashes — pure codegen, no UDF
+    picked = sh.select(
+        "doc_id",
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("negpos"))).over(
+            frame
+        ).alias("m"),
+        F.count(F.lit(1)).over(frame).alias("n_in_win"),
+    ).where(F.col("n_in_win") == w)
+    return picked.select(
+        "doc_id",
+        F.col("m.h").alias("fp_hash"),
+        (-F.col("m.negpos")).alias("fp_pos"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Per-document winnowing fingerprint set.
+
+    Algorithm (basic winnowing, rightmost-min tie-break): hash every
+    k-token shingle, slide a window of ``w`` consecutive shingle hashes
+    over the document, and in each window select the minimum hash —
+    ties broken by the RIGHTMOST occurrence, which depends only on the
+    window's content, so two documents sharing a run of >= w + k - 1
+    tokens share at least one full hash window and therefore select at
+    least one identical (hash, in-run offset) fingerprint.
+
+    Plan shape: one posexplode -> a per-document sliding window (the
+    window is partitioned by doc_id — document-bounded state, never a
+    global sort) -> distinct. Documents with fewer than w + k - 1
+    tokens yield no fingerprints (below the guarantee threshold t, by
+    design — the paper's noise floor).
+
+    Output: (doc_id, fp_hash, fp_pos) — fp_pos is the shingle offset of
+    the selected hash, kept so downstream alignment (which run matched)
+    stays possible; one row per distinct selected (hash, pos).
+    """
+    return _winnow_picked(df, text_col, id_col, k, w).distinct()
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+    threshold: float = 0.2,
+    max_fp_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints: for every pair
+    sharing >= 1 selected hash, report the shared-fingerprint count and
+    ``overlap`` = shared / min(|fp_a|, |fp_b|) (containment-style, so a
+    small doc fully embedded in a large one still scores 1.0), kept at
+    ``overlap >= threshold``.
+
+    Scale: the self-join key is the fingerprint hash — bucket-local,
+    identical shape to the LSH band join; winnowing selects ~2/(w+1) of
+    all shingle hashes, so the joined table is a fraction of the full
+    shingle join ngram_jaccard_pairs pays. Boilerplate fingerprints
+    shared by thousands of docs are the same hot-key hazard as hot LSH
+    bands — ``max_fp_freq`` drops fingerprints seen in more than that
+    many docs (overlap becomes a lower bound; the distinctive-content
+    guarantee is unaffected because a >= t-token distinctive run still
+    contributes its own cool fingerprint).
+    """
+    fps = (
+        _winnow_picked(df, text_col, id_col, k, w)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    if max_fp_freq is not None:
+        cool = (
+            fps.groupBy("fp_hash")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_fp_freq)
+            .select("fp_hash")
+        )
+        fps = fps.join(cool.hint("shuffle_hash"), "fp_hash")
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp_hash").hint(
+        "shuffle_hash"
+    )
+    shared = (
+        a.join(b, ["fp_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b"))
+    overlap = F.round(
+        F.col("n_shared") / F.least("n_fp_a", "n_fp_b"), 6
+    )
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            overlap.alias("overlap"),
+        )
+        .where(F.col("overlap") >= threshold)
+    )
+
+
+def pair_recall(truth: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Candidate-quality metric for the dedup family — the analogue of
+    similarity.ann_recall for pair generators: given ground-truth dup
+    pairs and a candidate pair set (both carrying doc_a < doc_b),
+    report one row of corpus-level counts — recall (true pairs the
+    candidate stage would have surfaced for verification) and precision
+    (candidate pairs that are genuinely dups). THE two numbers to tune
+    (n_hashes, bands) against: LSH banding trades exactly these off.
+
+    Plan shape: both inputs are pair-sized (far smaller than the
+    corpus); one inner join on the pair key + two counts, all
+    partial-aggregated. The expensive parts are the two pair inputs
+    this composes — at 100 TB ground truth comes from a sampled audit
+    slice, never the full quadratic join."""
+    t = truth.select("doc_a", "doc_b")
+    c = candidates.select("doc_a", "doc_b")
+    hit = t.join(c, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    stats = (
+        t.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_cand")))
+        .crossJoin(hit)
+    )
+    return stats.select(
+        "n_truth",
+        "n_cand",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        F.round(
+            F.col("n_hit") / F.greatest(F.col("n_truth"), F.lit(1)), 6
+        ).alias("recall"),
+        F.round(
+            F.col("n_hit") / F.greatest(F.col("n_cand"), F.lit(1)), 6
+        ).alias("precision"),
+    )

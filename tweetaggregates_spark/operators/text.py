@@ -1014,3 +1014,100 @@ def decontaminate(
     # derived aggregate has no stats and the anti-join plans sort-merge,
     # shuffling the WHOLE train corpus
     return train.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    train_pct: int = 20,
+    salt: str = "bigram-ref",
+) -> DataFrame:
+    """CCNet-shape LM quality filter (Wenzek et al. 2020): fit the
+    language model on a REFERENCE slice, score the whole corpus. CCNet
+    trains KenLM on Wikipedia and buckets Common Crawl by perplexity;
+    here the reference slice is a deterministic ``train_pct``% hash
+    sample of the corpus (hash64(salt:doc_id) % 100 < train_pct) and
+    the model is an add-alpha-smoothed BIGRAM — unlike
+    ``unigram_logprob_scores`` (self-trained, context-free) this is a
+    conditional model with a real train/score split, so memorized /
+    atypical documents separate from reference-like prose.
+
+    Model: lp(w2 | w1) = ln((c(w1 w2) + a) / (c(w1·) + a*V)), with
+    c(w1 w2) = reference count of the bigram, c(w1·) = reference count
+    of w1 as a non-final token, V = reference vocabulary size (distinct
+    tokens). Unseen bigram/context degrade gracefully through the same
+    formula (context never seen => ln(1/V)) — no <unk> remapping pass.
+
+    Determinism contract (shared with the unigram twin): lp rounds to
+    9 dp; per-doc sums run through DECIMAL(28,12) (exact, order-free);
+    avg rounds to 6; ppl = round(exp(-avg), 6) of the already-rounded
+    avg. Docs with < 2 tokens stay visible with n_bigrams = 0 and NULL
+    avg/ppl.
+
+    Scale shape: the model is two aggregates over the REFERENCE slice
+    only (train_pct% of the corpus — at 100 TB the slice is the curated
+    reference set, not a sample); scoring is one bigram explode + two
+    equi-joins on the bigram/context keys (shuffle_hash here; broadcast
+    both model tables when the reference vocab fits, which is the
+    production case — a KenLM binary is exactly such a broadcast
+    model) + one per-doc aggregate. No driver-side model object."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    is_ref = (
+        F.pmod(
+            hash64(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))),
+            F.lit(100),
+        )
+        < train_pct
+    )
+    big = base.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("toks"), 2)).alias("bigram"),
+    ).withColumn("ctx", F.substring_index(F.col("bigram"), " ", 1))
+    ref_big = base.where(is_ref).select(
+        F.explode(word_shingles(F.col("toks"), 2)).alias("bigram")
+    ).withColumn("ctx", F.substring_index(F.col("bigram"), " ", 1))
+    c12 = ref_big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = ref_big.groupBy("ctx").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        base.where(is_ref)
+        .select(F.explode("toks").alias("token"))
+        .agg(F.countDistinct("token").alias("v"))
+    )
+    a = float(alpha)
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(a))
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(a) * F.col("v"))
+        ),
+        9,
+    )
+    scored = (
+        big.join(c12.hint("shuffle_hash"), "bigram", "left")
+        .join(c1.hint("shuffle_hash"), "ctx", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("lp").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_logprob"),
+    )
+    return (
+        base.select("doc_id", is_ref.alias("is_ref"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_ref",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "avg_logprob",
+            F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
+        )
+    )

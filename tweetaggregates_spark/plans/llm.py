@@ -1368,3 +1368,34 @@ def quality_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sentences", "has_lorem_ipsum", "has_curly_brace", "c4_keep",
     )
     return text.lang_id(c, keep_cols=ccols, emit_n_tokens=False)
+
+
+def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc winnowing fingerprint sets (k=4 token shingles, window
+    w=4 — detection guarantee for shared runs >= 7 tokens)."""
+    return dedup.winnow_fingerprints(_docs(spark, sf_dir), k=4, w=4)
+
+
+def winnow_dup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints at containment
+    overlap >= 0.2 (operators/dedup.winnow_dup_pairs)."""
+    return dedup.winnow_dup_pairs(_docs(spark, sf_dir), k=4, w=4, threshold=0.2)
+
+
+def bigram_lm_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shape bigram-LM perplexity: model fit on the deterministic
+    20% reference slice, every doc scored
+    (operators/text.bigram_logprob_scores)."""
+    return text.bigram_logprob_scores(_docs(spark, sf_dir))
+
+
+def lsh_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality audit of the MinHash LSH stage: recall /
+    precision of the banded candidates vs exact 3-gram Jaccard >= 0.3
+    ground truth (operators/dedup.pair_recall). The exact side is the
+    documented quadratic baseline — at 100 TB run it on a sampled audit
+    slice; the metric join itself is pair-sized."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.3)
+    cand = dedup.minhash_lsh_pairs(docs)
+    return dedup.pair_recall(truth, cand)
