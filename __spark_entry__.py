@@ -117,16 +117,17 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is stalest-first for the driver gate (the first 50
-        # entries are hash-checked). Round-10 block: the EIGHT never-
-        # driver-checked round-10 registrations lead (winnowing
-        # fingerprints + pairs, bigram-LM quality, LSH recall metric,
-        # bottom-k classifier, streaming scorer, ANN recall metric,
-        # sampled classifier), then media_meta_docs (its twin changed
-        # this round: real header parsing), then the 10 entries whose
-        # newest driver row is r6, then r7-era entries in stable order
-        # — the gate boundary falls at cms_heavy_hitters_monthly_rollup
-        # (position 50); conversion_funnel is the first entry outside
-        # the block (r7-green, re-checked on a later rotation).
+        # entries are hash-checked). Round-10 block: the NINE never-
+        # driver-checked round-10 registrations lead (executed curation
+        # pipeline, winnowing fingerprints + pairs, bigram-LM quality,
+        # LSH recall metric, bottom-k classifier, streaming scorer,
+        # ANN recall metric, sampled classifier), then media_meta_docs
+        # (its twin changed this round: real header parsing), then the
+        # 10 entries whose newest driver row is r6, then r7-era entries
+        # in stable order — the gate boundary falls at kmv_users_daily
+        # (position 50); cms_heavy_hitters_monthly_rollup is the first
+        # entry outside the block (r7-green, re-checked on a later
+        # rotation).
         # approx_users_daily (the one rows-only HLL entry) is RETIRED
         # from the registry this round (VERDICT r9 #7): kmv_users_daily
         # is the deterministic hash-checkable day-level variant, and the
@@ -134,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_extensions.py::test_approx_distinct_close_to_exact.
         # The registry is now fully hash-checkable.
         # -- round-10 registrations / twin changes --
+        "curated_corpus_docs": llm.curated_corpus_docs,
         "winnow_fingerprints_docs": llm.winnow_fingerprints_docs,
         "winnow_dup_pairs_docs": llm.winnow_dup_pairs_docs,
         "bigram_lm_quality_docs": llm.bigram_lm_quality_docs,
@@ -4136,6 +4138,64 @@ def oracle_sql() -> dict[str, str]:
                p.avg_logprob,
                round(exp(-p.avg_logprob), 6) AS ppl
         FROM base b LEFT JOIN perdoc p USING (doc_id)
+    """
+    # the executed end-to-end curation pipeline: fused signal scan ->
+    # calibrated rule filter -> exact dedup keep-min -> 4-gram
+    # decontamination. The signal stage reuses the quality_signals twin
+    # verbatim (nested WITH — same pattern that twin itself uses); text
+    # is re-joined from documents for the hash/shingle stages. The
+    # Spark side filters the DUPLICATED corpus; every signal in the
+    # predicate is a pure function of text, so a shifted dup passes iff
+    # its original does — the twin therefore filters originals and
+    # re-adds the kept dups (algebraically identical, one signal pass).
+    sql["curated_corpus_docs"] = f"""
+        WITH sig AS ({sql["quality_signals_docs"]}),
+        kept0 AS (
+          SELECT s.doc_id, d.text, s.lang, s.source, s.n_tokens,
+                 s.quality_score
+          FROM sig s JOIN documents d USING (doc_id)
+          WHERE s.n_words >= 30 AND s.alpha_word_ratio >= 0.8
+            AND s.stop_hits >= 1
+            AND NOT s.has_lorem_ipsum AND NOT s.has_curly_brace
+            AND s.quality_score >= 0.5 AND s.lang_pred = 'en'
+        ),
+        kept AS (
+          SELECT * FROM kept0
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text, lang, source,
+                 n_tokens, quality_score
+          FROM kept0 WHERE doc_id % 5 = 0
+        ),
+        hashed AS (
+          SELECT kept.*, {_D_HASH.format(x="text")} AS content_hash
+          FROM kept
+        ),
+        canon AS (SELECT content_hash, min(doc_id) AS doc_id
+                  FROM hashed GROUP BY 1),
+        dd AS (SELECT h.* FROM hashed h
+               JOIN canon USING (content_hash, doc_id)),
+        tr AS (SELECT doc_id, {_D_TOKS} AS toks FROM dd
+               WHERE doc_id % 50 <> 0),
+        trh AS (
+          SELECT doc_id AS train_doc_id,
+                 {_D_HASH.format(x="shingle")} AS h
+          FROM (SELECT doc_id, unnest(list_distinct({_d_sh4})) AS shingle
+                FROM tr)
+        ),
+        ev0 AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents
+                WHERE doc_id % 50 = 0),
+        evh AS (
+          SELECT DISTINCT {_D_HASH.format(x="shingle")} AS h
+          FROM (SELECT doc_id, unnest(list_distinct({_d_sh4})) AS shingle
+                FROM ev0)
+        ),
+        flagged AS (SELECT DISTINCT train_doc_id AS doc_id
+                    FROM trh JOIN evh USING (h))
+        SELECT doc_id, lang, source, n_tokens, quality_score,
+               content_hash
+        FROM dd
+        WHERE doc_id % 50 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM flagged)
     """
     # LSH candidate recall/precision vs exact 3-gram Jaccard >= 0.3 —
     # composes the two existing twins over the shared shingle CTE

@@ -139,6 +139,10 @@ HEADLINE = [
     "winnow_dup_pairs_docs",
     "bigram_lm_quality_docs",
     "lsh_recall_docs",
+    # round 10 (cont.): the executed end-to-end curation pipeline —
+    # fused signal scan -> calibrated rule filter -> exact dedup ->
+    # decontamination, composed in one plan
+    "curated_corpus_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

@@ -208,3 +208,30 @@ def test_winnow_guarantee_property(spark):
         assert shared >= 1, (a, b)
 
     check()
+
+
+def test_curated_corpus_pipeline_stages(spark):
+    """End-to-end pipeline pin at sf0.001: every stage does real work
+    (filter drops docs, dedup collapses the planted +1e6 duplicates,
+    decontamination removes eval-overlapping docs) and the output
+    carries only canonical, clean, non-eval-aligned ids."""
+    from tweetaggregates_spark.plans.llm import (
+        _docs,
+        curated_corpus_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = curated_corpus_docs(spark, sf)
+    rows = out.collect()
+    ids = {r.doc_id for r in rows}
+    n_docs = _docs(spark, sf).count()
+    # filter stage dropped something, pipeline is non-vacuous
+    assert 0 < len(rows) < n_docs
+    # dedup stage: no shifted duplicate (id >= 1e6) survives — its
+    # canonical original always has the smaller id
+    assert all(i < 1_000_000 for i in ids)
+    # content hashes are unique post-dedup
+    hashes = [r.content_hash for r in rows]
+    assert len(hashes) == len(set(hashes))
+    # decontamination honored the train split
+    assert all(i % 50 != 0 for i in ids)

@@ -1399,3 +1399,81 @@ def lsh_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = dedup.ngram_jaccard_pairs(docs, threshold=0.3)
     cand = dedup.minhash_lsh_pairs(docs)
     return dedup.pair_recall(truth, cand)
+
+
+def curated_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard pre-training curation pipeline EXECUTED end to end
+    in one composed plan (the RefinedWeb/Gopher recipe order): fused
+    single-scan rule signals (quality + Gopher + C4 + lang-id,
+    keep_cols passthrough — no joins) -> rule filter -> exact dedup
+    keeping the canonical min-id copy -> benchmark decontamination
+    (4-gram overlap vs the synthetic eval split, broadcast anti-join)
+    -> the surviving corpus rows. Input is the duplicated crawl
+    (_docs_with_dups) so the dedup stage does real work.
+
+    Rule calibration: the production verdict is ``gopher_keep AND
+    c4_keep`` (both flags separately oracle-gated at full strictness
+    in gopher_rules_docs / c4_filter_docs), but the synthetic corpus
+    CANNOT satisfy either full set (every doc has stop_hits <= 1 and
+    zero terminal-punctuation lines), so this entry filters on the
+    calibrated subset the data can discriminate: n_words >= 30,
+    alpha_word_ratio >= 0.8, stop_hits >= 1 (Gopher family),
+    NOT has_lorem_ipsum AND NOT has_curly_brace (C4 blocklist
+    family), quality_score >= 0.5, lang_pred = 'en'. Swap the
+    predicate for the full flags on a real crawl.
+
+    Plan economics at 100 TB: ONE corpus scan feeds the whole filter
+    chain map-side; the only corpus shuffles are the dedup groupBy +
+    canonical join (same key, AQE-skew-safe); decontamination explodes
+    the already-filtered survivors map-side against the broadcast eval
+    shingle set. Every stage's standalone detector is separately
+    registered — this entry pins their COMPOSITION, i.e. what a user
+    actually ships."""
+    from tweetaggregates_spark.functions.hashing import hash64
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "text")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    corpus = docs.unionByName(dups)
+    q = text.quality_score(corpus, keep_cols=("text", "lang", "source"))
+    g = text.gopher_rules(
+        q, keep_cols=("text", "lang", "source", "n_tokens", "quality_score")
+    )
+    c = text.c4_rules(
+        g,
+        keep_cols=(
+            "text", "lang", "source", "n_tokens", "quality_score",
+            "n_words", "alpha_word_ratio", "stop_hits",
+        ),
+    )
+    sig = text.lang_id(
+        c,
+        keep_cols=(
+            "text", "lang", "source", "n_tokens", "quality_score",
+            "n_words", "alpha_word_ratio", "stop_hits",
+            "has_lorem_ipsum", "has_curly_brace",
+        ),
+        emit_n_tokens=False,
+    )
+    kept = sig.filter(
+        (F.col("n_words") >= 30)
+        & (F.col("alpha_word_ratio") >= 0.8)
+        & (F.col("stop_hits") >= 1)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_curly_brace")
+        & (F.col("quality_score") >= 0.5)
+        & (F.col("lang_pred") == "en")
+    ).select("doc_id", "text", "lang", "source", "n_tokens", "quality_score")
+    hashed = kept.withColumn("content_hash", hash64(F.col("text")))
+    canon = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    deduped = hashed.join(
+        canon.hint("shuffle_hash"), ["content_hash", "doc_id"]
+    )
+    train = deduped.filter(F.col("doc_id") % 50 != 0)
+    evalset = docs.filter(F.col("doc_id") % 50 == 0)
+    clean = text.decontaminate(train, evalset, k=4)
+    return clean.select(
+        "doc_id", "lang", "source", "n_tokens", "quality_score",
+        "content_hash",
+    )
