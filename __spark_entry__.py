@@ -117,17 +117,17 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is stalest-first for the driver gate (the first 50
-        # entries are hash-checked). Round-10 block: the NINE never-
+        # entries are hash-checked). Round-10 block: the ELEVEN never-
         # driver-checked round-10 registrations lead (executed curation
-        # pipeline, winnowing fingerprints + pairs, bigram-LM quality,
-        # LSH recall metric, bottom-k classifier, streaming scorer,
-        # ANN recall metric, sampled classifier), then media_meta_docs
-        # (its twin changed this round: real header parsing), then the
-        # 10 entries whose newest driver row is r6, then r7-era entries
-        # in stable order — the gate boundary falls at kmv_users_daily
-        # (position 50); cms_heavy_hitters_monthly_rollup is the first
-        # entry outside the block (r7-green, re-checked on a later
-        # rotation).
+        # pipeline, winnowing fingerprints + pairs + capped pairs,
+        # bigram-LM quality, CCNet ppl buckets, LSH recall metric,
+        # bottom-k classifier, streaming scorer, ANN recall metric,
+        # sampled classifier), then media_meta_docs (its twin changed
+        # this round: real header parsing), then the 10 entries whose
+        # newest driver row is r6, then r7-era entries in stable order
+        # — the gate boundary falls at stratified_sample_docs
+        # (position 50); event_type_pagerank is the first entry outside
+        # the block (r7-green, re-checked on a later rotation).
         # approx_users_daily (the one rows-only HLL entry) is RETIRED
         # from the registry this round (VERDICT r9 #7): kmv_users_daily
         # is the deterministic hash-checkable day-level variant, and the
@@ -138,7 +138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_corpus_docs": llm.curated_corpus_docs,
         "winnow_fingerprints_docs": llm.winnow_fingerprints_docs,
         "winnow_dup_pairs_docs": llm.winnow_dup_pairs_docs,
+        "winnow_dup_pairs_capped": llm.winnow_dup_pairs_capped_docs,
         "bigram_lm_quality_docs": llm.bigram_lm_quality_docs,
+        "ppl_buckets_docs": llm.ppl_buckets_docs,
         "lsh_recall_docs": llm.lsh_recall_docs,
         "quality_classifier_bottomk_docs": llm.quality_classifier_bottomk_docs,
         "stream_quality_scores_docs": llm.stream_quality_scores_docs,
@@ -4074,6 +4076,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, fp_hash, CAST(fp_pos AS INTEGER) AS fp_pos
         FROM fpsel
     """
+    # the capped variant: identical pipeline with a doc-frequency
+    # guard on the fingerprints before the self-join (cap deliberately
+    # strict at 2 so the drop path runs under the gate)
+    sql["winnow_dup_pairs_capped"] = f"""
+        {_D_WINNOW_FPS},
+        fps0 AS (SELECT DISTINCT doc_id, fp_hash FROM fpsel),
+        cool AS (SELECT fp_hash FROM fps0 GROUP BY 1
+                 HAVING count(*) <= 2),
+        fps AS (SELECT f.* FROM fps0 f JOIN cool USING (fp_hash)),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+                  FROM fps GROUP BY 1),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM fps a JOIN fps b
+            ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_shared,
+               sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+               round(n_shared / least(sa.n_fp, sb.n_fp), 6) AS overlap
+        FROM shared
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE round(n_shared / least(sa.n_fp, sb.n_fp), 6) >= 0.2
+    """
     sql["winnow_dup_pairs_docs"] = f"""
         {_D_WINNOW_FPS},
         fps AS (SELECT DISTINCT doc_id, fp_hash FROM fpsel),
@@ -4120,8 +4148,10 @@ def oracle_sql() -> dict[str, str]:
                  WHERE {_D_REF_PRED})),
         scored AS (
           SELECT big.doc_id,
-                 round(ln((coalesce(c12.c12, 0) + 1.0)
-                          / (coalesce(c1.c1, 0) + 1.0 * v.v)), 9) AS lp
+                 CASE WHEN v.v > 0 THEN
+                   round(ln((coalesce(c12.c12, 0) + 1.0)
+                            / (coalesce(c1.c1, 0) + 1.0 * v.v)), 9)
+                 END AS lp
           FROM big
           LEFT JOIN c12 USING (bigram)
           LEFT JOIN c1 ON split_part(big.bigram, ' ', 1) = c1.ctx
@@ -4196,6 +4226,29 @@ def oracle_sql() -> dict[str, str]:
         FROM dd
         WHERE doc_id % 50 <> 0
           AND doc_id NOT IN (SELECT doc_id FROM flagged)
+    """
+    # CCNet head/middle/tail terciles over the bigram scores: global
+    # rank by (ppl, doc_id), rank-based boundaries (ULP-immune), an
+    # explicit 'unscored' bucket for no-bigram docs
+    sql["ppl_buckets_docs"] = f"""
+        WITH scored AS ({sql["bigram_lm_quality_docs"]}),
+        r AS (
+          SELECT doc_id, is_ref, n_bigrams, avg_logprob, ppl,
+                 CAST(row_number() OVER (ORDER BY ppl, doc_id)
+                      AS INTEGER) AS ppl_rank,
+                 count(*) OVER () AS n
+          FROM scored WHERE ppl IS NOT NULL
+        )
+        SELECT doc_id, is_ref, n_bigrams, avg_logprob, ppl, ppl_rank,
+               CASE WHEN ppl_rank * 3 <= n THEN 'head'
+                    WHEN ppl_rank * 3 <= 2 * n THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM r
+        UNION ALL
+        SELECT doc_id, is_ref, n_bigrams, avg_logprob, ppl,
+               CAST(NULL AS INTEGER) AS ppl_rank,
+               'unscored' AS ppl_bucket
+        FROM scored WHERE ppl IS NULL
     """
     # LSH candidate recall/precision vs exact 3-gram Jaccard >= 0.3 —
     # composes the two existing twins over the shared shingle CTE

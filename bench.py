@@ -141,8 +141,10 @@ HEADLINE = [
     "lsh_recall_docs",
     # round 10 (cont.): the executed end-to-end curation pipeline —
     # fused signal scan -> calibrated rule filter -> exact dedup ->
-    # decontamination, composed in one plan
+    # decontamination, composed in one plan — and the CCNet
+    # head/middle/tail perplexity buckets (global two-pass rank)
     "curated_corpus_docs",
+    "ppl_buckets_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

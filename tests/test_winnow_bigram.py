@@ -235,3 +235,53 @@ def test_curated_corpus_pipeline_stages(spark):
     assert len(hashes) == len(set(hashes))
     # decontamination honored the train split
     assert all(i % 50 != 0 for i in ids)
+
+
+def test_ppl_buckets_terciles_and_unscored(spark):
+    from tweetaggregates_spark.operators.text import ppl_buckets
+
+    # 10 scoreable docs with graded repetitiveness + 2 unscorable;
+    # ids 4..13 include doc 13, so the 20% reference slice is non-empty
+    texts = [(i, ("common words here " * (i - 3)) + "rare" + str(i) * i)
+             for i in range(4, 14)]
+    texts += [(100, "solo"), (101, None)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = ppl_buckets(df).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.ppl_bucket, []).append(r)
+    # rank-based terciles: floor(10/3)=3 head, 3 middle, 4 tail
+    assert len(by_bucket["head"]) == 3
+    assert len(by_bucket["middle"]) == 3
+    assert len(by_bucket["tail"]) == 4
+    assert {r.doc_id for r in by_bucket["unscored"]} == {100, 101}
+    assert all(r.ppl_rank is None for r in by_bucket["unscored"])
+    # bucket order respects perplexity: max(head) <= min(middle) etc.
+    assert max(r.ppl for r in by_bucket["head"]) <= min(
+        r.ppl for r in by_bucket["middle"]
+    )
+    assert max(r.ppl for r in by_bucket["middle"]) <= min(
+        r.ppl for r in by_bucket["tail"]
+    )
+    # ranks are the permutation 1..10
+    ranks = sorted(r.ppl_rank for r in out if r.ppl_rank is not None)
+    assert ranks == list(range(1, 11))
+
+
+def test_bigram_empty_reference_slice_yields_null_scores(spark):
+    """No doc in the 20% hash slice => no model => NULL avg/ppl for
+    every doc (not a divide-by-zero crash under ANSI mode), and
+    ppl_buckets routes everything to 'unscored'."""
+    from tweetaggregates_spark.operators.text import ppl_buckets
+
+    # ids 1..5 are all outside the bigram-ref slice
+    df = spark.createDataFrame(
+        [(i, "some words repeated here") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    rows = bigram_logprob_scores(df).collect()
+    assert len(rows) == 5
+    assert all(r.avg_logprob is None and r.ppl is None for r in rows)
+    assert all(r.n_bigrams == 3 for r in rows)
+    buckets = {r.ppl_bucket for r in ppl_buckets(df).collect()}
+    assert buckets == {"unscored"}

@@ -1732,6 +1732,15 @@ def winnow_dup_pairs(
             .select("fp_hash")
         )
         fps = fps.join(cool.hint("shuffle_hash"), "fp_hash")
+        # the cap path stacks a groupBy+join on the already-deep
+        # explode/window/distinct chain and THREE consumers follow
+        # (sizes, both join sides) — 27 shuffles re-derived without a
+        # barrier; a LAZY localCheckpoint shares the capped frame
+        # (measured: 27 -> ~11 exchanges, flat wall at sf0.1). The
+        # UNCAPPED chain stays pure recompute: its chain is map-heavy
+        # and re-deriving it measures CHEAPER than materializing the
+        # fingerprint set (7.8 vs 9.1 s at sf1).
+        fps = fps.localCheckpoint(eager=False)
     sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp_hash")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp_hash").hint(

@@ -1079,12 +1079,19 @@ def bigram_logprob_scores(
         .agg(F.countDistinct("token").alias("v"))
     )
     a = float(alpha)
-    lp = F.round(
-        F.log(
-            (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(a))
-            / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(a) * F.col("v"))
+    # v = 0 (EMPTY reference slice) means there is no model: emit NULL
+    # rather than divide by zero (ANSI mode errors, non-ANSI poisons
+    # with inf). The when() short-circuits per row, so the division
+    # never evaluates at v = 0.
+    lp = F.when(
+        F.col("v") > 0,
+        F.round(
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(a))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(a) * F.col("v"))
+            ),
+            9,
         ),
-        9,
     )
     scored = (
         big.join(c12.hint("shuffle_hash"), "bigram", "left")
@@ -1111,3 +1118,68 @@ def bigram_logprob_scores(
             F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
         )
     )
+
+
+def ppl_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    train_pct: int = 20,
+    salt: str = "bigram-ref",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """CCNet's defining output artifact (Wenzek et al. 2020 §4.3):
+    bucket the corpus into head / middle / tail TERCILES of reference-
+    LM perplexity (head = most reference-like; CCNet trains on head,
+    ships all three labeled). Built on ``bigram_logprob_scores``; docs
+    too short to score (no bigrams) go to an explicit 'unscored'
+    bucket rather than vanishing.
+
+    The global perplexity rank uses ``grouped_partitioned_rank`` with
+    an empty group — the two-pass range-bucketed form — because the
+    naive ``row_number().over(Window.orderBy(ppl))`` is a single-task
+    global sort (the r7 scale-killer this repo already retired).
+    Tercile boundaries are rank-based (rank*3 <= n / <= 2n), so engine
+    ULP noise in ppl cannot move a doc across a bucket except by
+    reordering ties — and ties order by the doc_id tiebreaker.
+
+    Output: the bigram score columns + ppl_rank (int, NULL when
+    unscored) + ppl_bucket in {'head','middle','tail','unscored'}."""
+    from tweetaggregates_spark.operators.prefix import (
+        grouped_partitioned_rank,
+    )
+
+    # FOUR downstream passes need the scores (the rank's quantile-cut
+    # probe, the local rank itself, the bucket join, the unscored
+    # branch) — without a barrier each re-runs the two model joins; a
+    # lazy localCheckpoint computes the score table once (it is the
+    # output artifact anyway: 6 narrow columns, corpus rows).
+    # Measured 8.5 -> ~3 s at sf0.1.
+    scored = bigram_logprob_scores(
+        df, text_col, id_col, alpha=alpha, train_pct=train_pct, salt=salt
+    ).localCheckpoint(eager=False)
+    nonnull = scored.where(F.col("ppl").isNotNull())
+    ranked = grouped_partitioned_rank(
+        nonnull,
+        [],
+        "ppl",
+        tiebreakers=["doc_id"],
+        ascending=True,
+        n_buckets=n_buckets,
+        rank_name="ppl_rank",
+        count_name="__n",
+    )
+    bucketed = ranked.select(
+        "doc_id", "is_ref", "n_bigrams", "avg_logprob", "ppl", "ppl_rank",
+        F.when(F.col("ppl_rank") * 3 <= F.col("__n"), F.lit("head"))
+        .when(F.col("ppl_rank") * 3 <= 2 * F.col("__n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+    unscored = scored.where(F.col("ppl").isNull()).select(
+        "doc_id", "is_ref", "n_bigrams", "avg_logprob", "ppl",
+        F.lit(None).cast("int").alias("ppl_rank"),
+        F.lit("unscored").alias("ppl_bucket"),
+    )
+    return bucketed.unionByName(unscored)

@@ -1422,13 +1422,21 @@ def curated_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     family), quality_score >= 0.5, lang_pred = 'en'. Swap the
     predicate for the full flags on a real crawl.
 
-    Plan economics at 100 TB: ONE corpus scan feeds the whole filter
-    chain map-side; the only corpus shuffles are the dedup groupBy +
-    canonical join (same key, AQE-skew-safe); decontamination explodes
-    the already-filtered survivors map-side against the broadcast eval
-    shingle set. Every stage's standalone detector is separately
-    registered — this entry pins their COMPOSITION, i.e. what a user
-    actually ships."""
+    Plan economics at 100 TB: ONE pass of the corpus feeds the whole
+    filter chain map-side into the single dedup shuffle (a
+    content_hash-partitioned window min — state per partition is the
+    copy count of one text; for mega-duplicated-text regimes swap in
+    the partial-aggregated groupBy of exact_dedup). Decontamination is
+    computed on a SEPARATE cheap branch: contamination is a per-doc
+    text property, so the flagged set comes from the RAW corpus
+    (superset of the filtered train — result-identical after the
+    anti-join) without re-running the signal chain, and broadcasts
+    into the anti-join. Net: one signal-chain pass + one raw shingle
+    pass + one corpus shuffle. Every stage's standalone detector is
+    separately registered — this entry pins their COMPOSITION, i.e.
+    what a user actually ships."""
+    from pyspark.sql import Window
+
     from tweetaggregates_spark.functions.hashing import hash64
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "text")
@@ -1466,14 +1474,46 @@ def curated_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("lang_pred") == "en")
     ).select("doc_id", "text", "lang", "source", "n_tokens", "quality_score")
     hashed = kept.withColumn("content_hash", hash64(F.col("text")))
-    canon = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
-    deduped = hashed.join(
-        canon.hint("shuffle_hash"), ["content_hash", "doc_id"]
+    deduped = (
+        hashed.withColumn(
+            "_min_id",
+            F.min("doc_id").over(Window.partitionBy("content_hash")),
+        )
+        .where(F.col("doc_id") == F.col("_min_id"))
+        .drop("_min_id")
     )
     train = deduped.filter(F.col("doc_id") % 50 != 0)
     evalset = docs.filter(F.col("doc_id") % 50 == 0)
-    clean = text.decontaminate(train, evalset, k=4)
+    # flagged ids from the RAW originals (dups/filtered rows flagged
+    # here can't reach the anti-join, so the superset is harmless and
+    # the signal chain runs exactly once)
+    flagged = (
+        text.contamination_pairs(
+            docs.filter(F.col("doc_id") % 50 != 0), evalset, k=4
+        )
+        .select(F.col("train_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = train.join(F.broadcast(flagged), "doc_id", "left_anti")
     return clean.select(
         "doc_id", "lang", "source", "n_tokens", "quality_score",
         "content_hash",
     )
+
+
+def winnow_dup_pairs_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-guarded winnowing pairs (the LSH hot-band analogue):
+    fingerprints above the doc-frequency cap are dropped from the join,
+    making overlap a lower bound over distinctive content. The cap is
+    set DELIBERATELY strict (2; the corpus max doc-freq is 3) so the
+    guard's drop path is exercised under the driver gate, not only in
+    pytest — production values are in the hundreds."""
+    return dedup.winnow_dup_pairs(
+        _docs(spark, sf_dir), k=4, w=4, threshold=0.2, max_fp_freq=2
+    )
+
+
+def ppl_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity buckets over the reference-
+    slice bigram LM (operators/text.ppl_buckets)."""
+    return text.ppl_buckets(_docs(spark, sf_dir))
