@@ -9,7 +9,12 @@
    append ONE fixed 200-doc batch with the hot-band cap: per-trigger
    wall time must track the BATCH, not the accumulated hot bucket.
 
-Usage: python tools/scale_r10.py [clf] [sneardup]
+3. ``newops`` (continuation session): the five round-10-continuation
+   entries (winnowing fingerprints/pairs, bigram LM, ppl buckets,
+   curated pipeline) timed at sf0.001/0.01/0.1 with a collect-forcing
+   action (count() alone lets column pruning skip the scored columns).
+
+Usage: python tools/scale_r10.py [clf] [sneardup] [newops]
 """
 
 from __future__ import annotations
@@ -120,9 +125,39 @@ def run_sneardup(spark) -> None:
             shutil.rmtree(root, ignore_errors=True)
 
 
+def run_newops(spark) -> None:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    names = [
+        "winnow_fingerprints_docs",
+        "winnow_dup_pairs_docs",
+        "winnow_dup_pairs_capped",
+        "bigram_lm_quality_docs",
+        "ppl_buckets_docs",
+        "lsh_recall_docs",
+        "curated_corpus_docs",
+    ]
+    for name in names:
+        r = {}
+        for sf_name, sf_dir in SFS:
+            # force full evaluation of every output column — count()
+            # alone lets pruning drop the score/hash computations
+            def run():
+                df = qs[name](spark, sf_dir)
+                return df.select([df[c] for c in df.columns]).collect()
+
+            run()
+            t0 = time.perf_counter()
+            rows = run()
+            r[sf_name] = time.perf_counter() - t0
+            print(f"{name} {sf_name}: {r[sf_name]:.2f}s rows={len(rows)}")
+        _exponent(name, r)
+
+
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["clf", "sneardup"]
+    which = sys.argv[1:] or ["clf", "sneardup", "newops"]
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     for w in which:
-        {"clf": run_clf, "sneardup": run_sneardup}[w](spark)
+        {"clf": run_clf, "sneardup": run_sneardup, "newops": run_newops}[w](spark)
