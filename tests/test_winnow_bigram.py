@@ -285,3 +285,45 @@ def test_bigram_empty_reference_slice_yields_null_scores(spark):
     assert all(r.n_bigrams == 3 for r in rows)
     buckets = {r.ppl_bucket for r in ppl_buckets(df).collect()}
     assert buckets == {"unscored"}
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_new_ops_plan_shapes(spark):
+    """Plan contracts for the continuation-session operators:
+    * winnowing's sliding window shuffles by doc_id (doc-bounded
+      state, never a global sort) and stays pure JVM;
+    * ppl_buckets' corpus-sized rank shuffles on the range bucket
+      (`hashpartitioning(__b`) — the two-pass form; the only
+      SinglePartition exchange is the <= n_buckets-row offsets fold,
+      never the corpus — and the corpus never hits a global sort;
+    * the curated pipeline and both winnow ops plan Python-free with
+      no cartesian product."""
+    from tweetaggregates_spark.operators.dedup import winnow_fingerprints
+    from tweetaggregates_spark.operators.text import ppl_buckets
+    from tweetaggregates_spark.plans.llm import _docs, curated_corpus_docs
+
+    sf = "/root/testdata/sf0.001"
+    docs = _docs(spark, sf)
+
+    p = _plan(winnow_fingerprints(docs))
+    assert "Python" not in p and "CartesianProduct" not in p
+    assert "hashpartitioning(doc_id" in p  # window keyed by doc_id
+
+    p = _plan(ppl_buckets(docs))
+    assert "Python" not in p and "CartesianProduct" not in p
+    assert "hashpartitioning(__b" in p  # bucketed two-pass rank
+    # the corpus never funnels through a global sort: no rangepartitioning
+    assert "rangepartitioning" not in p
+
+    p = _plan(curated_corpus_docs(spark, sf))
+    assert "Python" not in p and "CartesianProduct" not in p
+    assert "hashpartitioning(content_hash" in p  # the one dedup shuffle
