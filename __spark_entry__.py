@@ -117,17 +117,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is stalest-first for the driver gate (the first 50
-        # entries are hash-checked). Round-10 block: the ELEVEN never-
-        # driver-checked round-10 registrations lead (executed curation
-        # pipeline, winnowing fingerprints + pairs + capped pairs,
-        # bigram-LM quality, CCNet ppl buckets, LSH recall metric,
-        # bottom-k classifier, streaming scorer, ANN recall metric,
-        # sampled classifier), then media_meta_docs (its twin changed
-        # this round: real header parsing), then the 10 entries whose
-        # newest driver row is r6, then r7-era entries in stable order
-        # — the gate boundary falls at stratified_sample_docs
-        # (position 50); event_type_pagerank is the first entry outside
-        # the block (r7-green, re-checked on a later rotation).
+        # entries are hash-checked). Round-10 block: the THIRTEEN
+        # never-driver-checked round-10 registrations lead (executed
+        # curation pipeline, winnowing fingerprints + pairs + capped
+        # pairs, CDC chunks + dup chunks, bigram-LM quality, CCNet ppl
+        # buckets, LSH recall metric, bottom-k classifier, streaming
+        # scorer, ANN recall metric, sampled classifier), then
+        # media_meta_docs (its twin changed this round: real header
+        # parsing), then the 10 entries whose newest driver row is r6,
+        # then r7-era entries in stable order — the gate boundary falls
+        # at token_counts_docs (position 50); pii_mask_docs is the
+        # first entry outside the block (r7-green, re-checked on a
+        # later rotation).
         # approx_users_daily (the one rows-only HLL entry) is RETIRED
         # from the registry this round (VERDICT r9 #7): kmv_users_daily
         # is the deterministic hash-checkable day-level variant, and the
@@ -139,6 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints_docs": llm.winnow_fingerprints_docs,
         "winnow_dup_pairs_docs": llm.winnow_dup_pairs_docs,
         "winnow_dup_pairs_capped": llm.winnow_dup_pairs_capped_docs,
+        "cdc_chunks_docs": llm.cdc_chunks_docs,
+        "cdc_dup_chunks_docs": llm.cdc_dup_chunks_docs,
         "bigram_lm_quality_docs": llm.bigram_lm_quality_docs,
         "ppl_buckets_docs": llm.ppl_buckets_docs,
         "lsh_recall_docs": llm.lsh_recall_docs,
@@ -4227,6 +4230,65 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id % 50 <> 0
           AND doc_id NOT IN (SELECT doc_id FROM flagged)
     """
+    # content-defined chunking: a cut falls AFTER token t when the
+    # 4-gram ENDING at t hashes to 0 mod 8; chunks partition the token
+    # stream; the chunk hash is hash64 of the space-joined span
+    _D_CDC_SPANS = f"""
+        WITH base AS (SELECT doc_id, {_D_TOKS} AS toks FROM {{src}}),
+        sh0 AS (
+          SELECT doc_id,
+                 unnest([{{{{'pos': i - 1,
+                           'b': CASE WHEN i >= 4 AND
+                             ({_D_HASH.format(x="array_to_string(toks[i-3:i], ' ')")}) % 8 = 0
+                             THEN 1 ELSE 0 END}}}}
+                         for i in range(1, len(toks) + 1)]) AS u
+          FROM base
+        ),
+        sh AS (SELECT doc_id, u.pos AS pos, u.b AS b FROM sh0),
+        seg AS (
+          SELECT doc_id, pos,
+                 CAST(coalesce(sum(b) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS seg_id
+          FROM sh
+        ),
+        spans AS (
+          SELECT doc_id, seg_id, min(pos) AS start_pos,
+                 max(pos) AS end_pos
+          FROM seg GROUP BY 1, 2
+        ),
+        chunks AS (
+          SELECT s.doc_id, s.seg_id, s.start_pos, s.end_pos,
+                 s.end_pos - s.start_pos + 1 AS n_tokens_chunk,
+                 {_D_HASH.format(x="array_to_string(b.toks[s.start_pos + 1 : s.end_pos + 1], ' ')")}
+                   AS chunk_hash
+          FROM spans s JOIN base b USING (doc_id)
+        )
+    """
+    sql["cdc_chunks_docs"] = (
+        _D_CDC_SPANS.format(src="documents")
+        + "\n        SELECT * FROM chunks"
+    )
+    sql["cdc_dup_chunks_docs"] = (
+        _D_CDC_SPANS.format(
+            src="""(
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          WHERE doc_id % 5 = 0
+        )"""
+        )
+        + """
+        SELECT chunk_hash,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               min(doc_id) AS canonical_id,
+               max(n_tokens_chunk) AS n_tokens_chunk
+        FROM chunks GROUP BY 1
+        HAVING count(DISTINCT doc_id) > 1
+    """
+    )
     # CCNet head/middle/tail terciles over the bigram scores: global
     # rank by (ppl, doc_id), rank-based boundaries (ULP-immune), an
     # explicit 'unscored' bucket for no-bigram docs

@@ -145,6 +145,9 @@ HEADLINE = [
     # head/middle/tail perplexity buckets (global two-pass rank)
     "curated_corpus_docs",
     "ppl_buckets_docs",
+    # round 10 (cont.): content-defined chunking — sub-document exact
+    # dedup; the chunk-hash groupBy moves span hashes, never text
+    "cdc_dup_chunks_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

@@ -327,3 +327,81 @@ def test_new_ops_plan_shapes(spark):
     p = _plan(curated_corpus_docs(spark, sf))
     assert "Python" not in p and "CartesianProduct" not in p
     assert "hashpartitioning(content_hash" in p  # the one dedup shuffle
+
+
+def _h64(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _ref_cdc(toks, k=4, divisor=8):
+    """Pure-python reference: cut after token t when the k-gram ending
+    at t hashes to 0 mod divisor; returns [(start, end)] spans."""
+    spans, start = [], 0
+    for t in range(len(toks)):
+        cut = t >= k - 1 and _h64(" ".join(toks[t - k + 1 : t + 1])) % divisor == 0
+        if cut:
+            spans.append((start, t))
+            start = t + 1
+    if start < len(toks):
+        spans.append((start, len(toks) - 1))
+    return spans
+
+
+def test_cdc_chunks_match_reference_and_partition(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tweetaggregates_spark.operators.dedup import cdc_chunks
+
+    word = st.sampled_from("aa bb cc dd ee ff gg hh".split())
+
+    @settings(max_examples=6, deadline=None)
+    @given(docs=st.lists(st.lists(word, min_size=0, max_size=40),
+                         min_size=1, max_size=4))
+    def check(docs):
+        rows = [(i + 1, " ".join(ts)) for i, ts in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r in cdc_chunks(df, k=4, divisor=8).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.start_pos, r.end_pos, r.chunk_hash, r.n_tokens_chunk)
+            )
+        for i, ts in enumerate(docs):
+            want = _ref_cdc(ts, 4, 8)
+            have = sorted(got.get(i + 1, []))
+            assert [(a, b) for a, b, _, _ in have] == want, (ts, have)
+            # partition property: tiles cover exactly [0, n-1]
+            assert sum(n for _, _, _, n in have) == len(ts)
+            # chunk hashes are the portable hash of the span
+            for a, b, h, _ in have:
+                assert h == _h64(" ".join(ts[a : b + 1]))
+
+    check()
+
+
+def test_cdc_short_and_empty_docs(spark):
+    from tweetaggregates_spark.operators.dedup import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(df, k=4, divisor=8).collect()
+    # doc 1 (< k tokens): ONE whole-doc chunk; empty/NULL: none
+    assert len(rows) == 1 and rows[0].doc_id == 1
+    assert (rows[0].start_pos, rows[0].end_pos, rows[0].n_tokens_chunk) == (0, 2, 3)
+
+
+def test_cdc_dup_chunks_finds_planted_copy(spark):
+    from tweetaggregates_spark.operators.dedup import cdc_dup_chunks
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "entirely different content here")],
+        "doc_id long, text string",
+    )
+    dups = cdc_dup_chunks(df, k=4, divisor=8).collect()
+    assert len(dups) >= 1
+    assert all(r.n_docs == 2 and r.canonical_id == 1 for r in dups)

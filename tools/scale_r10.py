@@ -137,6 +137,8 @@ def run_newops(spark) -> None:
         "ppl_buckets_docs",
         "lsh_recall_docs",
         "curated_corpus_docs",
+        "cdc_chunks_docs",
+        "cdc_dup_chunks_docs",
     ]
     for name in names:
         r = {}

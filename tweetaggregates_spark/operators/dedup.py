@@ -1807,3 +1807,137 @@ def pair_recall(truth: DataFrame, candidates: DataFrame) -> DataFrame:
             F.col("n_hit") / F.greatest(F.col("n_cand"), F.lit(1)), 6
         ).alias("precision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (the Rabin/Gear-CDC family used by dedup file
+# systems and dataset pipelines): chunk boundaries are a PREDICATE ON
+# CONTENT (k-gram hash divisibility), not fixed offsets — so two
+# documents sharing a long token run chunk that run IDENTICALLY no
+# matter where it sits, and sub-document duplication falls out of a
+# plain chunk-hash groupBy. Granularity sits between exact_dedup (whole
+# doc) and substring_dup_pairs (fixed spans).
+# ---------------------------------------------------------------------------
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    divisor: int = 8,
+) -> DataFrame:
+    """Split every document into content-defined chunks.
+
+    A cut falls AFTER token t when the k-gram ENDING at t hashes to 0
+    mod divisor (expected chunk length ~ divisor tokens); chunks are
+    therefore a true PARTITION of the token stream — every token in
+    exactly one chunk, and a document shorter than k tokens is one
+    whole-doc chunk (no k-gram, no cut). Because the cut predicate
+    reads only the k tokens behind it, two documents sharing a run
+    longer than a chunk cut that run identically — the CDC property.
+
+    Plan shape: one posexplode of per-position boundary flags (the
+    ending k-gram hashes inline, map-only) -> a per-doc exclusive
+    cumulative sum (window partitioned by doc_id — doc-bounded) ->
+    one groupBy (doc, seg) for spans -> a doc_id join back to the
+    token arrays to slice the chunk text. Chunk hashes use the
+    portable hash64, so the DuckDB twin reproduces them bit-for-bit.
+
+    Output: (doc_id, seg_id, start_pos, end_pos, n_tokens_chunk,
+    chunk_hash) with token positions 0-based inclusive."""
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    n = F.size(F.col("toks"))
+    flags = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda t: F.when(
+                t >= k - 1,
+                (
+                    F.pmod(
+                        hash64(
+                            F.concat_ws(
+                                " ",
+                                F.slice(
+                                    F.col("toks"),
+                                    (t - (k - 2)).cast("int"),
+                                    k,
+                                ),
+                            )
+                        ),
+                        F.lit(divisor),
+                    )
+                    == 0
+                ).cast("int"),
+            ).otherwise(F.lit(0)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    tok = base.select(
+        "doc_id", F.posexplode(flags).alias("pos", "is_cut_after")
+    )
+    wprev = (
+        W.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seg = tok.select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.sum("is_cut_after").over(wprev), F.lit(0)).alias(
+            "seg_id"
+        ),
+    )
+    spans = seg.groupBy("doc_id", "seg_id").agg(
+        F.min("pos").alias("start_pos"),
+        F.max("pos").alias("end_pos"),
+    )
+    return spans.join(base, "doc_id").select(
+        "doc_id",
+        "seg_id",
+        "start_pos",
+        "end_pos",
+        (F.col("end_pos") - F.col("start_pos") + 1).alias("n_tokens_chunk"),
+        hash64(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("toks"),
+                    (F.col("start_pos") + 1).cast("int"),
+                    (F.col("end_pos") - F.col("start_pos") + 1).cast("int"),
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+def cdc_dup_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    divisor: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated chunks: every chunk hash appearing in
+    more than one document, with occurrence counts and the canonical
+    (minimum) doc id — the sub-document analogue of exact_dedup, and
+    the discovery table a chunk-level trim pass (Lee et al. 2022 style
+    removal) consumes.
+
+    Scale: one (chunk_hash, doc_id) shuffle with map-side partial
+    aggregation — the corpus text never moves, only span hashes."""
+    chunks = cdc_chunks(df, text_col, id_col, k, divisor)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("canonical_id"),
+            F.max("n_tokens_chunk").alias("n_tokens_chunk"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1517,3 +1517,18 @@ def ppl_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity buckets over the reference-
     slice bigram LM (operators/text.ppl_buckets)."""
     return text.ppl_buckets(_docs(spark, sf_dir))
+
+
+def cdc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking of every document (k=4 shingles,
+    divisor 8 — expected chunk ~8 shingles;
+    operators/dedup.cdc_chunks)."""
+    return dedup.cdc_chunks(_docs(spark, sf_dir), k=4, divisor=8)
+
+
+def cdc_dup_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated CDC chunks over the duplicated crawl
+    (operators/dedup.cdc_dup_chunks) — sub-document exact dedup: the
+    planted full-copy duplicates share every chunk, and organically
+    shared long runs chunk identically by construction."""
+    return dedup.cdc_dup_chunks(_docs_with_dups(spark, sf_dir), k=4, divisor=8)
