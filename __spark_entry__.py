@@ -117,18 +117,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is stalest-first for the driver gate (the first 50
-        # entries are hash-checked). Round-10 block: the THIRTEEN
+        # entries are hash-checked). Round-10 block: the FOURTEEN
         # never-driver-checked round-10 registrations lead (executed
         # curation pipeline, winnowing fingerprints + pairs + capped
-        # pairs, CDC chunks + dup chunks, bigram-LM quality, CCNet ppl
-        # buckets, LSH recall metric, bottom-k classifier, streaming
-        # scorer, ANN recall metric, sampled classifier), then
-        # media_meta_docs (its twin changed this round: real header
-        # parsing), then the 10 entries whose newest driver row is r6,
-        # then r7-era entries in stable order — the gate boundary falls
-        # at token_counts_docs (position 50); pii_mask_docs is the
-        # first entry outside the block (r7-green, re-checked on a
-        # later rotation).
+        # pairs, CDC chunks + dup chunks + executed trim, bigram-LM
+        # quality, CCNet ppl buckets, LSH recall metric, bottom-k
+        # classifier, streaming scorer, ANN recall metric, sampled
+        # classifier), then media_meta_docs (its twin changed this
+        # round: real header parsing), then the 10 entries whose
+        # newest driver row is r6, then r7-era entries in stable order
+        # — the gate boundary falls at quality_docs (position 50);
+        # token_counts_docs is the first entry outside the block
+        # (r7-green, re-checked on a later rotation).
         # approx_users_daily (the one rows-only HLL entry) is RETIRED
         # from the registry this round (VERDICT r9 #7): kmv_users_daily
         # is the deterministic hash-checkable day-level variant, and the
@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dup_pairs_capped": llm.winnow_dup_pairs_capped_docs,
         "cdc_chunks_docs": llm.cdc_chunks_docs,
         "cdc_dup_chunks_docs": llm.cdc_dup_chunks_docs,
+        "cdc_trim_docs": llm.cdc_trim_docs,
         "bigram_lm_quality_docs": llm.bigram_lm_quality_docs,
         "ppl_buckets_docs": llm.ppl_buckets_docs,
         "lsh_recall_docs": llm.lsh_recall_docs,
@@ -4287,6 +4288,45 @@ def oracle_sql() -> dict[str, str]:
                max(n_tokens_chunk) AS n_tokens_chunk
         FROM chunks GROUP BY 1
         HAVING count(DISTINCT doc_id) > 1
+    """
+    )
+    # the executed chunk-level trim: one occurrence per chunk hash
+    # (min (doc_id, seg_id)), docs reassembled from surviving spans
+    sql["cdc_trim_docs"] = (
+        _D_CDC_SPANS.format(src="documents")
+        + """
+        , keeper AS (
+          SELECT chunk_hash,
+                 min({'d': doc_id, 's': seg_id}) AS m
+          FROM chunks GROUP BY 1
+        ),
+        marked AS (
+          SELECT c.doc_id, c.seg_id, c.start_pos, c.end_pos,
+                 c.n_tokens_chunk,
+                 (c.doc_id = k.m.d AND c.seg_id = k.m.s) AS keep
+          FROM chunks c JOIN keeper k USING (chunk_hash)
+        ),
+        per_doc AS (
+          SELECT m.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_chunks,
+                 CAST(sum(CASE WHEN m.keep THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_chunks_kept,
+                 CAST(coalesce(sum(CASE WHEN m.keep
+                                        THEN m.n_tokens_chunk END), 0)
+                      AS BIGINT) AS n_tokens_kept,
+                 string_agg(
+                   CASE WHEN m.keep THEN array_to_string(
+                     b.toks[m.start_pos + 1 : m.end_pos + 1], ' ')
+                   END, ' ' ORDER BY m.seg_id) AS text_deduped
+          FROM marked m JOIN base b USING (doc_id)
+          GROUP BY 1
+        )
+        SELECT b.doc_id,
+               coalesce(p.n_chunks, 0) AS n_chunks,
+               coalesce(p.n_chunks_kept, 0) AS n_chunks_kept,
+               coalesce(p.n_tokens_kept, 0) AS n_tokens_kept,
+               coalesce(p.text_deduped, '') AS text_deduped
+        FROM base b LEFT JOIN per_doc p USING (doc_id)
     """
     )
     # CCNet head/middle/tail terciles over the bigram scores: global

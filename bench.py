@@ -146,8 +146,10 @@ HEADLINE = [
     "curated_corpus_docs",
     "ppl_buckets_docs",
     # round 10 (cont.): content-defined chunking — sub-document exact
-    # dedup; the chunk-hash groupBy moves span hashes, never text
+    # dedup; the chunk-hash groupBy moves span hashes, never text —
+    # and its EXECUTED trim (one occurrence per chunk corpus-wide)
     "cdc_dup_chunks_docs",
+    "cdc_trim_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

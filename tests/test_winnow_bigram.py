@@ -405,3 +405,65 @@ def test_cdc_dup_chunks_finds_planted_copy(spark):
     dups = cdc_dup_chunks(df, k=4, divisor=8).collect()
     assert len(dups) >= 1
     assert all(r.n_docs == 2 and r.canonical_id == 1 for r in dups)
+
+
+def test_cdc_trim_copy_doc_empties_and_original_roundtrips(spark):
+    from tweetaggregates_spark.operators.dedup import cdc_trim
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "tiny doc")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in cdc_trim(df, k=4, divisor=8).collect()}
+    # original doc keeps everything and reassembles to its token stream
+    toks1 = [t for t in base.lower().split() if t]
+    assert rows[1].n_chunks_kept == rows[1].n_chunks
+    assert rows[1].text_deduped == " ".join(toks1)
+    assert rows[1].n_tokens_kept == len(toks1)
+    # the exact copy loses every chunk but stays visible
+    assert rows[2].n_chunks == rows[1].n_chunks
+    assert rows[2].n_chunks_kept == 0
+    assert rows[2].text_deduped == ""
+    # the short unique doc (one whole-doc chunk) survives untouched
+    assert rows[3].n_chunks == rows[3].n_chunks_kept == 1
+    assert rows[3].text_deduped == "tiny doc"
+
+
+def test_cdc_trim_matches_reference(spark):
+    """Hypothesis: trim output equals a pure-python replay (first
+    occurrence by (doc_id, seg_id) wins, docs reassembled in order)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tweetaggregates_spark.operators.dedup import cdc_trim
+
+    word = st.sampled_from("aa bb cc dd ee".split())
+
+    @settings(max_examples=5, deadline=None)
+    @given(docs=st.lists(st.lists(word, min_size=0, max_size=30),
+                         min_size=1, max_size=4))
+    def check(docs):
+        rows = [(i + 1, " ".join(ts)) for i, ts in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in cdc_trim(df, k=4, divisor=8).collect()}
+        seen = {}
+        for i, ts in enumerate(docs):
+            for seg, (a, b) in enumerate(_ref_cdc(ts, 4, 8)):
+                h = _h64(" ".join(ts[a : b + 1]))
+                seen.setdefault(h, (i + 1, seg))
+        for i, ts in enumerate(docs):
+            spans = _ref_cdc(ts, 4, 8)
+            kept = [
+                (a, b)
+                for seg, (a, b) in enumerate(spans)
+                if seen[_h64(" ".join(ts[a : b + 1]))] == (i + 1, seg)
+            ]
+            r = got[i + 1]
+            assert r.n_chunks == len(spans)
+            assert r.n_chunks_kept == len(kept)
+            assert r.text_deduped == " ".join(
+                " ".join(ts[a : b + 1]) for a, b in kept
+            )
+
+    check()

@@ -139,6 +139,7 @@ def run_newops(spark) -> None:
         "curated_corpus_docs",
         "cdc_chunks_docs",
         "cdc_dup_chunks_docs",
+        "cdc_trim_docs",
     ]
     for name in names:
         r = {}

@@ -1941,3 +1941,90 @@ def cdc_dup_chunks(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def cdc_trim(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    divisor: int = 8,
+) -> DataFrame:
+    """The EXECUTED chunk-level dedup (the repo convention: every
+    detector ships its executed filter; Lee et al. 2022 motivation —
+    remove duplicated spans, don't just find them): every CDC chunk
+    keeps exactly ONE occurrence corpus-wide — the minimum
+    (doc_id, seg_id) — and each document is reassembled from its
+    surviving chunks in order. Within-doc repeats trim too (they are
+    occurrences of the same hash). Every input document stays visible;
+    a fully-duplicated late copy comes back with empty text and its
+    drop count.
+
+    Plan shape on top of cdc_chunks: one chunk_hash groupBy for the
+    keeper (min struct — partial-aggregated), an equi-join back on the
+    hash, and a per-doc ordered reassembly (collect_list of
+    (seg_id, span) structs, doc-bounded state).
+
+    Output: (doc_id, n_chunks, n_chunks_kept, n_tokens_kept,
+    text_deduped)."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    chunks = cdc_chunks(df, text_col, id_col, k, divisor)
+    keeper = chunks.groupBy("chunk_hash").agg(
+        F.min(F.struct("doc_id", "seg_id")).alias("m")
+    )
+    marked = chunks.join(keeper.hint("shuffle_hash"), "chunk_hash").select(
+        "doc_id",
+        "seg_id",
+        "start_pos",
+        "end_pos",
+        "n_tokens_chunk",
+        (
+            (F.col("doc_id") == F.col("m.doc_id"))
+            & (F.col("seg_id") == F.col("m.seg_id"))
+        ).alias("keep"),
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("keep").cast("int")).cast("long").alias("n_chunks_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("keep"), F.col("n_tokens_chunk"))), F.lit(0)
+        ).cast("long").alias("n_tokens_kept"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("keep"),
+                    F.struct("seg_id", "start_pos", "end_pos"),
+                )
+            )
+        ).alias("kept_spans"),
+    )
+    joined = base.join(per_doc, "doc_id", "left")
+    spans = F.coalesce(
+        F.col("kept_spans"),
+        F.array().cast(
+            "array<struct<seg_id:bigint,start_pos:int,end_pos:int>>"
+        ),
+    )
+    text_deduped = F.concat_ws(
+        " ",
+        F.flatten(
+            F.transform(
+                spans,
+                lambda s: F.slice(
+                    F.col("toks"),
+                    (s.start_pos + 1).cast("int"),
+                    (s.end_pos - s.start_pos + 1).cast("int"),
+                ),
+            )
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("n_chunks"), F.lit(0)).alias("n_chunks"),
+        F.coalesce(F.col("n_chunks_kept"), F.lit(0)).alias("n_chunks_kept"),
+        F.coalesce(F.col("n_tokens_kept"), F.lit(0)).alias("n_tokens_kept"),
+        text_deduped.alias("text_deduped"),
+    )

@@ -1532,3 +1532,10 @@ def cdc_dup_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted full-copy duplicates share every chunk, and organically
     shared long runs chunk identically by construction."""
     return dedup.cdc_dup_chunks(_docs_with_dups(spark, sf_dir), k=4, divisor=8)
+
+
+def cdc_trim_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executed chunk-level dedup over the plain corpus: one surviving
+    occurrence per CDC chunk hash, documents reassembled from their
+    kept spans (operators/dedup.cdc_trim)."""
+    return dedup.cdc_trim(_docs(spark, sf_dir), k=4, divisor=8)
