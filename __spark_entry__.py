@@ -2500,8 +2500,9 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT q.query_id,
                CAST(coalesce(h.n_hits, 0) AS INTEGER) AS n_hits,
-               round(coalesce(h.n_hits, 0) / 5.0, 6) AS recall
-        FROM (SELECT DISTINCT query_id FROM exact) q
+               round(coalesce(h.n_hits, 0) / q.n_exact, 6) AS recall
+        FROM (SELECT query_id, least(count(*), 5) AS n_exact
+              FROM exact GROUP BY query_id) q
         LEFT JOIN hits h ON q.query_id = h.query_id
     """
     # cross-document substring dedup: positional 8-token shingles,

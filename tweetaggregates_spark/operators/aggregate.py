@@ -112,8 +112,12 @@ def entity_window_agg_bounded(
         *extra_aggs,
     )
     w = W.partitionBy("window", "entity").orderBy(F.desc("_payload"))
+    # Carry columns feed only the count/sum branch's extra_aggs; drop
+    # them before the rank sort so e.g. full tweet text crosses the
+    # examples shuffle zero times (ADVICE r10).
     examples = (
-        keyed.withColumn("_rn", F.row_number().over(w))
+        keyed.drop(*carry_cols)
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k_examples)
         .groupBy("window", "entity")
         .agg(

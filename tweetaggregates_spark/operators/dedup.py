@@ -1785,9 +1785,14 @@ def pair_recall(truth: DataFrame, candidates: DataFrame) -> DataFrame:
     corpus); one inner join on the pair key + two counts, all
     partial-aggregated. The expensive parts are the two pair inputs
     this composes — at 100 TB ground truth comes from a sampled audit
-    slice, never the full quadratic join."""
-    t = truth.select("doc_a", "doc_b")
-    c = candidates.select("doc_a", "doc_b")
+    slice, never the full quadratic join.
+
+    Both projections are made distinct on (doc_a, doc_b) here: a
+    duplicate row in either input would otherwise multiply through the
+    inner join and inflate n_hit/n_truth/n_cand (ADVICE r10). Cheap —
+    inputs are pair-sized."""
+    t = truth.select("doc_a", "doc_b").distinct()
+    c = candidates.select("doc_a", "doc_b").distinct()
     hit = t.join(c, ["doc_a", "doc_b"]).agg(
         F.count(F.lit(1)).alias("n_hit")
     )

@@ -95,20 +95,35 @@ def parse_image_dims(payload: bytes) -> tuple[str, int, int] | None:
         )
     if payload[:2] == b"\xff\xd8":
         i = 2
-        while i + 9 <= len(payload) and payload[i] == 0xFF:
-            marker = payload[i + 1]
+        while i < len(payload) and payload[i] == 0xFF:
+            # ITU T.81 §B.1.1.2: any number of 0xFF fill bytes may
+            # precede a marker code — skip them (ADVICE r10).
+            while i < len(payload) and payload[i] == 0xFF:
+                i += 1
+            if i >= len(payload):
+                return None
+            marker = payload[i]
+            i += 1
             if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0-3
+                if i + 7 > len(payload):
+                    return None
                 return (
                     "image/jpeg",
-                    int.from_bytes(payload[i + 7 : i + 9], "big"),
                     int.from_bytes(payload[i + 5 : i + 7], "big"),
+                    int.from_bytes(payload[i + 3 : i + 5], "big"),
                 )
             if marker in (0xD9, 0xDA):  # EOI / SOS: no SOF seen
                 return None
-            seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                # TEM / RSTn: standalone markers, no length field
+                # (T.81 table B.1) — continue to the next marker.
+                continue
+            if i + 2 > len(payload):
+                return None
+            seglen = int.from_bytes(payload[i : i + 2], "big")
             if seglen < 2:
                 return None
-            i += 2 + seglen
+            i += seglen
         return None
     return None
 

@@ -106,7 +106,12 @@ def ann_recall(
     Plan shape: both sides are |Q| x k rows (model-sized), so the
     intersection join and the per-query count broadcast — nothing
     corpus-sized moves; the expensive parts are the two kNN inputs
-    this composes."""
+    this composes.
+
+    Denominator is the PER-QUERY exact-neighbor count (<= k): when the
+    corpus holds fewer than k+1 vectors a query has fewer than k true
+    neighbors, and dividing by the constant k would cap recall below
+    1.0 even for a perfect index (ADVICE r10)."""
     hits = (
         exact.select("query_id", "neighbor_id")
         .join(
@@ -116,12 +121,14 @@ def ann_recall(
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    qids = exact.select("query_id").distinct()
+    qids = exact.groupBy("query_id").agg(
+        F.least(F.count(F.lit(1)), F.lit(k)).alias("_n_exact")
+    )
     return qids.join(hits, "query_id", "left").select(
         "query_id",
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
         F.round(
-            F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 6
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("_n_exact"), 6
         ).alias("recall"),
     )
 
