@@ -384,9 +384,24 @@ def main() -> int:
         "streaming_drain_20k",
         [bench_streaming_drain(spark) for _ in range(3)],
     )
-    soak = bench_streaming_soak(spark)
+    # 3 runs each, report the MEDIAN-throughput run plus the observed
+    # rows/s spread (VERDICT r10 #1): same-host same-session soak
+    # throughput varies ~25-30% run to run, so a single-run soak
+    # number cannot distinguish noise from a plan regression — the r10
+    # "decline" reproduced as host drift once re-measured 5x on one
+    # host against the r8 code (see SCALE.md, streaming calibration).
+    def _soak_median(**kw) -> dict:
+        runs = [bench_streaming_soak(spark, **kw) for _ in range(3)]
+        runs.sort(key=lambda s: s["rows_per_sec"])
+        med = dict(runs[1])
+        med["rps_spread"] = round(
+            runs[-1]["rows_per_sec"] - runs[0]["rows_per_sec"], 1
+        )
+        return med
+
+    soak = _soak_median()
     # 50k-row triggers: the capacity-rule demonstration (r4 #6)
-    soak_large = bench_streaming_soak(spark, total_rows=100_000, n_files=2)
+    soak_large = _soak_median(total_rows=100_000, n_files=2)
 
     # production-width simhash (bits=64, ~21-bit bands): the scale
     # configuration the bits=16 oracle-economy entry stands in for —
@@ -458,11 +473,14 @@ def main() -> int:
     # per-query dict — guaranteed to survive tail truncation and parse
     # on its own.
     calib = _calibrate(spark, sf_dir)
-    # soak normalized by the scan probe (VERDICT r7 #4): rows/s and
-    # scan seconds move inversely with host speed, so their PRODUCT is
-    # host-calibrated — a cross-round soak dip that disappears in
-    # rps_x_scan is host drift, not a streaming-path regression (soak
-    # itself has no other calibration channel).
+    # rps_x_scan kept for cross-round continuity, but KNOWN-UNRELIABLE
+    # as a streaming normalizer (r11 finding, SCALE.md): the 5k-row
+    # soak is bound by per-trigger fixed overhead, which tracks
+    # NEITHER probe — on a host whose scan probe read 2.8x slower than
+    # r8's, raw soak throughput was unchanged, so the product swung
+    # 379-592 across identical-code runs. Cross-round streaming
+    # comparisons need rps_spread (above) and, when in doubt, a
+    # same-host A/B against the old code.
     for s in (soak, soak_large):
         s["rps_x_scan"] = round(
             s["rows_per_sec"] * calib["scan_count_sec"], 1

@@ -125,3 +125,41 @@ def test_pair_recall_duplicate_rows_do_not_inflate(spark):
     assert r["n_hit"] == 1
     assert abs(r["recall"] - 0.5) < 1e-9
     assert abs(r["precision"] - 0.5) < 1e-9
+
+
+def test_kll_items_filter_precedes_weight_projection(spark):
+    """r11 KLL plan-quality pin: the keep decision must be a cheap
+    bit-predicate FILTER below the weight projection — the former
+    compute-w-then-filter shape inlined the full lstar tree ~8x per
+    input row under whole-stage codegen (and at 32 indicator terms
+    overflowed janino's 64 KB method limit, silently dropping the
+    stage to interpreted execution — the r10 bench instability)."""
+    from tweetaggregates_spark.operators.kllsketch import kll_sketch_items
+
+    df = spark.createDataFrame(
+        [(g, i, float(i * 7 % 97)) for g in (1, 2) for i in range(200)],
+        "g int, event_id int, value double",
+    )
+    items = kll_sketch_items(df, ["g"], "value", "event_id", k=16)
+    plan = items._jdf.queryExecution().optimizedPlan().toString()
+    # the keep predicate is the cheap bit-twiddle form, pushed into a
+    # Filter or the rank join condition
+    assert "bit_count" in plan
+    # ... and the weight CASE expression rides only the survivors'
+    # Project — never a Filter/Join condition (the old shape evaluated
+    # the full weight tree per input row to test IS NOT NULL)
+    for ln in plan.splitlines():
+        node = ln.strip().lstrip("+:- ")
+        if node.startswith(("Filter", "Join")):
+            assert "CASE WHEN" not in ln, ln
+    # and the per-group invariant: <= k + log2(n) + 1 items, weights sum to n
+    import math
+
+    rows = items.collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append(r)
+    for g, rs in by_g.items():
+        n = rs[0]["_n"]
+        assert len(rs) <= 16 + int(math.log2(n)) + 2
+        assert sum(r["_w"] for r in rs) == n

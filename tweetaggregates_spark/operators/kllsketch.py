@@ -81,11 +81,17 @@ def _lstar(n: Column, k: int) -> Column:
 
 def _v2(p: Column) -> Column:
     """2-adic valuation of position p >= 1 (trailing zero count),
-    capped at MAX_LEVELS, as an indicator sum."""
-    expr = F.lit(0)
-    for level in range(1, MAX_LEVELS):
-        expr = expr + ((p % F.lit(2 ** level) == 0).cast("int"))
-    return expr
+    capped at MAX_LEVELS - 1. Exact integer bit-twiddle: p & -p
+    isolates the lowest set bit 2^tz, so bit_count(2^tz - 1) = tz —
+    value-identical to the former 31-term indicator sum but ~30x less
+    generated code (the sum, duplicated through the keep predicate,
+    overflowed janino's 64 KB method limit and dropped the whole KLL
+    stage to interpreted execution — r11 bench-stability fix)."""
+    p = p.cast("long")
+    return F.least(
+        F.bit_count(p.bitwiseAND(-p) - F.lit(1)),
+        F.lit(MAX_LEVELS - 1),
+    )
 
 
 def kll_sketch_items(
@@ -109,24 +115,38 @@ def kll_sketch_items(
         rank_name="_p",
         count_name="_n",
     )
-    lstar = _lstar(F.col("_n"), k)
-    v = F.least(_v2(F.col("_p")), lstar)
-    pow_v = F.pow(F.lit(2.0), v).cast("long")
-    pow_l = F.pow(F.lit(2.0), lstar).cast("long")
-    is_final = F.col("_p") % pow_l == 0
-    # weight-2^v remainder: p is the LAST multiple of 2^v, i.e.
-    # p = 2^v * floor(n/2^v). Since v < l* means v = v2(p) exactly
-    # (odd quotient), the equality alone implies floor(n/2^v) is odd —
-    # exactly the levels that keep a remainder.
-    is_rem = (v < lstar) & (
-        F.col("_p") == pow_v * F.floor(F.col("_n") / pow_v)
+    # FILTER FIRST, derive weights on survivors (r11 plan-quality fix).
+    # The former build computed the full keep expression inside the
+    # keep/filter pair, and whole-stage codegen inlines that tree into
+    # the consume chain WITHOUT cross-expression CSE — the lstar/v2
+    # subtrees evaluated ~8x per input row, 5.5x slower than the
+    # interpreted path (which CSEs them), and at 32 indicator terms the
+    # duplicated tree also blew janino's 64 KB method limit, silently
+    # dropping the stage to interpreted execution (the r10 bench
+    # instability on the KLL entries). The algebra below makes the
+    # per-input-row work ONE lstar evaluation plus a few bit ops:
+    #
+    #   low = p & -p = 2^v2(p);  tz = bit_count(low - 1) = v2(p)
+    #   final level:  p % 2^l* == 0      <=> tz >= l*
+    #   remainder:    p == 2^v*floor(n/2^v) (v = v2(p) < l*)
+    #                                     <=> p == n - n % low
+    #
+    # so KEEP <=> tz >= l* OR p == n - n % low, and the weight/err
+    # projection (2^l* via shiftleft, low, the carried bound) runs
+    # only on the <= k + log2(n) survivors per group.
+    p, n = F.col("_p"), F.col("_n")
+    low = p.bitwiseAND(-p)
+    lstar = _lstar(n, k)
+    kept = ranked.filter(
+        (F.bit_count(low - F.lit(1)) >= lstar) | (p == n - n % low)
     )
-    keep = F.when(is_final, pow_l).when(is_rem, pow_v)
-    out = ranked.withColumn("_w", keep).filter(F.col("_w").isNotNull())
-    err = F.pow(F.lit(2.0), lstar).cast("long") - 1
-    return out.select(
-        *group_cols, value_col, "_h", "_w", "_n",
-        err.alias("_err"),
+    pow_l = F.pow(F.lit(2.0), lstar).cast("long")
+    w = F.when(F.bit_count(low - F.lit(1)) >= lstar, pow_l).otherwise(low)
+    return kept.select(
+        *group_cols, value_col, "_h",
+        w.alias("_w"),
+        "_n",
+        (pow_l - 1).alias("_err"),
     )
 
 
