@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_quality_docs": llm.bigram_lm_quality_docs,
         "ppl_buckets_docs": llm.ppl_buckets_docs,
         "lsh_recall_docs": llm.lsh_recall_docs,
+        "lsh_recall_sampled_docs": llm.lsh_recall_sampled_docs,
         "quality_classifier_bottomk_docs": llm.quality_classifier_bottomk_docs,
         "stream_quality_scores_docs": llm.stream_quality_scores_docs,
         "ann_recall_ivf_embeddings": llm.ann_recall_ivf_embeddings,
@@ -4393,4 +4394,19 @@ def oracle_sql() -> dict[str, str]:
                round(n_hit / greatest(n_cand, 1), 6) AS precision
         FROM nt CROSS JOIN nc CROSS JOIN hit
     """
+    # sampled-truth audit (VERDICT r10 #4): the identical pipeline on
+    # the deterministic 20% hash-sample of docs (salt 'lshaudit', the
+    # operators/sampling.hash_sample predicate replayed) — truth AND
+    # candidates restricted to sampled x sampled pairs. The shingle CTE
+    # is the only place the corpus enters, so one WHERE rewrites the
+    # whole audit.
+    _lshaudit_pred = (
+        "("
+        + _D_HASH.format(x="concat('lshaudit:', CAST(doc_id AS VARCHAR))")
+        + " % 1000000) < 200000"
+    )
+    assert sql["lsh_recall_docs"].count("FROM documents") == 1
+    sql["lsh_recall_sampled_docs"] = sql["lsh_recall_docs"].replace(
+        "FROM documents", f"FROM documents WHERE {_lshaudit_pred}"
+    )
     return sql

@@ -139,6 +139,11 @@ HEADLINE = [
     "winnow_dup_pairs_docs",
     "bigram_lm_quality_docs",
     "lsh_recall_docs",
+    # round 11: the 100 TB form of the audit — exact-Jaccard truth and
+    # banded candidates both restricted to the deterministic 20% doc
+    # sample, so the quadratic truth side tracks the SAMPLE (p^2 of
+    # the pairs), not the corpus
+    "lsh_recall_sampled_docs",
     # round 10 (cont.): the executed end-to-end curation pipeline —
     # fused signal scan -> calibrated rule filter -> exact dedup ->
     # decontamination, composed in one plan — and the CCNet
