@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets_docs": llm.ppl_buckets_docs,
         "lsh_recall_docs": llm.lsh_recall_docs,
         "lsh_recall_sampled_docs": llm.lsh_recall_sampled_docs,
+        "incremental_cdc_trim_docs": llm.incremental_cdc_trim_docs,
         "quality_classifier_bottomk_docs": llm.quality_classifier_bottomk_docs,
         "stream_quality_scores_docs": llm.stream_quality_scores_docs,
         "ann_recall_ivf_embeddings": llm.ann_recall_ivf_embeddings,
@@ -4408,5 +4409,15 @@ def oracle_sql() -> dict[str, str]:
     assert sql["lsh_recall_docs"].count("FROM documents") == 1
     sql["lsh_recall_sampled_docs"] = sql["lsh_recall_docs"].replace(
         "FROM documents", f"FROM documents WHERE {_lshaudit_pred}"
+    )
+    # incremental CDC trim (VERDICT r10 #5): the combined-min keeper
+    # makes the odd-batch-vs-even-index trim EQUAL the one-shot trim
+    # over the full corpus restricted to odd docs — so the twin is the
+    # cdc_trim twin wrapped with that restriction (batching-invariance
+    # is exactly what the hash gate then proves).
+    sql["incremental_cdc_trim_docs"] = (
+        "SELECT * FROM (\n"
+        + sql["cdc_trim_docs"]
+        + "\n) WHERE doc_id % 2 = 1"
     )
     return sql

@@ -155,6 +155,10 @@ HEADLINE = [
     # and its EXECUTED trim (one occurrence per chunk corpus-wide)
     "cdc_dup_chunks_docs",
     "cdc_trim_docs",
+    # round 11: incremental chunk-level dedup — the odd batch trims
+    # against the even batch's persisted-shape chunk index without
+    # rechunking history; delta persistence is batch-bounded
+    "incremental_cdc_trim_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

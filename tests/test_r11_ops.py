@@ -66,3 +66,107 @@ def test_lsh_recall_sampled_candidates_match_full_restriction(spark):
         if r["doc_a"] in sampled_ids and r["doc_b"] in sampled_ids
     }
     assert from_sample == from_full
+
+
+class TestIncrementalCdcIndex:
+    """VERDICT r10 #5: incremental chunk-level dedup lifecycle."""
+
+    def _docs(self, spark, lo, hi):
+        rows = [
+            (
+                i,
+                " ".join(
+                    f"tok{(i * 7 + j) % 23}" for j in range(30)
+                )
+                + (" shared run of tokens common to many docs" * (i % 3)),
+            )
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_batching_invariance_and_lifecycle(self, spark, tmp_path):
+        from tweetaggregates_spark.operators import dedup as dd
+
+        path = str(tmp_path / "cdc_index")
+        b1 = self._docs(spark, 0, 40)
+        b2 = self._docs(spark, 40, 80)
+        b3 = self._docs(spark, 80, 120)
+        full = b1.unionByName(b2).unionByName(b3)
+
+        # ingest 0: base index from batch 1
+        dd.append_cdc_index_delta(dd.cdc_chunk_index(b1), path, 0)
+        # ingest 1: trim batch 2 vs the read index, persist its delta
+        idx = dd.read_cdc_index(spark, path)
+        _, delta2 = dd.cdc_trim_new_batch(b2, idx)
+        dd.append_cdc_index_delta(delta2, path, 1)
+
+        # folded index == one-shot index over batches 1+2
+        folded = {
+            r["chunk_hash"]: (
+                r["keeper_doc_id"], r["keeper_seg_id"], r["n_occurrences"]
+            )
+            for r in dd.read_cdc_index(spark, path).collect()
+        }
+        oneshot = {
+            r["chunk_hash"]: (
+                r["keeper_doc_id"], r["keeper_seg_id"], r["n_occurrences"]
+            )
+            for r in dd.cdc_chunk_index(b1.unionByName(b2)).collect()
+        }
+        assert folded == oneshot
+
+        # ingest 2: trim batch 3 against history == one-shot trim over
+        # the full corpus restricted to batch-3 docs
+        trimmed3, delta3 = dd.cdc_trim_new_batch(
+            b3, dd.read_cdc_index(spark, path)
+        )
+        inc = sorted(map(tuple, trimmed3.collect()))
+        oneshot_trim = sorted(
+            map(
+                tuple,
+                dd.cdc_trim(full).filter("doc_id >= 80").collect(),
+            )
+        )
+        assert inc == oneshot_trim
+
+        # O(batch) persistence: the delta has at most one row per
+        # distinct batch chunk hash — batch-bounded, never corpus-sized
+        n_batch_chunks = dd.cdc_chunks(b3).count()
+        assert delta3.count() <= n_batch_chunks
+        dd.append_cdc_index_delta(delta3, path, 2)
+
+        # idempotent replay: re-appending version 2 changes nothing
+        before = folded_all = {
+            r["chunk_hash"]: (
+                r["keeper_doc_id"], r["keeper_seg_id"], r["n_occurrences"]
+            )
+            for r in dd.read_cdc_index(spark, path).collect()
+        }
+        dd.append_cdc_index_delta(delta3, path, 2)
+        after = {
+            r["chunk_hash"]: (
+                r["keeper_doc_id"], r["keeper_seg_id"], r["n_occurrences"]
+            )
+            for r in dd.read_cdc_index(spark, path).collect()
+        }
+        assert before == after
+
+        # compaction: one base, deltas swept, fold unchanged
+        dd.compact_cdc_index(spark, path)
+        from tweetaggregates_spark import versioned_store as vstore
+
+        assert vstore.versions(f"{path}/chunks") == []
+        assert len(vstore.versions(f"{path}/base")) == 1
+        compacted = {
+            r["chunk_hash"]: (
+                r["keeper_doc_id"], r["keeper_seg_id"], r["n_occurrences"]
+            )
+            for r in dd.read_cdc_index(spark, path).collect()
+        }
+        assert compacted == folded_all
+        assert compacted == {
+            r["chunk_hash"]: (
+                r["keeper_doc_id"], r["keeper_seg_id"], r["n_occurrences"]
+            )
+            for r in dd.cdc_chunk_index(full).collect()
+        }

@@ -1991,6 +1991,15 @@ def cdc_trim(
             & (F.col("seg_id") == F.col("m.seg_id"))
         ).alias("keep"),
     )
+    return _cdc_reassemble(base, marked)
+
+
+def _cdc_reassemble(base: DataFrame, marked: DataFrame) -> DataFrame:
+    """Shared tail of the chunk-level trims: fold keep-marked chunk
+    spans per doc and rebuild the surviving text from the token
+    arrays. ``base`` is (doc_id, toks); ``marked`` is the chunk table
+    plus a boolean ``keep``. Every base doc stays visible (left
+    join)."""
     per_doc = marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.col("keep").cast("int")).cast("long").alias("n_chunks_kept"),
@@ -2033,3 +2042,184 @@ def cdc_trim(
         F.coalesce(F.col("n_tokens_kept"), F.lit(0)).alias("n_tokens_kept"),
         text_deduped.alias("text_deduped"),
     )
+
+
+CDC_INDEX_SCHEMA = (
+    "chunk_hash BIGINT, keeper_doc_id BIGINT, keeper_seg_id BIGINT, "
+    "n_occurrences BIGINT"
+)
+
+
+def cdc_chunk_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    divisor: int = 8,
+) -> DataFrame:
+    """The persisted state of incremental chunk-level dedup (VERDICT
+    r10 #5): chunk_hash -> (keeper = min (doc_id, seg_id) occurrence,
+    occurrence count). min/sum are associative + commutative, so
+    per-batch indexes FOLD to the combined-corpus index — the same
+    batching-invariance contract as ``exact_dedup_new_batch``. One
+    (chunk_hash) groupBy over the chunk table; span hashes move,
+    never text."""
+    chunks = cdc_chunks(df, text_col, id_col, k, divisor)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.min(F.struct("doc_id", "seg_id")).alias("m"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .select(
+            "chunk_hash",
+            F.col("m.doc_id").cast("long").alias("keeper_doc_id"),
+            F.col("m.seg_id").cast("long").alias("keeper_seg_id"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        )
+    )
+
+
+def cdc_trim_new_batch(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    divisor: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental chunk-level trim: dedupe an arriving batch against
+    the persisted chunk index WITHOUT recomputing the historical
+    corpus (VERDICT r10 #5 — the production shape of ``cdc_trim``).
+
+    Returns ``(trimmed, delta)``:
+
+    * ``trimmed`` — ``cdc_trim``'s output schema for the BATCH docs.
+      A batch chunk survives iff its (doc_id, seg_id) is the minimum
+      over the COMBINED corpus's occurrences of that hash (= the least
+      of the index keeper and the batch-local min), so the result
+      equals the one-shot ``cdc_trim`` over history+batch restricted
+      to the batch docs — the oracle-checkable batching-invariance.
+      With time-ordered doc ids this is exactly first-seen-wins.
+    * ``delta`` — the O(batch) index delta (batch-local keeper +
+      batch occurrence counts, CDC_INDEX_SCHEMA). Folding it with the
+      existing index (``read_cdc_index``) yields the combined index;
+      bytes persisted per ingest track the BATCH, never the corpus.
+
+    Plan: one chunk pass over the batch, one batch-hash groupBy, one
+    equi-join of the (small) batch delta against the index — keyed on
+    chunk_hash, so a bucketed index layout makes the join co-located
+    at any scale (same posture as write_band_index_bucketed)."""
+    base = batch.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    chunks = cdc_chunks(batch, text_col, id_col, k, divisor)
+    delta = (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.min(F.struct("doc_id", "seg_id")).alias("m"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .select(
+            "chunk_hash",
+            F.col("m.doc_id").cast("long").alias("keeper_doc_id"),
+            F.col("m.seg_id").cast("long").alias("keeper_seg_id"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        )
+    )
+    # combined keeper per batch hash: least of the index keeper and
+    # the batch-local min (F.least skips the null side of the left
+    # join). Struct comparison is lexicographic — (doc_id, seg_id).
+    combined = (
+        delta.join(
+            index.hint("shuffle_hash")
+            .select(
+                "chunk_hash",
+                F.struct(
+                    F.col("keeper_doc_id").alias("doc_id"),
+                    F.col("keeper_seg_id").alias("seg_id"),
+                ).alias("_im"),
+            ),
+            "chunk_hash",
+            "left",
+        )
+        .select(
+            "chunk_hash",
+            F.least(
+                F.struct(
+                    F.col("keeper_doc_id").alias("doc_id"),
+                    F.col("keeper_seg_id").alias("seg_id"),
+                ),
+                F.col("_im"),
+            ).alias("m"),
+        )
+    )
+    marked = chunks.join(combined, "chunk_hash").select(
+        "doc_id",
+        "seg_id",
+        "start_pos",
+        "end_pos",
+        "n_tokens_chunk",
+        (
+            (F.col("doc_id") == F.col("m.doc_id"))
+            & (F.col("seg_id") == F.col("m.seg_id"))
+        ).alias("keep"),
+    )
+    return _cdc_reassemble(base, marked), delta
+
+
+def append_cdc_index_delta(delta: DataFrame, path: str, version: int) -> None:
+    """Persist one ingest's O(batch) chunk-index delta at
+    ``<path>/chunks/v=<version>`` (versioned_store layout; per-version
+    overwrite makes a redelivered ingest idempotent)."""
+    delta.write.mode("overwrite").parquet(f"{path}/chunks/v={version}")
+
+
+def read_cdc_index(spark, path: str, below: int | None = None) -> DataFrame:
+    """Fold the versioned chunk index: newest committed base plus
+    later deltas, merged by the associative (min keeper, sum count)
+    fold — the combined-corpus index regardless of how ingests were
+    batched."""
+    from tweetaggregates_spark import versioned_store as vstore
+
+    b, deltas = vstore.base_and_deltas(path, "base", "chunks", below)
+    parts = vstore.read_family(
+        spark, path, "base", "chunks", b, deltas, schema=CDC_INDEX_SCHEMA
+    )
+    u = vstore.union_all(parts)
+    if u is None:
+        return spark.createDataFrame([], CDC_INDEX_SCHEMA)
+    return (
+        u.groupBy("chunk_hash")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("keeper_doc_id").alias("doc_id"),
+                    F.col("keeper_seg_id").alias("seg_id"),
+                )
+            ).alias("m"),
+            F.sum("n_occurrences").alias("n_occurrences"),
+        )
+        .select(
+            "chunk_hash",
+            F.col("m.doc_id").alias("keeper_doc_id"),
+            F.col("m.seg_id").alias("keeper_seg_id"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        )
+    )
+
+
+def compact_cdc_index(spark, path: str) -> None:
+    """Fold all committed versions into one new base (atomic rename
+    commit via versioned_store.commit_bases) and sweep the folded
+    deltas — bounds read-side fan-in between ingests."""
+    from tweetaggregates_spark import versioned_store as vstore
+
+    vs = vstore.versions(f"{path}/chunks") + vstore.versions(f"{path}/base")
+    if not vs:
+        return
+    newv = max(vs) + 1
+    folded = read_cdc_index(spark, path)
+    vstore.commit_bases(path, [("base", folded)], newv)
+    vstore.cleanup_after_compact(path, ["chunks"], ["base"], newv)

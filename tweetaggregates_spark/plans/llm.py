@@ -1563,3 +1563,20 @@ def cdc_trim_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence per CDC chunk hash, documents reassembled from their
     kept spans (operators/dedup.cdc_trim)."""
     return dedup.cdc_trim(_docs(spark, sf_dir), k=4, divisor=8)
+
+
+def incremental_cdc_trim_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental chunk-level dedup (VERDICT r10 #5): the corpus
+    arrives as two batches (even doc_ids, then odd); the odd batch
+    trims against the even batch's CHUNK INDEX only — the historical
+    corpus is never rechunked (operators/dedup.cdc_chunk_index +
+    cdc_trim_new_batch). The combined-min keeper makes the result
+    equal to the one-shot ``cdc_trim`` over the full corpus restricted
+    to the odd docs, so the oracle is the cdc_trim twin with that
+    restriction — the hash gate proves batching-invariance."""
+    docs = _docs(spark, sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    index = dedup.cdc_chunk_index(b1, k=4, divisor=8)
+    trimmed, _delta = dedup.cdc_trim_new_batch(b2, index, k=4, divisor=8)
+    return trimmed
