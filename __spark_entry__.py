@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall_docs": llm.lsh_recall_docs,
         "lsh_recall_sampled_docs": llm.lsh_recall_sampled_docs,
         "incremental_cdc_trim_docs": llm.incremental_cdc_trim_docs,
+        "bigram_lm_quality_bcast_docs": llm.bigram_lm_quality_bcast_docs,
         "quality_classifier_bottomk_docs": llm.quality_classifier_bottomk_docs,
         "stream_quality_scores_docs": llm.stream_quality_scores_docs,
         "ann_recall_ivf_embeddings": llm.ann_recall_ivf_embeddings,
@@ -4420,4 +4421,7 @@ def oracle_sql() -> dict[str, str]:
         + sql["cdc_trim_docs"]
         + "\n) WHERE doc_id % 2 = 1"
     )
+    # broadcast-model bigram scorer: the join STRATEGY changes, the
+    # algebra does not — same twin
+    sql["bigram_lm_quality_bcast_docs"] = sql["bigram_lm_quality_docs"]
     return sql

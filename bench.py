@@ -138,6 +138,9 @@ HEADLINE = [
     # sampled audit slice; timed here at full sf for honesty)
     "winnow_dup_pairs_docs",
     "bigram_lm_quality_docs",
+    # round 11: the broadcast-model scorer — exploded bigram rows never
+    # shuffle; only the model tables ship (the KenLM production case)
+    "bigram_lm_quality_bcast_docs",
     "lsh_recall_docs",
     # round 11: the 100 TB form of the audit — exact-Jaccard truth and
     # banded candidates both restricted to the deterministic 20% doc

@@ -170,3 +170,38 @@ class TestIncrementalCdcIndex:
             )
             for r in dd.cdc_chunk_index(full).collect()
         }
+
+
+def test_bigram_broadcast_model_plan_shape(spark):
+    """VERDICT r10 #6 pin: with model_join='broadcast' the two model
+    joins are BroadcastHashJoin and the exploded bigram rows never
+    cross a shuffle — the only scoring-side exchange left is the
+    per-doc partial aggregate. The shuffle_hash form exchanges the
+    exploded rows on the model keys (bigram/ctx)."""
+    from tweetaggregates_spark.operators.text import bigram_logprob_scores
+    from tweetaggregates_spark.plans.llm import _docs
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+
+    def plan(mj):
+        df = bigram_logprob_scores(docs, model_join=mj)
+        df.write.mode("overwrite").format("noop").save()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    bc = plan("broadcast")
+    sh = plan("shuffle_hash")
+    assert bc.count("BroadcastHashJoin") >= 2
+    assert "ShuffledHashJoin" not in bc
+    # the model-BUILD aggregates still exchange the reference slice
+    # (one hashpartitioning per model key), but the scoring side's
+    # exploded rows don't: exactly one exchange per model key in the
+    # broadcast plan vs two (model agg + big probe side) in the
+    # shuffle form
+    assert bc.count("hashpartitioning(bigram") == 1
+    assert bc.count("hashpartitioning(ctx") == 1
+    assert sh.count("hashpartitioning(bigram") >= 2
+    assert sh.count("hashpartitioning(ctx") >= 2
+    # identical values
+    a = sorted(map(tuple, bigram_logprob_scores(docs, model_join="broadcast").collect()))
+    b = sorted(map(tuple, bigram_logprob_scores(docs).collect()))
+    assert a == b

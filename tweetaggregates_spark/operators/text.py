@@ -1023,6 +1023,7 @@ def bigram_logprob_scores(
     alpha: float = 1.0,
     train_pct: int = 20,
     salt: str = "bigram-ref",
+    model_join: str = "shuffle_hash",
 ) -> DataFrame:
     """CCNet-shape LM quality filter (Wenzek et al. 2020): fit the
     language model on a REFERENCE slice, score the whole corpus. CCNet
@@ -1049,10 +1050,18 @@ def bigram_logprob_scores(
     Scale shape: the model is two aggregates over the REFERENCE slice
     only (train_pct% of the corpus — at 100 TB the slice is the curated
     reference set, not a sample); scoring is one bigram explode + two
-    equi-joins on the bigram/context keys (shuffle_hash here; broadcast
-    both model tables when the reference vocab fits, which is the
-    production case — a KenLM binary is exactly such a broadcast
-    model) + one per-doc aggregate. No driver-side model object."""
+    equi-joins on the bigram/context keys + one per-doc aggregate. No
+    driver-side model object.
+
+    ``model_join`` (VERDICT r10 #6): 'shuffle_hash' exchanges the
+    EXPLODED bigram rows (corpus x tokens) on the model keys — correct
+    at any model size; 'broadcast' ships the two model tables to every
+    task instead, so the exploded rows NEVER cross the wire and the
+    only scoring-side exchange left is the per-doc partial aggregate —
+    the production case whenever the reference vocab fits in executor
+    memory (a KenLM binary is exactly such a broadcast model)."""
+    if model_join not in ("shuffle_hash", "broadcast"):
+        raise ValueError(f"unknown model_join: {model_join!r}")
     base = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("toks"),
@@ -1093,9 +1102,13 @@ def bigram_logprob_scores(
             9,
         ),
     )
+    if model_join == "broadcast":
+        c12, c1 = F.broadcast(c12), F.broadcast(c1)
+    else:
+        c12, c1 = c12.hint("shuffle_hash"), c1.hint("shuffle_hash")
     scored = (
-        big.join(c12.hint("shuffle_hash"), "bigram", "left")
-        .join(c1.hint("shuffle_hash"), "ctx", "left")
+        big.join(c12, "bigram", "left")
+        .join(c1, "ctx", "left")
         .crossJoin(F.broadcast(vocab))
         .select("doc_id", lp.alias("lp"))
     )

@@ -1389,6 +1389,19 @@ def bigram_lm_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_logprob_scores(_docs(spark, sf_dir))
 
 
+def bigram_lm_quality_bcast_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The broadcast-model form of the bigram scorer (VERDICT r10 #6):
+    the two model tables ship to every task, so the exploded bigram
+    rows never cross a shuffle — the production plan whenever the
+    curated reference vocab fits in executor memory (the KenLM case).
+    Same values as bigram_lm_quality_docs by construction."""
+    return text.bigram_logprob_scores(
+        _docs(spark, sf_dir), model_join="broadcast"
+    )
+
+
 def lsh_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-quality audit of the MinHash LSH stage: recall /
     precision of the banded candidates vs exact 3-gram Jaccard >= 0.3
