@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall_sampled_docs": llm.lsh_recall_sampled_docs,
         "incremental_cdc_trim_docs": llm.incremental_cdc_trim_docs,
         "bigram_lm_quality_bcast_docs": llm.bigram_lm_quality_bcast_docs,
+        "curated_corpus_neardup_docs": llm.curated_corpus_neardup_docs,
         "quality_classifier_bottomk_docs": llm.quality_classifier_bottomk_docs,
         "stream_quality_scores_docs": llm.stream_quality_scores_docs,
         "ann_recall_ivf_embeddings": llm.ann_recall_ivf_embeddings,
@@ -4424,4 +4425,30 @@ def oracle_sql() -> dict[str, str]:
     # broadcast-model bigram scorer: the join STRATEGY changes, the
     # algebra does not — same twin
     sql["bigram_lm_quality_bcast_docs"] = sql["bigram_lm_quality_docs"]
+    # curation pipeline composed with fuzzy dedup (VERDICT r10 #7):
+    # the curated twin feeds the LSH + recursive-CTE closure (the
+    # dedup_clusters machinery restricted to curated survivors — the
+    # shifted dups never survive exact dedup, so text joins from the
+    # original documents), keep the min-id member per cluster with its
+    # size. The CC CTE macro reads `FROM documents` exactly once
+    # (toksrc) — rewritten to the curated subset.
+    assert _lsh_cc_cte.count("FROM documents") == 1
+    _cur_cc = _lsh_cc_cte.replace(
+        "FROM documents",
+        "FROM documents WHERE doc_id IN (SELECT doc_id FROM cur)",
+    )
+    sql["curated_corpus_neardup_docs"] = f"""
+        WITH RECURSIVE cur AS ({sql["curated_corpus_docs"]}),
+        {_cur_cc},
+        cl AS (
+          SELECT c.*, coalesce(l.cluster_id, c.doc_id) AS cluster_id
+          FROM cur c LEFT JOIN labels l USING (doc_id)
+        ),
+        sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+               FROM cl GROUP BY 1)
+        SELECT cl.doc_id, cl.lang, cl.source, cl.n_tokens,
+               cl.quality_score, cl.content_hash, sz.n_members
+        FROM cl JOIN sz USING (cluster_id)
+        WHERE cl.doc_id = cl.cluster_id
+    """
     return sql

@@ -152,6 +152,9 @@ HEADLINE = [
     # decontamination, composed in one plan — and the CCNet
     # head/middle/tail perplexity buckets (global two-pass rank)
     "curated_corpus_docs",
+    # round 11: the pipeline composed with fuzzy dedup — MinHash-LSH
+    # cluster collapse (keep min-id canonical) over the curated corpus
+    "curated_corpus_neardup_docs",
     "ppl_buckets_docs",
     # round 10 (cont.): content-defined chunking — sub-document exact
     # dedup; the chunk-hash groupBy moves span hashes, never text —

@@ -205,3 +205,21 @@ def test_bigram_broadcast_model_plan_shape(spark):
     a = sorted(map(tuple, bigram_logprob_scores(docs, model_join="broadcast").collect()))
     b = sorted(map(tuple, bigram_logprob_scores(docs).collect()))
     assert a == b
+
+
+def test_curated_neardup_collapses_clusters(spark):
+    """VERDICT r10 #7: the composed pipeline keeps one canonical
+    member per near-dup cluster of the curated corpus — strictly
+    fewer rows than the exact-dedup-only pipeline when near-dup
+    clusters exist, each kept doc the min id of its cluster."""
+    from tweetaggregates_spark.plans import llm
+
+    cur = llm.curated_corpus_docs(spark, SF).collect()
+    near = llm.curated_corpus_neardup_docs(spark, SF).collect()
+    assert len(near) <= len(cur)
+    # non-vacuous on this corpus: at least one multi-member cluster
+    assert any(r["n_members"] > 1 for r in near)
+    # members accounting: cluster sizes sum to the curated corpus size
+    assert sum(r["n_members"] for r in near) == len(cur)
+    kept_ids = {r["doc_id"] for r in near}
+    assert kept_ids <= {r["doc_id"] for r in cur}

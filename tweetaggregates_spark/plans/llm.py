@@ -1438,7 +1438,7 @@ def lsh_recall_sampled_docs(
     return dedup.pair_recall(truth, cand)
 
 
-def curated_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _curated_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The standard pre-training curation pipeline EXECUTED end to end
     in one composed plan (the RefinedWeb/Gopher recipe order): fused
     single-scan rule signals (quality + Gopher + C4 + lang-id,
@@ -1533,8 +1533,50 @@ def curated_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = train.join(F.broadcast(flagged), "doc_id", "left_anti")
     return clean.select(
-        "doc_id", "lang", "source", "n_tokens", "quality_score",
+        "doc_id", "text", "lang", "source", "n_tokens", "quality_score",
         "content_hash",
+    )
+
+
+def curated_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered gate entry for the executed curation pipeline —
+    ``_curated_clean`` (which carries the full pipeline docstring)
+    minus the text payload."""
+    return _curated_clean(spark, sf_dir).drop("text")
+
+
+def curated_corpus_neardup_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curation pipeline COMPOSED with fuzzy dedup (VERDICT r10
+    #7 — the RefinedWeb recipe's final stage): after the exact dedup +
+    decontamination of ``_curated_clean``, MinHash-LSH near-dup pairs
+    over the surviving text feed the connected-components labeler
+    (operators/cluster.assign_clusters) and each near-dup cluster
+    keeps its canonical min-id member, stamped with the cluster size.
+
+    One composed plan; the curated frame is lazily localCheckpointed
+    because the near-dup stage consumes it three times (shingles,
+    label join, size join) and the signal chain must run ONCE — the
+    same barrier pattern the pipeline's r10 restructure proved.
+    Non-vacuous at sf0.01: the crawl's boilerplate band collapses
+    (n_members > 1 clusters exist)."""
+    clean = _curated_clean(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = dedup.minhash_lsh_pairs(clean)
+    labeled = cluster.assign_clusters(
+        clean.select("doc_id"), pairs
+    ).select("doc_id", "cluster_id")
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        clean.join(labeled, "doc_id")
+        .where(F.col("doc_id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select(
+            "doc_id", "lang", "source", "n_tokens", "quality_score",
+            "content_hash", "n_members",
+        )
     )
 
 
