@@ -117,137 +117,89 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is stalest-first for the driver gate (the first 50
-        # entries are hash-checked). Round-10 block: the FOURTEEN
-        # never-driver-checked round-10 registrations lead (executed
-        # curation pipeline, winnowing fingerprints + pairs + capped
-        # pairs, CDC chunks + dup chunks + executed trim, bigram-LM
-        # quality, CCNet ppl buckets, LSH recall metric, bottom-k
-        # classifier, streaming scorer, ANN recall metric, sampled
-        # classifier), then media_meta_docs (its twin changed this
-        # round: real header parsing), then the 10 entries whose
-        # newest driver row is r6, then r7-era entries in stable order
-        # — the gate boundary falls at quality_docs (position 50);
-        # token_counts_docs is the first entry outside the block
-        # (r7-green, re-checked on a later rotation).
-        # approx_users_daily (the one rows-only HLL entry) is RETIRED
-        # from the registry this round (VERDICT r9 #7): kmv_users_daily
-        # is the deterministic hash-checkable day-level variant, and the
-        # HLL-vs-exact accuracy pin lives in
-        # tests/test_extensions.py::test_approx_distinct_close_to_exact.
-        # The registry is now fully hash-checkable.
-        # -- round-10 registrations / twin changes --
-        "curated_corpus_docs": llm.curated_corpus_docs,
-        "winnow_fingerprints_docs": llm.winnow_fingerprints_docs,
-        "winnow_dup_pairs_docs": llm.winnow_dup_pairs_docs,
-        "winnow_dup_pairs_capped": llm.winnow_dup_pairs_capped_docs,
-        "cdc_chunks_docs": llm.cdc_chunks_docs,
-        "cdc_dup_chunks_docs": llm.cdc_dup_chunks_docs,
-        "cdc_trim_docs": llm.cdc_trim_docs,
-        "bigram_lm_quality_docs": llm.bigram_lm_quality_docs,
-        "ppl_buckets_docs": llm.ppl_buckets_docs,
-        "lsh_recall_docs": llm.lsh_recall_docs,
+        # entries are hash-checked). Round-11 block: the FOUR new r11
+        # registrations lead (sampled-truth LSH audit, incremental CDC
+        # trim, broadcast-model bigram scorer, near-dup-composed
+        # curation pipeline), then the TEN entries whose code or twin
+        # changed this round (the kllsketch filter-first rewrite, the
+        # JPEG marker-walk fix, the carry-col shuffle fix, the
+        # ann_recall denominator fix, the pair_recall distinct, and
+        # the three refactored-plan entries), then the 25 r7-era
+        # entries (the stalest driver rows) and the oldest r8-era
+        # fill in stable alphabetical order — the gate boundary falls
+        # at embedding_stats (position 50); events_profile is the
+        # first entry outside the block (r8-green, re-checked on a
+        # later rotation). The tail is sorted stalest-first so the
+        # r12 rotation just takes the head.
+        # -- round-11 registrations (never driver-checked) --
         "lsh_recall_sampled_docs": llm.lsh_recall_sampled_docs,
         "incremental_cdc_trim_docs": llm.incremental_cdc_trim_docs,
         "bigram_lm_quality_bcast_docs": llm.bigram_lm_quality_bcast_docs,
         "curated_corpus_neardup_docs": llm.curated_corpus_neardup_docs,
-        "quality_classifier_bottomk_docs": llm.quality_classifier_bottomk_docs,
-        "stream_quality_scores_docs": llm.stream_quality_scores_docs,
-        "ann_recall_ivf_embeddings": llm.ann_recall_ivf_embeddings,
-        "quality_classifier_sampled_docs": llm.quality_classifier_sampled_docs,
-        "media_meta_docs": llm.media_meta_docs,
-        # -- newest driver row r6 --
-        "q5_region_revenue": star.q5_region_revenue,
-        "q6_revenue_change": star.q6_revenue_change,
-        "q10_returned_items": star.q10_returned_items,
-        "q18_large_orders": star.q18_large_orders,
-        "q9_profit_by_nation": star.q9_profit_by_nation,
-        "q13_order_count_distribution": star.q13_order_count_distribution,
-        "q20_heavy_suppliers": star.q20_heavy_suppliers,
-        "q21_last_shipper": star.q21_last_shipper,
-        "order_latency_distribution": star.order_latency_distribution,
-        "revenue_rollup": star.revenue_rollup,
-        # -- newest driver row r7 (first 38; gate block ends here) --
-        "bloom_dedup_new_docs": llm.bloom_dedup_new_docs,
-        "random_projection_embeddings": llm.random_projection_embeddings,
-        "domain_quality_filter_docs": llm.domain_quality_filter_docs,
-        "coreset_embeddings": llm.coreset_embeddings,
-        "knn_rp_embeddings": llm.knn_rp_embeddings,
-        "temperature_sample_docs": llm.temperature_sample_docs,
-        "zipf_fit_docs": llm.zipf_fit_docs,
-        "gopher_rules_docs": llm.gopher_rules_docs,
-        "c4_filter_docs": llm.c4_filter_docs,
-        "revenue_cube": star.revenue_cube,
-        "order_status_pivot": star.order_status_pivot,
-        "returnflag_measures_unpivot": star.returnflag_measures_unpivot,
-        "exact_dedup_docs": llm.exact_dedup_docs,
-        "minhash_lsh_docs": llm.minhash_lsh_docs,
-        "simhash_pairs_banded": llm.simhash_pairs_banded_docs,
-        "ngram_jaccard_docs": llm.ngram_jaccard_docs,
-        "lsh_verified_pairs": llm.lsh_verified_pairs,
-        "dedup_clusters_docs": llm.dedup_clusters_docs,
-        "canonical_docs": llm.canonical_docs_query,
-        "knn_cosine": llm.knn_cosine,
-        "knn_cosine_bucketed": llm.knn_cosine_bucketed,
-        "knn_cosine_quantized": llm.knn_cosine_quantized,
-        "cosine_near_dups_tiled": llm.cosine_near_dups_tiled,
-        "lang_id_docs": llm.lang_id_docs,
-        "quality_docs": llm.quality_docs,
-        "token_counts_docs": llm.token_counts_docs,
-        "pii_mask_docs": llm.pii_mask_docs,
-        "stratified_sample_docs": llm.stratified_sample_docs,
-        "event_type_pagerank": sequence.event_type_pagerank,
-        "kmv_users_daily": ev.kmv_users_daily,
-        "cms_heavy_hitters_monthly_rollup": ev.cms_heavy_hitters_monthly_rollup,
-        "conversion_funnel": sequence.conversion_funnel,
-        "chunk_docs": llm.chunk_docs,
-        "curation_funnel_docs": llm.curation_funnel_docs,
-        "weighted_sample_docs": llm.weighted_sample_docs,
-        "mixture_plan_docs": llm.mixture_plan_docs,
-        "split_docs": llm.split_docs,
-        "pack_sequences_docs": llm.pack_sequences_docs,
-        # -- newest driver row r7 (remainder) --
-        "user_event_gaps": sequence.user_event_gaps,
-        "event_type_transitions": sequence.event_type_transitions,
-        "value_ntile_quartiles": sequence.value_ntile_quartiles,
-        "acctbal_rank_percentiles": sequence.acctbal_rank_percentiles,
-        "rolling_user_value_avg": sequence.rolling_user_value_avg,
-        "value_bucket_histogram": sequence.value_bucket_histogram,
-        "retention_cohorts": sequence.retention_cohorts,
-        "user_value_skyline": sequence.user_value_skyline,
-        "click_purchase_correlation": sequence.click_purchase_correlation,
-        "shuffle_order_docs": llm.shuffle_order_docs,
-        "time_weighted_value_daily": sequence.time_weighted_value_daily,
-        "daily_growth_by_type": sequence.daily_growth_by_type,
-        # -- newest driver row r8 --
-        "stream_exact_dedup_docs": llm.stream_exact_dedup_docs,
-        "dsir_weights_docs": llm.dsir_weights_docs,
+        # -- code/twin changed this round --
         "kll_value_daily": ev.kll_value_daily,
         "kll_value_monthly_rollup": ev.kll_value_monthly_rollup,
+        "media_meta_docs": llm.media_meta_docs,
+        "ann_recall_ivf_embeddings": llm.ann_recall_ivf_embeddings,
+        "top_retweets_shape": ev.top_retweets_shape,
+        "top_users_with_examples": ev.top_users_with_examples,
+        "curated_corpus_docs": llm.curated_corpus_docs,
+        "cdc_trim_docs": llm.cdc_trim_docs,
+        "bigram_lm_quality_docs": llm.bigram_lm_quality_docs,
+        "lsh_recall_docs": llm.lsh_recall_docs,
+        # -- r7-era (stalest driver rows) --
+        "acctbal_rank_percentiles": sequence.acctbal_rank_percentiles,
+        "chunk_docs": llm.chunk_docs,
+        "click_purchase_correlation": sequence.click_purchase_correlation,
+        "cms_heavy_hitters_monthly_rollup": ev.cms_heavy_hitters_monthly_rollup,
+        "conversion_funnel": sequence.conversion_funnel,
+        "curation_funnel_docs": llm.curation_funnel_docs,
+        "daily_growth_by_type": sequence.daily_growth_by_type,
+        "event_type_pagerank": sequence.event_type_pagerank,
+        "event_type_transitions": sequence.event_type_transitions,
+        "kmv_users_daily": ev.kmv_users_daily,
+        "mixture_plan_docs": llm.mixture_plan_docs,
+        "pack_sequences_docs": llm.pack_sequences_docs,
+        "pii_mask_docs": llm.pii_mask_docs,
+        "retention_cohorts": sequence.retention_cohorts,
+        "rolling_user_value_avg": sequence.rolling_user_value_avg,
+        "shuffle_order_docs": llm.shuffle_order_docs,
+        "split_docs": llm.split_docs,
+        "stratified_sample_docs": llm.stratified_sample_docs,
+        "time_weighted_value_daily": sequence.time_weighted_value_daily,
+        "token_counts_docs": llm.token_counts_docs,
+        "user_event_gaps": sequence.user_event_gaps,
+        "user_value_skyline": sequence.user_value_skyline,
+        "value_bucket_histogram": sequence.value_bucket_histogram,
+        "value_ntile_quartiles": sequence.value_ntile_quartiles,
+        "weighted_sample_docs": llm.weighted_sample_docs,
+        # -- r8-era fill (oldest remaining) --
+        "bpe_merges_docs": llm.bpe_merges_docs,
+        "cms_heavy_hitters_daily": ev.cms_heavy_hitters_daily,
         "coreset_embeddings_batched": llm.coreset_embeddings_batched,
+        "cosine_near_dups_banded": llm.cosine_near_dups_banded,
+        "cosine_near_dups_blocked": llm.cosine_near_dups_blocked,
         "cumulative_new_users": sequence.cumulative_new_users,
+        "daily_count_anomalies": ev.daily_count_anomalies,
+        "dense_tumbling_counts": ev.dense_tumbling_counts,
+        "dsir_weights_docs": llm.dsir_weights_docs,
+        "dup_cluster_size_histogram": llm.dup_cluster_size_histogram,
+        "embedding_stats": llm.embedding_stats,
+        # ---- gate boundary: entries below are outside the first-50 block ----
+        "events_profile": ev.events_profile,
+        "hll_users_daily": ev.hll_users_daily,
+        "hll_users_monthly_rollup": ev.hll_users_monthly_rollup,
+        "incremental_dedup_docs": llm.incremental_dedup_docs,
+        "incremental_exact_dedup_docs": llm.incremental_exact_dedup_docs,
         "kmeans_clusters_embeddings": llm.kmeans_clusters_embeddings,
-        "semantic_dup_embeddings": llm.semantic_dup_embeddings,
+        "knn_ivf_pq_embeddings": llm.knn_ivf_pq_embeddings,
+        "knn_ivf_pq_trained_embeddings": llm.knn_ivf_pq_trained_embeddings,
         "knn_pq_embeddings": llm.knn_pq_embeddings,
+        "label_centroids": llm.label_centroids_query,
+        "latest_events_snapshot": ev.latest_events_snapshot,
         "lm_quality_docs": llm.lm_quality_docs,
         "media_frames_docs": llm.media_frames_docs,
         "media_waveform_docs": llm.media_waveform_docs,
-        "bpe_merges_docs": llm.bpe_merges_docs,
-        "incremental_dedup_docs": llm.incremental_dedup_docs,
-        "incremental_exact_dedup_docs": llm.incremental_exact_dedup_docs,
-        "knn_ivf_pq_embeddings": llm.knn_ivf_pq_embeddings,
-        "knn_ivf_pq_trained_embeddings": llm.knn_ivf_pq_trained_embeddings,
-        "dense_tumbling_counts": ev.dense_tumbling_counts,
-        "daily_count_anomalies": ev.daily_count_anomalies,
-        "latest_events_snapshot": ev.latest_events_snapshot,
-        "viewers_never_erroring": ev.viewers_never_erroring,
-        "events_profile": ev.events_profile,
-        "user_activity_concentration": ev.user_activity_concentration,
-        "winsorized_value_stats": ev.winsorized_value_stats,
-        "revenue_grouping_sets": ev.revenue_grouping_sets,
-        "q2_min_cost_supplier": star.q2_min_cost_supplier,
-        "q4_priority_counts": star.q4_priority_counts,
-        "q7_nation_volume": star.q7_nation_volume,
-        "q8_market_share": star.q8_market_share,
         "q11_part_revenue_share": star.q11_part_revenue_share,
         "q12_late_priority_counts": star.q12_late_priority_counts,
         "q15_top_supplier": star.q15_top_supplier,
@@ -255,70 +207,113 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": star.q17_small_quantity_revenue,
         "q19_disjunctive_revenue": star.q19_disjunctive_revenue,
         "q22_idle_customers": star.q22_idle_customers,
-        "hll_users_daily": ev.hll_users_daily,
-        "hll_users_monthly_rollup": ev.hll_users_monthly_rollup,
+        "q2_min_cost_supplier": star.q2_min_cost_supplier,
+        "q4_priority_counts": star.q4_priority_counts,
+        "q7_nation_volume": star.q7_nation_volume,
+        "q8_market_share": star.q8_market_share,
+        "quantized_embeddings": llm.quantized_embeddings_docs,
+        "revenue_grouping_sets": ev.revenue_grouping_sets,
+        "semantic_dup_embeddings": llm.semantic_dup_embeddings,
+        "stream_exact_dedup_docs": llm.stream_exact_dedup_docs,
+        "substring_dup_docs": llm.substring_dup_docs,
+        "tfidf_docs": llm.tfidf_docs,
+        "user_activity_concentration": ev.user_activity_concentration,
         "value_quantile_sketch_daily": ev.value_quantile_sketch_daily,
         "value_quantile_sketch_monthly": ev.value_quantile_sketch_monthly,
-        "cms_heavy_hitters_daily": ev.cms_heavy_hitters_daily,
-        "substring_dup_docs": llm.substring_dup_docs,
-        "dup_cluster_size_histogram": llm.dup_cluster_size_histogram,
-        "cosine_near_dups_banded": llm.cosine_near_dups_banded,
-        "cosine_near_dups_blocked": llm.cosine_near_dups_blocked,
-        "quantized_embeddings": llm.quantized_embeddings_docs,
-        "embedding_stats": llm.embedding_stats,
-        "label_centroids": llm.label_centroids_query,
+        "viewers_never_erroring": ev.viewers_never_erroring,
         "vocab_docs": llm.vocab_docs,
-        "tfidf_docs": llm.tfidf_docs,
-        # -- newest driver row r9 --
-        "pca_embeddings": llm.pca_embeddings,
-        "line_dedup_docs": llm.line_dedup_docs,
-        "unimax_mixture_docs": llm.unimax_mixture_docs,
-        "stream_pca_embeddings": llm.stream_pca_embeddings,
-        "quality_classifier_docs": llm.quality_classifier_docs,
-        "unimax_sample_docs": llm.unimax_sample_docs,
-        "decontaminated_docs": llm.decontaminated_docs,
-        "quality_signals_docs": llm.quality_signals_docs,
-        "inverted_index_docs": llm.inverted_index_docs,
-        "repeated_ngrams_docs": llm.repeated_ngrams_docs,
-        "knn_ivf_pq_refined_embeddings": llm.knn_ivf_pq_refined_embeddings,
-        "incremental_dedup_delta_docs": llm.incremental_dedup_delta_docs,
-        "clickers_without_purchase": ev.clickers_without_purchase,
-        "cosine_near_dups": llm.cosine_near_dups,
-        "simhash_pairs_docs": llm.simhash_pairs_docs,
+        "winsorized_value_stats": ev.winsorized_value_stats,
+        "brand_supplier_stats": star.brand_supplier_stats,
         "clickers_who_purchased": ev.clickers_who_purchased,
-        "value_quantiles_by_type": ev.value_quantiles_by_type,
+        "clickers_without_purchase": ev.clickers_without_purchase,
+        "contamination_docs": llm.contamination_docs,
+        "cosine_near_dups": llm.cosine_near_dups,
+        "counts_range": ev.counts_range,
+        "customers_with_orders_semi": star.customers_with_orders_semi,
+        "customers_without_orders": star.customers_without_orders,
+        "daily_rollup_counts": ev.daily_rollup_counts,
+        "decontaminated_docs": llm.decontaminated_docs,
+        "distinct_users_daily": ev.distinct_users_daily,
+        "domain_stats_docs": llm.domain_stats_docs,
+        "events_summary": ev.events_summary,
+        "fingerprint_docs": llm.fingerprint_docs,
+        "hopping_counts": ev.hopping_counts,
+        "incremental_dedup_delta_docs": llm.incremental_dedup_delta_docs,
+        "inverted_index_docs": llm.inverted_index_docs,
+        "json_props_daily": ev.json_props_daily,
+        "kmv_users_monthly_rollup": ev.kmv_users_monthly_rollup,
+        "knn_ivf_pq_refined_embeddings": llm.knn_ivf_pq_refined_embeddings,
+        "line_dedup_docs": llm.line_dedup_docs,
+        "minhash_lsh_capped": llm.minhash_lsh_capped_docs,
+        "normalize_docs": llm.normalize_docs,
+        "pca_embeddings": llm.pca_embeddings,
         "purchase_asof_click": ev.purchase_asof_click,
         "q14_promo_revenue": star.q14_promo_revenue,
-        "customers_without_orders": star.customers_without_orders,
-        "customers_with_orders_semi": star.customers_with_orders_semi,
-        "brand_supplier_stats": star.brand_supplier_stats,
-        "top_orders_per_customer": star.top_orders_per_customer,
-        "minhash_lsh_capped": llm.minhash_lsh_capped_docs,
-        "simhash_docs": llm.simhash_docs,
-        "normalize_docs": llm.normalize_docs,
-        "repetition_docs": llm.repetition_docs,
-        "contamination_docs": llm.contamination_docs,
-        "domain_stats_docs": llm.domain_stats_docs,
-        "fingerprint_docs": llm.fingerprint_docs,
-        "distinct_users_daily": ev.distinct_users_daily,
-        "kmv_users_monthly_rollup": ev.kmv_users_monthly_rollup,
-        "tumbling_counts": ev.tumbling_counts,
-        "hopping_counts": ev.hopping_counts,
-        "top_users_hopping": ev.top_users_hopping,
-        "top_event_types_tumbling": ev.top_event_types_tumbling,
-        "top_users_with_examples": ev.top_users_with_examples,
-        "top_retweets_shape": ev.top_retweets_shape,
-        "session_windows": ev.session_windows,
-        "throughput_5min": ev.throughput_5min,
-        "events_summary": ev.events_summary,
-        "counts_range": ev.counts_range,
-        "top_users_for_entity": ev.top_users_for_entity,
-        "recent_counts": ev.recent_counts,
-        "running_total_counts": ev.running_total_counts,
-        "daily_rollup_counts": ev.daily_rollup_counts,
-        "json_props_daily": ev.json_props_daily,
         "q1_pricing_summary": star.q1_pricing_summary,
         "q3_shipping_priority": star.q3_shipping_priority,
+        "quality_classifier_docs": llm.quality_classifier_docs,
+        "quality_signals_docs": llm.quality_signals_docs,
+        "recent_counts": ev.recent_counts,
+        "repeated_ngrams_docs": llm.repeated_ngrams_docs,
+        "repetition_docs": llm.repetition_docs,
+        "running_total_counts": ev.running_total_counts,
+        "session_windows": ev.session_windows,
+        "simhash_docs": llm.simhash_docs,
+        "simhash_pairs_docs": llm.simhash_pairs_docs,
+        "stream_pca_embeddings": llm.stream_pca_embeddings,
+        "throughput_5min": ev.throughput_5min,
+        "top_event_types_tumbling": ev.top_event_types_tumbling,
+        "top_orders_per_customer": star.top_orders_per_customer,
+        "top_users_for_entity": ev.top_users_for_entity,
+        "top_users_hopping": ev.top_users_hopping,
+        "tumbling_counts": ev.tumbling_counts,
+        "unimax_mixture_docs": llm.unimax_mixture_docs,
+        "unimax_sample_docs": llm.unimax_sample_docs,
+        "value_quantiles_by_type": ev.value_quantiles_by_type,
+        "bloom_dedup_new_docs": llm.bloom_dedup_new_docs,
+        "c4_filter_docs": llm.c4_filter_docs,
+        "canonical_docs": llm.canonical_docs_query,
+        "cdc_chunks_docs": llm.cdc_chunks_docs,
+        "cdc_dup_chunks_docs": llm.cdc_dup_chunks_docs,
+        "coreset_embeddings": llm.coreset_embeddings,
+        "cosine_near_dups_tiled": llm.cosine_near_dups_tiled,
+        "dedup_clusters_docs": llm.dedup_clusters_docs,
+        "domain_quality_filter_docs": llm.domain_quality_filter_docs,
+        "exact_dedup_docs": llm.exact_dedup_docs,
+        "gopher_rules_docs": llm.gopher_rules_docs,
+        "knn_cosine": llm.knn_cosine,
+        "knn_cosine_bucketed": llm.knn_cosine_bucketed,
+        "knn_cosine_quantized": llm.knn_cosine_quantized,
+        "knn_rp_embeddings": llm.knn_rp_embeddings,
+        "lang_id_docs": llm.lang_id_docs,
+        "lsh_verified_pairs": llm.lsh_verified_pairs,
+        "minhash_lsh_docs": llm.minhash_lsh_docs,
+        "ngram_jaccard_docs": llm.ngram_jaccard_docs,
+        "order_latency_distribution": star.order_latency_distribution,
+        "order_status_pivot": star.order_status_pivot,
+        "ppl_buckets_docs": llm.ppl_buckets_docs,
+        "q10_returned_items": star.q10_returned_items,
+        "q13_order_count_distribution": star.q13_order_count_distribution,
+        "q18_large_orders": star.q18_large_orders,
+        "q20_heavy_suppliers": star.q20_heavy_suppliers,
+        "q21_last_shipper": star.q21_last_shipper,
+        "q5_region_revenue": star.q5_region_revenue,
+        "q6_revenue_change": star.q6_revenue_change,
+        "q9_profit_by_nation": star.q9_profit_by_nation,
+        "quality_classifier_bottomk_docs": llm.quality_classifier_bottomk_docs,
+        "quality_classifier_sampled_docs": llm.quality_classifier_sampled_docs,
+        "quality_docs": llm.quality_docs,
+        "random_projection_embeddings": llm.random_projection_embeddings,
+        "returnflag_measures_unpivot": star.returnflag_measures_unpivot,
+        "revenue_cube": star.revenue_cube,
+        "revenue_rollup": star.revenue_rollup,
+        "simhash_pairs_banded": llm.simhash_pairs_banded_docs,
+        "stream_quality_scores_docs": llm.stream_quality_scores_docs,
+        "temperature_sample_docs": llm.temperature_sample_docs,
+        "winnow_dup_pairs_capped": llm.winnow_dup_pairs_capped_docs,
+        "winnow_dup_pairs_docs": llm.winnow_dup_pairs_docs,
+        "winnow_fingerprints_docs": llm.winnow_fingerprints_docs,
+        "zipf_fit_docs": llm.zipf_fit_docs,
     }
 
 def _logreg_sql(
