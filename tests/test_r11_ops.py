@@ -223,3 +223,46 @@ def test_curated_neardup_collapses_clusters(spark):
     assert sum(r["n_members"] for r in near) == len(cur)
     kept_ids = {r["doc_id"] for r in near}
     assert kept_ids <= {r["doc_id"] for r in cur}
+
+
+def test_cdc_incremental_batching_invariance_property(spark):
+    """Hypothesis property (the claim the oracle checks on one split):
+    for ARBITRARY corpora and ARBITRARY 2-way batch splits — including
+    splits where the second batch holds SMALLER doc ids than the
+    index's — cdc_trim_new_batch(batch2, index(batch1)) equals the
+    one-shot cdc_trim over the union restricted to batch-2 docs,
+    because the combined keeper is the associative min."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tweetaggregates_spark.operators import dedup as dd
+
+    word = st.sampled_from("aa bb cc dd ee".split())
+    doc = st.lists(word, min_size=0, max_size=25).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        docs=st.lists(doc, min_size=2, max_size=10),
+        mask=st.integers(min_value=1, max_value=2**10 - 2),
+    )
+    def prop(docs, mask):
+        rows = [(i, t) for i, t in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        in2 = {i for i, _ in rows if (mask >> (i % 10)) & 1}
+        if not in2 or len(in2) == len(rows):
+            return
+        b1 = df.filter(~F.col("doc_id").isin(list(in2)))
+        b2 = df.filter(F.col("doc_id").isin(list(in2)))
+        trimmed, _ = dd.cdc_trim_new_batch(b2, dd.cdc_chunk_index(b1))
+        inc = sorted(map(tuple, trimmed.collect()))
+        ref = sorted(
+            map(
+                tuple,
+                dd.cdc_trim(df)
+                .filter(F.col("doc_id").isin(list(in2)))
+                .collect(),
+            )
+        )
+        assert inc == ref
+
+    prop()
