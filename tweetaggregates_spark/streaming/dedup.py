@@ -229,6 +229,72 @@ def run_streaming_exact_dedup(
     )
 
 
+def run_streaming_cdc_trim(
+    spark: SparkSession,
+    in_dir: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    k: int = 4,
+    divisor: int = 8,
+    compact_every: int | None = None,
+):
+    """Sub-document (chunk-level) dedup on an ingest stream against the
+    versioned CDC chunk index — the streaming lifecycle of
+    ``cdc_trim_new_batch`` (round 11), same shape as
+    ``run_streaming_exact_dedup``:
+
+    * per trigger, the pre-batch chunk index folds at read
+      (``read_cdc_index(below=batch_id)`` — associative min-keeper +
+      summed counts, so batching-invariant);
+    * the batch trims against history (``cdc_trim_new_batch``): a
+      chunk survives iff its (doc, seg) is the combined-corpus min —
+      the trigger's output equals the one-shot ``cdc_trim`` over
+      everything-so-far restricted to the trigger's docs;
+    * the trigger appends its O(batch) delta to
+      ``chunks/v=<batch_id>`` (per-version overwrite = replay-safe)
+      and the trimmed docs to ``out_path/batch_id=<batch_id>``;
+    * ``compact_every=N`` rebases the index inline every N triggers
+      (``compact_cdc_index(below=batch_id)`` — only fully-committed
+      triggers fold, so a replayed trigger reads its exact pre-batch
+      index)."""
+    from tweetaggregates_spark.operators.dedup import (
+        CDC_INDEX_SCHEMA,
+        cdc_trim_new_batch,
+        compact_cdc_index,
+        read_cdc_index,
+    )
+
+    def _process(batch_df, batch_id: int) -> None:
+        if (
+            compact_every is not None
+            and batch_id > 0
+            and batch_id % compact_every == 0
+        ):
+            compact_cdc_index(spark, index_path, below=batch_id)
+        index = read_cdc_index(spark, index_path, below=batch_id)
+        trimmed, delta = cdc_trim_new_batch(
+            batch_df, index, k=k, divisor=divisor
+        )
+        trimmed = trimmed.localCheckpoint(eager=True)
+        delta = delta.localCheckpoint(eager=True)
+        delta.write.mode("overwrite").parquet(
+            f"{index_path}/chunks/v={batch_id}"
+        )
+        trimmed.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+
+    from tweetaggregates_spark.streaming.runner import run_foreach_batch
+
+    return run_foreach_batch(
+        spark, in_dir, DOC_SCHEMA, _process, checkpoint,
+        available_now, max_files_per_trigger,
+    )
+
+
 def read_hash_index_parts(
     spark: SparkSession, index_path: str, below: int
 ):
