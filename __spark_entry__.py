@@ -117,10 +117,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is stalest-first for the driver gate (the first 50
-        # entries are hash-checked). Round-11 block: the FIVE new r11
+        # entries are hash-checked). Round-11 block: the SIX new r11
         # registrations lead (sampled-truth LSH audit, incremental CDC
         # trim, broadcast-model bigram scorer, near-dup-composed
-        # curation pipeline, streaming CDC-trim lifecycle), then the
+        # curation pipeline, streaming CDC-trim lifecycle,
+        # dimension-truncation recall audit), then the
         # TEN entries whose code or twin
         # changed this round (the kllsketch filter-first rewrite, the
         # JPEG marker-walk fix, the carry-col shuffle fix, the
@@ -128,7 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the three refactored-plan entries), then the 25 r7-era
         # entries (the stalest driver rows) and the oldest r8-era
         # fill in stable alphabetical order — the gate boundary falls
-        # at dup_cluster_size_histogram (position 50); embedding_stats
+        # at dsir_weights_docs (position 50); dup_cluster_size_histogram
         # is the first entry outside the block (r8-green, re-checked
         # on a later rotation). The tail is sorted stalest-first so the
         # r12 rotation just takes the head.
@@ -138,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_quality_bcast_docs": llm.bigram_lm_quality_bcast_docs,
         "curated_corpus_neardup_docs": llm.curated_corpus_neardup_docs,
         "stream_cdc_trim_docs": llm.stream_cdc_trim_docs,
+        "ann_recall_truncated_embeddings": llm.ann_recall_truncated_embeddings,
         # -- code/twin changed this round --
         "kll_value_daily": ev.kll_value_daily,
         "kll_value_monthly_rollup": ev.kll_value_monthly_rollup,
@@ -4434,6 +4436,55 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents",
         "FROM documents WHERE doc_id IN (SELECT doc_id FROM cur)",
     )
+    # dimension-truncation recall audit: approx side = exact kNN over
+    # the 16-component prefix; same intersection join + per-query
+    # denominator as the IVF recall twin
+    sql["ann_recall_truncated_embeddings"] = f"""
+        WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+        t2 AS (SELECT vec_id, v[1:16] AS v FROM e2),
+        exd AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round({_KM_DIST("q.v", "c.v")}, 6) AS l2_dist
+          FROM e2 q JOIN e2 c
+            ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        ),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY l2_dist ASC, neighbor_id ASC) AS rn
+            FROM exd)
+          WHERE rn <= 5
+        ),
+        apd AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round({_KM_DIST("q.v", "c.v")}, 6) AS l2_dist
+          FROM t2 q JOIN t2 c
+            ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        ),
+        approx AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY l2_dist ASC, neighbor_id ASC) AS rn
+            FROM apd)
+          WHERE rn <= 5
+        ),
+        hits AS (
+          SELECT x.query_id, count(*) AS n_hits
+          FROM exact x JOIN approx a
+            ON x.query_id = a.query_id
+           AND x.neighbor_id = a.neighbor_id
+          GROUP BY x.query_id
+        )
+        SELECT q.query_id,
+               CAST(coalesce(h.n_hits, 0) AS INTEGER) AS n_hits,
+               round(coalesce(h.n_hits, 0) / q.n_exact, 6) AS recall
+        FROM (SELECT query_id, least(count(*), 5) AS n_exact
+              FROM exact GROUP BY query_id) q
+        LEFT JOIN hits h ON q.query_id = h.query_id
+    """
     # streaming CDC trim lifecycle: each trigger's output equals the
     # one-shot trim over everything-ingested-so-far restricted to the
     # trigger's docs, so the 2-file replay is trim(evens) UNION

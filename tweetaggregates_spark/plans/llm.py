@@ -589,6 +589,35 @@ def ann_recall_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(exact, approx, k=5)
 
 
+def ann_recall_truncated_embeddings(
+    spark: SparkSession, sf_dir: str, dims: int = 16
+) -> DataFrame:
+    """Recall@5 of DIMENSION-TRUNCATED search (first ``dims`` of the 64
+    components — the Matryoshka-style prefix compression lever) against
+    full-dimension exact L2. At 100 TB the embedding column dominates
+    scan bytes, and prefix truncation is the cheapest 4x scan/IO
+    reduction — IF recall holds on YOUR vectors; this entry is the
+    audit that says whether it does (synthetic embeddings carry no
+    Matryoshka training bias, so the number here exercises the
+    machinery and an honest baseline, not a claim about real models).
+    Same composition as ann_recall_ivf_embeddings: two oracle-checked
+    kNN sides + the |Q| x k metric join."""
+    from tweetaggregates_spark.operators.similarity import (
+        ann_recall,
+        knn_bruteforce_l2,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce_l2(emb, queries, k=5)
+    t = emb.select(
+        "vec_id", F.slice("embedding", 1, dims).alias("embedding")
+    )
+    tq = t.filter(F.col("vec_id") < 10)
+    approx = knn_bruteforce_l2(t, tq, k=5)
+    return ann_recall(exact, approx, k=5)
+
+
 def quantized_embeddings_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 symmetric quantization of every embedding: scale + exact
     integer summary stats (the full qvec is checked through q_sum /
