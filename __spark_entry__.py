@@ -117,19 +117,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is stalest-first for the driver gate (the first 50
-        # entries are hash-checked). Round-11 block: the SIX new r11
-        # registrations lead (sampled-truth LSH audit, incremental CDC
-        # trim, broadcast-model bigram scorer, near-dup-composed
+        # entries are hash-checked). Round-11 block: the SEVEN new
+        # r11 registrations lead (sampled-truth LSH audit, incremental
+        # CDC trim, broadcast-model bigram scorer, near-dup-composed
         # curation pipeline, streaming CDC-trim lifecycle,
-        # dimension-truncation recall audit), then the
-        # TEN entries whose code or twin
+        # dimension-truncation recall audit, HTML main-content
+        # extraction), then the TEN entries whose code or twin
         # changed this round (the kllsketch filter-first rewrite, the
         # JPEG marker-walk fix, the carry-col shuffle fix, the
         # ann_recall denominator fix, the pair_recall distinct, and
         # the three refactored-plan entries), then the 25 r7-era
         # entries (the stalest driver rows) and the oldest r8-era
         # fill in stable alphabetical order — the gate boundary falls
-        # at dsir_weights_docs (position 50); dup_cluster_size_histogram
+        # at dense_tumbling_counts (position 50); dsir_weights_docs
         # is the first entry outside the block (r8-green, re-checked
         # on a later rotation). The tail is sorted stalest-first so the
         # r12 rotation just takes the head.
@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_corpus_neardup_docs": llm.curated_corpus_neardup_docs,
         "stream_cdc_trim_docs": llm.stream_cdc_trim_docs,
         "ann_recall_truncated_embeddings": llm.ann_recall_truncated_embeddings,
+        "html_extract_docs": llm.html_extract_docs,
         # -- code/twin changed this round --
         "kll_value_daily": ev.kll_value_daily,
         "kll_value_monthly_rollup": ev.kll_value_monthly_rollup,
@@ -4436,6 +4437,65 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents",
         "FROM documents WHERE doc_id IN (SELECT doc_id FROM cur)",
     )
+    # HTML main-content extraction: rebuild the same synthetic page and
+    # replay the same regexes (DuckDB regexp_replace needs the 'g'
+    # flag; Spark's is global by default)
+    sql["html_extract_docs"] = r"""
+        WITH b AS (
+          SELECT doc_id, text,
+            '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+            '</title><script>var trk="' || CAST(doc_id AS VARCHAR) ||
+            '";</script></head><body>' ||
+            '<nav><a href="/">home</a> <a href="/tags">tags</a> ' ||
+            '<a href="/about">about</a> <a href="/login">login</a></nav>' ||
+            '<div class="content"><p>' || coalesce(text, '') ||
+            '</p></div>' ||
+            CASE WHEN doc_id % 3 = 0
+                 THEN '<ul><li><a href="/r1">related one</a></li>' ||
+                      '<li><a href="/r2">related two</a></li></ul>'
+                 ELSE '' END ||
+            '<footer><a href="/terms">terms</a> (c) example</footer>' ||
+            '</body></html>' AS html
+          FROM documents
+        ),
+        fr AS (
+          SELECT doc_id, text,
+            regexp_split_to_array(
+              regexp_replace(html,
+                '<(script|style)[^>]*>[^<]*</(script|style)>', ' ', 'g'),
+              '</?(p|div|nav|footer|header|title|head|body|html|ul|li|h1)[^>]*>'
+            ) AS frags
+          FROM b
+        ),
+        blocks AS (
+          SELECT doc_id, text,
+            list_filter(
+              list_transform(frags, x -> {
+                't': trim(regexp_replace(
+                       regexp_replace(x, '<[^>]*>', ' ', 'g'),
+                       '\s+', ' ', 'g')),
+                'l': CAST((length(x) - length(replace(x, '<a ', ''))) / 3
+                          AS INTEGER)
+              }),
+              s -> s.t <> '') AS bl
+          FROM fr
+        ),
+        kept AS (
+          SELECT doc_id, text, bl,
+            list_filter(bl, s -> length(s.t) >= 20
+              AND s.l * 5 <= len(string_split(s.t, ' '))) AS kp
+          FROM blocks
+        )
+        SELECT doc_id,
+               CAST(len(bl) AS INTEGER) AS n_blocks,
+               CAST(len(kp) AS INTEGER) AS n_blocks_kept,
+               array_to_string(list_transform(kp, s -> s.t), ' ')
+                 AS extracted_text,
+               (array_to_string(list_transform(kp, s -> s.t), ' ')
+                = trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))
+                 AS roundtrip
+        FROM kept
+    """
     # dimension-truncation recall audit: approx side = exact kNN over
     # the 16-component prefix; same intersection join + per-query
     # denominator as the IVF recall twin

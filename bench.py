@@ -168,6 +168,9 @@ HEADLINE = [
     # round 11: the streaming lifecycle of the same family — per
     # trigger trim-vs-index + O(batch) delta append, timed end to end
     "stream_cdc_trim_docs",
+    # round 11: HTML main-content extraction (boilerplate removal) —
+    # map-only regex + array HOFs, runs at scan speed
+    "html_extract_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

@@ -351,3 +351,45 @@ def test_stream_cdc_trim_lifecycle(spark, tmp_path):
         map(tuple, dd.read_cdc_index(spark, str(tmp_path / "index")).collect())
     )
     assert idx_after == idx_before
+
+
+def test_html_main_text_boilerplate_and_plan(spark):
+    """HTML extraction pins: script payload stripped, nav dropped by
+    link density (long enough to pass the length rule), footer/title/
+    related-links dropped, content preserved verbatim after whitespace
+    normalization; short docs extract to empty. Plan: map-only (zero
+    Exchange), pure JVM."""
+    from tweetaggregates_spark.operators.text import (
+        attach_synth_html,
+        html_main_text,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (3, "this is the real content of the document with many words"),
+            (1, "short"),
+            (2, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in html_main_text(attach_synth_html(docs)).collect()
+    }
+    body = out[3]["extracted_text"]
+    assert body == "this is the real content of the document with many words"
+    for boiler in ("home", "related", "terms", "var trk", "doc 3"):
+        assert boiler not in body
+    # nav text is 21 chars (>= the 20-char rule) — dropped ONLY by the
+    # link-density rule, so that branch is exercised
+    assert len("home tags about login") >= 20
+    assert out[1]["extracted_text"] == ""
+    assert out[1]["n_blocks"] > 0
+    assert out[2]["extracted_text"] == ""
+
+    plan = (
+        html_main_text(attach_synth_html(docs))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan

@@ -1196,3 +1196,114 @@ def ppl_buckets(
         F.lit("unscored").alias("ppl_bucket"),
     )
     return bucketed.unionByName(unscored)
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction (round 11): the trafilatura/resiliparse
+# role in a crawl-curation pipeline — strip script/style, split the
+# page into block-level fragments, keep the text-dense low-link-density
+# blocks, rejoin. Entirely array higher-order functions: map-only, no
+# shuffle, no UDF; the DuckDB twin replays the same regexes.
+# ---------------------------------------------------------------------------
+
+_HTML_BLOCK_SPLIT = "</?(p|div|nav|footer|header|title|head|body|html|ul|li|h1)[^>]*>"
+_HTML_TAG = "<[^>]*>"
+_HTML_SCRIPT = "<(script|style)[^>]*>[^<]*</(script|style)>"
+
+
+def attach_synth_html(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Wrap each doc's text in a deterministic synthetic page so the
+    extractor exercises every branch: a <title>, a <nav> of link
+    boilerplate (link-dense — must drop), the real text inside
+    <div><p> (must keep), an optional mid-page <ul> of related links
+    (doc_id % 3 == 0), an inline <script> (must strip), and a
+    <footer> (short + linky — must drop). Pure Column concat; the
+    twin rebuilds the identical string in SQL."""
+    did = F.col(id_col)
+    nav = F.concat(
+        F.lit('<nav><a href="/">home</a> <a href="/tags">tags</a> '
+              '<a href="/about">about</a> <a href="/login">login</a></nav>')
+    )
+    related = F.when(
+        did % 3 == 0,
+        F.lit('<ul><li><a href="/r1">related one</a></li>'
+              '<li><a href="/r2">related two</a></li></ul>'),
+    ).otherwise(F.lit(""))
+    return df.withColumn(
+        "html",
+        F.concat(
+            F.lit("<html><head><title>doc "),
+            did.cast("string"),
+            F.lit('</title><script>var trk="'),
+            did.cast("string"),
+            F.lit('";</script></head><body>'),
+            nav,
+            F.lit('<div class="content"><p>'),
+            F.coalesce(F.col(text_col), F.lit("")),
+            F.lit("</p></div>"),
+            related,
+            F.lit('<footer><a href="/terms">terms</a> (c) example</footer>'
+                  "</body></html>"),
+        ),
+    )
+
+
+def html_main_text(
+    df: DataFrame,
+    html_col: str = "html",
+    min_block_chars: int = 20,
+    max_links_per_5_words: int = 1,
+) -> DataFrame:
+    """Extract the main text of an HTML page by block text density —
+    the standard boilerplate-removal heuristic (Kohlschuetter et al.
+    WSDM'10 / trafilatura): strip <script>/<style> payloads, split on
+    block-level tags, and keep fragments that are long enough AND not
+    link-dominated (links counted BEFORE inline-tag stripping:
+    n_links * 5 <= max_links_per_5_words * n_words). Adds:
+
+    * ``extracted_text`` — kept blocks joined by one space, inline
+      tags stripped, whitespace collapsed;
+    * ``n_blocks`` — non-empty fragments seen;
+    * ``n_blocks_kept`` — fragments surviving the density rule.
+
+    Map-only: regexp split -> transform/filter over the fragment
+    array -> array_join. No shuffle, no UDF — at 100 TB this runs at
+    scan speed alongside the other single-pass signals."""
+    noscript = F.regexp_replace(F.col(html_col), _HTML_SCRIPT, " ")
+    frags = F.split(noscript, _HTML_BLOCK_SPLIT)
+    # per fragment: stripped text (inline tags out, whitespace
+    # collapsed) and the pre-strip link count
+    stripped = lambda x: F.trim(  # noqa: E731
+        F.regexp_replace(F.regexp_replace(x, _HTML_TAG, " "), r"\s+", " ")
+    )
+    n_links = lambda x: (  # noqa: E731
+        F.length(x) - F.length(F.regexp_replace(x, "<a ", ""))
+    ) / 3
+    blocks = F.filter(
+        F.transform(
+            frags,
+            lambda x: F.struct(
+                stripped(x).alias("t"), n_links(x).cast("int").alias("l")
+            ),
+        ),
+        lambda s: s["t"] != "",
+    )
+    words = lambda t: F.size(F.split(t, " "))  # noqa: E731
+    kept = F.filter(
+        blocks,
+        lambda s: (F.length(s["t"]) >= min_block_chars)
+        & (s["l"] * 5 <= F.lit(max_links_per_5_words) * words(s["t"])),
+    )
+    return (
+        df.withColumn("_blocks", blocks)
+        .withColumn("_kept", kept)
+        .withColumn(
+            "extracted_text",
+            F.array_join(F.transform("_kept", lambda s: s["t"]), " "),
+        )
+        .withColumn("n_blocks", F.size("_blocks"))
+        .withColumn("n_blocks_kept", F.size("_kept"))
+        .drop("_blocks", "_kept")
+    )
