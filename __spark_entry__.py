@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is the first entry outside the block (r8-green, re-checked
         # on a later rotation). The tail is sorted stalest-first so the
         # r12 rotation just takes the head.
+        # -- round-12 registrations (never driver-checked) --
+        "url_canonical_docs": llm.url_canonical_docs,
         # -- round-11 registrations (never driver-checked) --
         "lsh_recall_sampled_docs": llm.lsh_recall_sampled_docs,
         "incremental_cdc_trim_docs": llm.incremental_cdc_trim_docs,
@@ -1920,6 +1922,82 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_urls,
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         FROM u GROUP BY 1
+    """
+    # URL canonicalization + per-canonical keeper (VERDICT r11 #6):
+    # the synthesis CASE and every canonicalization regex replay
+    # operators/text.canonical_urls step for step (TRACKING_PARAM_RE
+    # imported from the operator so the twins cannot drift)
+    from tweetaggregates_spark.operators.text import TRACKING_PARAM_RE
+
+    sql["url_canonical_docs"] = f"""
+        WITH aug AS (
+          SELECT doc_id, text || ' ' ||
+            CASE doc_id % 6
+              WHEN 0 THEN 'https://WWW.Example.COM/page/'
+                          || CAST(doc_id - doc_id % 6 AS VARCHAR)
+                          || '?utm_source=x&id=7'
+              WHEN 1 THEN 'https://example.com:443/page/'
+                          || CAST(doc_id - doc_id % 6 AS VARCHAR)
+                          || '/?id=7&fbclid=abc'
+              WHEN 2 THEN 'https://example.com/page/'
+                          || CAST(doc_id - doc_id % 6 AS VARCHAR)
+                          || '?ref=tw&id=7'
+              WHEN 3 THEN 'http://blog.example.org:80/post/'
+                          || CAST(doc_id AS VARCHAR) || '#frag'
+              WHEN 4 THEN 'https://news.example.net/a/'
+                          || CAST(doc_id AS VARCHAR) || '?b=2&a=1'
+              ELSE 'https://example.com/page/'
+                   || CAST(doc_id - doc_id % 6 AS VARCHAR)
+            END AS text
+          FROM documents
+        ),
+        raw AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '{_url_frag}'))
+                   AS url
+          FROM aug
+        ),
+        c0 AS (
+          SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u
+          FROM raw
+        ),
+        c1 AS (
+          SELECT doc_id, url,
+                 lower(regexp_extract(u, '^(https?)://', 1)) AS scheme,
+                 regexp_replace(
+                   lower(regexp_extract(u, '^https?://([^/?#]+)', 1)),
+                   '^www\\.', '') AS host0,
+                 regexp_extract(u, '^https?://[^/?#]+(.*)$', 1) AS rest
+          FROM c0
+        ),
+        c2 AS (
+          SELECT doc_id, url, scheme,
+                 CASE WHEN scheme = 'http'
+                      THEN regexp_replace(host0, ':80$', '')
+                      ELSE regexp_replace(host0, ':443$', '') END AS host,
+                 regexp_replace(
+                   regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+                 regexp_extract(rest, '^[^?]*\\?(.*)$', 1) AS query
+          FROM c1
+        ),
+        c3 AS (
+          SELECT doc_id, url,
+                 scheme || '://' || host || path ||
+                 CASE WHEN qkept <> '' THEN '?' || qkept ELSE '' END
+                   AS canonical_url
+          FROM (
+            SELECT *, array_to_string(list_sort(list_filter(
+                     string_split(query, '&'),
+                     p -> p <> '' AND NOT regexp_matches(
+                       p, '{TRACKING_PARAM_RE}'))), '&') AS qkept
+            FROM c2)
+        ),
+        keeper AS (
+          SELECT canonical_url, min(doc_id) AS keeper_doc_id
+          FROM c3 GROUP BY 1
+        )
+        SELECT c3.doc_id, c3.url, c3.canonical_url, k.keeper_doc_id,
+               c3.doc_id = k.keeper_doc_id AS is_keeper
+        FROM c3 JOIN keeper k USING (canonical_url)
     """
     # the oracle computes daily counts straight from raw events; equality
     # with the Spark side (which re-aggregates the persisted 10-min

@@ -1,0 +1,83 @@
+"""Round-12 operator tests: URL canonicalization, LSH parameter
+planner, exact-substring (span) trim, and the IVF-PQ index
+append/compact lifecycle."""
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _canon(spark, urls):
+    """Run canonical_urls over one-doc-per-url rows; return
+    {doc_id: canonical_url}."""
+    from tweetaggregates_spark.operators.text import canonical_urls
+
+    df = spark.createDataFrame(
+        [(i, f"see {u} end") for i, u in enumerate(urls)],
+        "doc_id BIGINT, text STRING",
+    )
+    return {
+        r["doc_id"]: r["canonical_url"]
+        for r in canonical_urls(df).collect()
+    }
+
+
+def test_canonical_urls_edge_cases(spark):
+    got = _canon(
+        spark,
+        [
+            "https://WWW.Example.COM:443/Page/1/?utm_source=x&id=7#frag",
+            "http://example.com:80/a",
+            "http://example.com:8080/a",  # non-default port KEPT
+            "https://example.com/a?b=2&a=1",  # params sorted
+            "https://example.com/a/?utm_campaign=z",  # tracking-only query
+            "https://example.com/",  # root trailing slash
+            "https://sub.www.example.com/x",  # only LEADING www. strips
+        ],
+    )
+    # case, default port, www, tracking param, fragment, trailing /
+    assert got[0] == "https://example.com/Page/1?id=7"
+    assert got[1] == "http://example.com/a"
+    assert got[2] == "http://example.com:8080/a"
+    assert got[3] == "https://example.com/a?a=1&b=2"
+    assert got[4] == "https://example.com/a"
+    assert got[5] == "https://example.com"
+    assert got[6] == "https://sub.www.example.com/x"
+
+
+def test_canonical_urls_keeper(spark):
+    """Variants of one page share a canonical URL; keeper is the min
+    doc_id; distinct pages keep themselves."""
+    from tweetaggregates_spark.operators.text import canonical_urls
+
+    df = spark.createDataFrame(
+        [
+            (10, "x https://example.com/p?id=1&utm_source=a y"),
+            (11, "x https://EXAMPLE.com/p/?id=1 y"),
+            (12, "x https://example.com/q y"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in canonical_urls(df).collect()}
+    assert rows[10]["canonical_url"] == rows[11]["canonical_url"]
+    assert rows[10]["keeper_doc_id"] == 10
+    assert rows[10]["is_keeper"] and not rows[11]["is_keeper"]
+    assert rows[12]["is_keeper"] and rows[12]["keeper_doc_id"] == 12
+
+
+def test_url_canonical_docs_nonvacuous(spark):
+    """At sf0.01 the variant synthesis plants 3-way mergers: some rows
+    must be non-keepers, and every 6-group's 0/1/2 variants share one
+    canonical URL."""
+    from tweetaggregates_spark.plans import llm
+
+    out = llm.url_canonical_docs(spark, SF)
+    n_urls = out.count()
+    n_non_keeper = out.filter(~F.col("is_keeper")).count()
+    assert n_urls > 0 and n_non_keeper > 0
+    trio = (
+        out.filter(F.col("doc_id") % 6 < 3)
+        .groupBy((F.col("doc_id") - F.col("doc_id") % 6).alias("g"))
+        .agg(F.countDistinct("canonical_url").alias("n"))
+    )
+    assert trio.filter(F.col("n") != 1).count() == 0

@@ -79,21 +79,6 @@ def _lstar(n: Column, k: int) -> Column:
     return expr
 
 
-def _v2(p: Column) -> Column:
-    """2-adic valuation of position p >= 1 (trailing zero count),
-    capped at MAX_LEVELS - 1. Exact integer bit-twiddle: p & -p
-    isolates the lowest set bit 2^tz, so bit_count(2^tz - 1) = tz —
-    value-identical to the former 31-term indicator sum but ~30x less
-    generated code (the sum, duplicated through the keep predicate,
-    overflowed janino's 64 KB method limit and dropped the whole KLL
-    stage to interpreted execution — r11 bench-stability fix)."""
-    p = p.cast("long")
-    return F.least(
-        F.bit_count(p.bitwiseAND(-p) - F.lit(1)),
-        F.lit(MAX_LEVELS - 1),
-    )
-
-
 def kll_sketch_items(
     df: DataFrame,
     group_cols: list[str],

@@ -390,6 +390,65 @@ def domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.domain_stats(_docs_with_urls(spark, sf_dir))
 
 
+def _docs_with_url_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-variant synthesis for the canonicalization entry: every doc
+    gets one appended URL; doc_id % 6 picks the raw form. Variants
+    0-2 are THE SAME page (group ``doc_id - doc_id % 6``) written
+    three ways — host case + www + utm param / default port +
+    trailing slash + fbclid / ref param — so canonicalization must
+    merge them; 3 exercises fragment + http :80 stripping, 4 query-
+    param sorting, 5 the no-query passthrough."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    g = (d - d % 6).cast("string")
+    url = (
+        F.when(
+            d % 6 == 0,
+            F.concat(
+                F.lit("https://WWW.Example.COM/page/"), g,
+                F.lit("?utm_source=x&id=7"),
+            ),
+        )
+        .when(
+            d % 6 == 1,
+            F.concat(
+                F.lit("https://example.com:443/page/"), g,
+                F.lit("/?id=7&fbclid=abc"),
+            ),
+        )
+        .when(
+            d % 6 == 2,
+            F.concat(
+                F.lit("https://example.com/page/"), g, F.lit("?ref=tw&id=7")
+            ),
+        )
+        .when(
+            d % 6 == 3,
+            F.concat(
+                F.lit("http://blog.example.org:80/post/"),
+                d.cast("string"), F.lit("#frag"),
+            ),
+        )
+        .when(
+            d % 6 == 4,
+            F.concat(
+                F.lit("https://news.example.net/a/"),
+                d.cast("string"), F.lit("?b=2&a=1"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://example.com/page/"), g))
+    )
+    return docs.withColumn("text", F.concat(F.col("text"), F.lit(" "), url))
+
+
+def url_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + per-canonical-URL keeper over the
+    variant-augmented corpus (operators/text.canonical_urls): variants
+    0-2 of each 6-group collapse to one canonical page, so the keeper
+    column does real work under the gate."""
+    return text.canonical_urls(_docs_with_url_variants(spark, sf_dir))
+
+
 def cosine_near_dups_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-nested-loop matmul near-dups — the no-driver-collect form
     of cosine_near_dups_blocked (block pairs meet in the shuffle; one

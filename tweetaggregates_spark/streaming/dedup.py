@@ -262,6 +262,7 @@ def run_streaming_cdc_trim(
       index)."""
     from tweetaggregates_spark.operators.dedup import (
         CDC_INDEX_SCHEMA,
+        append_cdc_index_delta,
         cdc_trim_new_batch,
         compact_cdc_index,
         read_cdc_index,
@@ -280,9 +281,7 @@ def run_streaming_cdc_trim(
         )
         trimmed = trimmed.localCheckpoint(eager=True)
         delta = delta.localCheckpoint(eager=True)
-        delta.write.mode("overwrite").parquet(
-            f"{index_path}/chunks/v={batch_id}"
-        )
+        append_cdc_index_delta(delta, index_path, batch_id)
         trimmed.write.mode("overwrite").parquet(
             f"{out_path}/batch_id={batch_id}"
         )
