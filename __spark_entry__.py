@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12 rotation just takes the head.
         # -- round-12 registrations (never driver-checked) --
         "url_canonical_docs": llm.url_canonical_docs,
+        "lsh_plan_audit": llm.lsh_plan_audit,
         # -- round-11 registrations (never driver-checked) --
         "lsh_recall_sampled_docs": llm.lsh_recall_sampled_docs,
         "incremental_cdc_trim_docs": llm.incremental_cdc_trim_docs,
@@ -4488,6 +4489,66 @@ def oracle_sql() -> dict[str, str]:
     )
     assert sql["lsh_recall_docs"].count("FROM documents") == 1
     sql["lsh_recall_sampled_docs"] = sql["lsh_recall_docs"].replace(
+        "FROM documents", f"FROM documents WHERE {_lshaudit_pred}"
+    )
+    # LSH parameter planner (VERDICT r11 #4): planned recall is the
+    # MMDS s-curve 1-(1-s^r)^b averaged over the exact-Jaccard true
+    # pairs (rounded 9 dp, DECIMAL-summed — order-free), measured
+    # recall the fraction of true pairs the real banding surfaced;
+    # both on the same 'lshaudit' 20% sample as the recall audit
+    _plan_audit_sql = f"""
+        {_D_SHINGLES},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS n_inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        truth AS (
+          SELECT doc_a, doc_b,
+                 round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.3
+        ),
+        sig AS (
+          SELECT doc_id, {_MINHASH_MINS}
+          FROM sh GROUP BY doc_id
+        ),
+        bands AS ({_BAND_SELECTS}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        hitj AS (
+          SELECT t.jaccard,
+                 CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM truth t LEFT JOIN cand c USING (doc_a, doc_b)
+        ),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_truth,
+                 CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hit,
+                 round(CAST(coalesce(sum(CAST(round(
+                         1 - pow(1 - pow(jaccard, 4), 4), 9)
+                       AS DECIMAL(28,12))), 0) AS DOUBLE)
+                       / greatest(count(*), 1), 6) AS planned_recall
+          FROM hitj
+        )
+        SELECT 4 AS n_bands, 4 AS rows_per_band,
+               CAST(0.3 AS DOUBLE) AS threshold,
+               n_truth, n_hit, planned_recall,
+               round(n_hit / greatest(n_truth, 1), 6) AS measured_recall,
+               round(round(n_hit / greatest(n_truth, 1), 6)
+                     - planned_recall, 6) AS gap
+        FROM agg
+    """
+    assert _plan_audit_sql.count("FROM documents") == 1
+    sql["lsh_plan_audit"] = _plan_audit_sql.replace(
         "FROM documents", f"FROM documents WHERE {_lshaudit_pred}"
     )
     # incremental CDC trim (VERDICT r10 #5): the combined-min keeper

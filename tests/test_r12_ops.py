@@ -65,6 +65,44 @@ def test_canonical_urls_keeper(spark):
     assert rows[12]["is_keeper"] and rows[12]["keeper_doc_id"] == 12
 
 
+def test_lsh_plan_audit_gap_bound(spark):
+    """The planner's s-curve prediction must track the measured
+    banding recall. At threshold 0.05 over full sf0.01 the truth set
+    includes medium-similarity pairs the 16/4 banding genuinely
+    misses (the curve is meaningfully < 1 there), so the bound is
+    exercised on the interesting part of the curve, not the s~1
+    plateau. 2-sigma binomial noise at n_truth~30 is ~0.13; the pin
+    is 0.15."""
+    from tweetaggregates_spark.operators import dedup
+    from tweetaggregates_spark.plans import llm
+
+    docs = llm._docs(spark, SF).select("doc_id", "text")
+    row = dedup.lsh_plan_audit(docs, threshold=0.05).collect()[0]
+    assert row["n_truth"] > 10
+    # the banding must actually miss some medium-similarity pairs —
+    # otherwise this pin is not testing the curve
+    assert row["n_hit"] < row["n_truth"]
+    assert 0.0 < row["planned_recall"] < 1.0
+    assert abs(row["gap"]) < 0.15
+    # sanity: gap is derived from the two rounded columns
+    assert abs(
+        row["measured_recall"] - row["planned_recall"] - row["gap"]
+    ) < 2e-6
+
+
+def test_lsh_plan_audit_registered_shape(spark):
+    """The registered sampled entry: one row, consistent counts."""
+    from tweetaggregates_spark.plans import llm
+
+    rows = llm.lsh_plan_audit(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_bands"] == 4 and r["rows_per_band"] == 4
+    assert 0 <= r["n_hit"] <= r["n_truth"]
+    assert 0.0 <= r["planned_recall"] <= 1.0
+    assert 0.0 <= r["measured_recall"] <= 1.0
+
+
 def test_url_canonical_docs_nonvacuous(spark):
     """At sf0.01 the variant synthesis plants 3-way mergers: some rows
     must be non-keepers, and every 6-group's 0/1/2 variants share one

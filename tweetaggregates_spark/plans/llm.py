@@ -1610,6 +1610,17 @@ def lsh_recall_sampled_docs(
     return dedup.pair_recall(truth, cand)
 
 
+def lsh_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planned-vs-measured LSH recall on the 'lshaudit' 20% sample
+    (operators/dedup.lsh_plan_audit): the 1-(1-s^r)^b s-curve averaged
+    over the exact-Jaccard true pairs next to the recall the actual
+    16-hash/4-band minhash achieved — the closed-form sizing curve
+    under the gate."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sampled = sampling.hash_sample(docs, "doc_id", 0.2, salt="lshaudit")
+    return dedup.lsh_plan_audit(sampled, threshold=0.3)
+
+
 def _curated_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The standard pre-training curation pipeline EXECUTED end to end
     in one composed plan (the RefinedWeb/Gopher recipe order): fused
