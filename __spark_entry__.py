@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-12 registrations (never driver-checked) --
         "url_canonical_docs": llm.url_canonical_docs,
         "lsh_plan_audit": llm.lsh_plan_audit,
+        "substring_trim_docs": llm.substring_trim_docs,
         # -- round-11 registrations (never driver-checked) --
         "lsh_recall_sampled_docs": llm.lsh_recall_sampled_docs,
         "incremental_cdc_trim_docs": llm.incremental_cdc_trim_docs,
@@ -4389,6 +4390,74 @@ def oracle_sql() -> dict[str, str]:
                  c.n_tokens_chunk,
                  (c.doc_id = k.m.d AND c.seg_id = k.m.s) AS keep
           FROM chunks c JOIN keeper k USING (chunk_hash)
+        ),
+        per_doc AS (
+          SELECT m.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_chunks,
+                 CAST(sum(CASE WHEN m.keep THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_chunks_kept,
+                 CAST(coalesce(sum(CASE WHEN m.keep
+                                        THEN m.n_tokens_chunk END), 0)
+                      AS BIGINT) AS n_tokens_kept,
+                 string_agg(
+                   CASE WHEN m.keep THEN array_to_string(
+                     b.toks[m.start_pos + 1 : m.end_pos + 1], ' ')
+                   END, ' ' ORDER BY m.seg_id) AS text_deduped
+          FROM marked m JOIN base b USING (doc_id)
+          GROUP BY 1
+        )
+        SELECT b.doc_id,
+               coalesce(p.n_chunks, 0) AS n_chunks,
+               coalesce(p.n_chunks_kept, 0) AS n_chunks_kept,
+               coalesce(p.n_tokens_kept, 0) AS n_tokens_kept,
+               coalesce(p.text_deduped, '') AS text_deduped
+        FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """
+    )
+    # exact-substring span trim (VERDICT r11 #3): non-keeper
+    # occurrences of SHARED chunks group into maximal runs
+    # (gaps-and-islands prefix sum); a run trims only when its token
+    # total reaches the span threshold — short incidental overlaps
+    # survive, long duplicated spans go
+    sql["substring_trim_docs"] = (
+        _D_CDC_SPANS.format(
+            src="""(
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          WHERE doc_id % 5 = 0
+        )"""
+        )
+        + """
+        , keeper AS (
+          SELECT chunk_hash,
+                 min({'d': doc_id, 's': seg_id}) AS m,
+                 count(*) AS n_occ
+          FROM chunks GROUP BY 1
+        ),
+        cnd AS (
+          SELECT c.doc_id, c.seg_id, c.start_pos, c.end_pos,
+                 c.n_tokens_chunk,
+                 (k.n_occ > 1 AND NOT
+                  (c.doc_id = k.m.d AND c.seg_id = k.m.s)) AS cand
+          FROM chunks c JOIN keeper k USING (chunk_hash)
+        ),
+        grp AS (
+          SELECT *, sum(CASE WHEN cand THEN 0 ELSE 1 END) OVER (
+                   PARTITION BY doc_id ORDER BY seg_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS g
+          FROM cnd
+        ),
+        runs AS (
+          SELECT *, sum(CASE WHEN cand THEN n_tokens_chunk ELSE 0 END)
+                   OVER (PARTITION BY doc_id, g) AS run_tokens
+          FROM grp
+        ),
+        marked AS (
+          SELECT doc_id, seg_id, start_pos, end_pos, n_tokens_chunk,
+                 (NOT cand OR run_tokens < 20) AS keep
+          FROM runs
         ),
         per_doc AS (
           SELECT m.doc_id,

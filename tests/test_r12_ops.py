@@ -103,6 +103,88 @@ def test_lsh_plan_audit_registered_shape(spark):
     assert 0.0 <= r["measured_recall"] <= 1.0
 
 
+def _st_words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_substring_trim_span_semantics(spark):
+    """Long duplicated spans trim from the non-keeper occurrence only;
+    short duplicates survive everywhere; unique text always stays."""
+    from tweetaggregates_spark.operators.dedup import substring_trim
+
+    shared = _st_words("shared", 60)
+    short = _st_words("tiny", 8)
+    df = spark.createDataFrame(
+        [
+            (1, _st_words("ua", 10) + " " + shared + " " + _st_words("va", 10)),
+            (2, _st_words("wb", 10) + " " + shared + " " + _st_words("xb", 10)),
+            (3, short),
+            (4, short),
+            (5, _st_words("uniq", 25)),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_trim(df, min_span_tokens=20).collect()
+    }
+    # doc 1 is the keeper occurrence of every shared chunk: fully kept
+    assert out[1]["n_chunks_kept"] == out[1]["n_chunks"]
+    assert out[1]["n_tokens_kept"] == 80
+    # doc 2 loses the bulk of the 60-token shared span but keeps its
+    # unique surroundings (edge chunks may straddle the boundary)
+    kept2 = out[2]["text_deduped"].split()
+    assert out[2]["n_tokens_kept"] < 80
+    assert 80 - out[2]["n_tokens_kept"] >= 20  # a real span went
+    assert all(w in kept2 for w in ("wb0", "wb9", "xb9"))
+    # the 8-token whole-doc duplicate is below the span threshold:
+    # BOTH copies keep it (cdc_trim would have emptied doc 4)
+    assert out[3]["n_tokens_kept"] == 8
+    assert out[4]["n_tokens_kept"] == 8
+    # unique doc untouched
+    assert out[5]["n_tokens_kept"] == 25
+    assert out[5]["n_chunks_kept"] == out[5]["n_chunks"]
+
+
+def test_substring_trim_identical_docs(spark):
+    """A full duplicate above the threshold trims to empty text in the
+    non-keeper copy — the whole doc is one maximal run."""
+    from tweetaggregates_spark.operators.dedup import substring_trim
+
+    body = _st_words("dup", 40)
+    df = spark.createDataFrame(
+        [(7, body), (8, body)], "doc_id BIGINT, text STRING"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_trim(df, min_span_tokens=20).collect()
+    }
+    assert out[7]["n_tokens_kept"] == 40
+    assert out[8]["n_tokens_kept"] == 0
+    assert out[8]["text_deduped"] == ""
+    assert out[8]["n_chunks"] > 0  # doc stays visible with drop counts
+
+
+def test_substring_trim_vs_cdc_trim_spares_short(spark):
+    """On the plain sf0.01 corpus the span threshold must spare docs
+    that cdc_trim would cut: strictly fewer trimmed docs."""
+    from tweetaggregates_spark.operators.dedup import cdc_trim, substring_trim
+    from tweetaggregates_spark.plans import llm
+
+    docs = llm._docs(spark, SF)
+    n_span = (
+        substring_trim(docs)
+        .filter(F.col("n_chunks_kept") < F.col("n_chunks"))
+        .count()
+    )
+    n_cdc = (
+        cdc_trim(docs)
+        .filter(F.col("n_chunks_kept") < F.col("n_chunks"))
+        .count()
+    )
+    assert 0 < n_span < n_cdc
+
+
 def test_url_canonical_docs_nonvacuous(spark):
     """At sf0.01 the variant synthesis plants 3-way mergers: some rows
     must be non-keepers, and every 6-group's 0/1/2 variants share one

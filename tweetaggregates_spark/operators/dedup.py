@@ -2078,6 +2078,97 @@ def cdc_trim(
     return _cdc_reassemble(base, marked)
 
 
+def substring_trim(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    divisor: int = 8,
+    min_span_tokens: int = 20,
+) -> DataFrame:
+    """Exact-substring span trim — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr) shape on the CDC machinery (VERDICT r11 #3):
+    remove duplicated SPANS of at least ``min_span_tokens`` tokens
+    while keeping the surrounding unique text AND short incidental
+    overlaps. ``cdc_trim`` drops every non-keeper occurrence of every
+    shared chunk; real curation wants span granularity — a document
+    quoting one idiomatic 8-token phrase is not duplication, a
+    document embedding a 200-token boilerplate block is.
+
+    Approximation contract: duplicated spans are detected as MAXIMAL
+    RUNS of consecutive non-keeper shared CDC chunks. The CDC property
+    makes a genuinely shared run longer than a chunk cut identically
+    in both occurrences, so a duplicated span of S tokens is detected
+    with granularity one chunk (~divisor tokens) at each edge; a run
+    whose chunks are shared with DIFFERENT partners is still treated
+    as one span (conservative — it is duplicated text either way).
+    Keeper occurrences (the corpus-wide min (doc_id, seg_id) per
+    chunk) are never trimmed, so every duplicated span survives
+    somewhere — the ExactSubstr keep-one convention.
+
+    Plan shape on top of cdc_chunks: one chunk_hash groupBy (keeper +
+    occurrence count, partial-aggregated), an equi-join back, then two
+    DOC-BOUNDED windows (gaps-and-islands run id via a prefix sum,
+    run-token totals per (doc, run)) and the shared ``_cdc_reassemble``
+    tail — nothing corpus-quadratic, no driver state.
+
+    Output: (doc_id, n_chunks, n_chunks_kept, n_tokens_kept,
+    text_deduped) — the cdc_trim contract."""
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    chunks = cdc_chunks(df, text_col, id_col, k, divisor)
+    keeper = chunks.groupBy("chunk_hash").agg(
+        F.min(F.struct("doc_id", "seg_id")).alias("m"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    cnd = chunks.join(keeper.hint("shuffle_hash"), "chunk_hash").select(
+        "doc_id",
+        "seg_id",
+        "start_pos",
+        "end_pos",
+        "n_tokens_chunk",
+        (
+            (F.col("n_occ") > 1)
+            & ~(
+                (F.col("doc_id") == F.col("m.doc_id"))
+                & (F.col("seg_id") == F.col("m.seg_id"))
+            )
+        ).alias("cand"),
+    )
+    wgrp = (
+        W.partitionBy("doc_id")
+        .orderBy("seg_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    grp = cnd.withColumn(
+        "_g",
+        F.sum(F.when(F.col("cand"), 0).otherwise(1)).over(wgrp),
+    )
+    wrun = W.partitionBy("doc_id", "_g")
+    runs = grp.withColumn(
+        "_run_tokens",
+        F.sum(
+            F.when(F.col("cand"), F.col("n_tokens_chunk")).otherwise(0)
+        ).over(wrun),
+    )
+    marked = runs.select(
+        "doc_id",
+        "seg_id",
+        "start_pos",
+        "end_pos",
+        "n_tokens_chunk",
+        (
+            ~F.col("cand") | (F.col("_run_tokens") < min_span_tokens)
+        ).alias("keep"),
+    )
+    return _cdc_reassemble(base, marked)
+
+
 def _cdc_reassemble(base: DataFrame, marked: DataFrame) -> DataFrame:
     """Shared tail of the chunk-level trims: fold keep-marked chunk
     spans per doc and rebuild the surviving text from the token

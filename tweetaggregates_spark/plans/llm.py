@@ -1803,6 +1803,19 @@ def cdc_trim_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cdc_trim(_docs(spark, sf_dir), k=4, divisor=8)
 
 
+def substring_trim_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span trim over the duplicated crawl
+    (operators/dedup.substring_trim): duplicated spans of >= 20 tokens
+    (maximal runs of shared CDC chunks) are removed from non-keeper
+    occurrences; short incidental chunk overlaps survive — the
+    Lee et al. ExactSubstr shape at span granularity. The planted
+    full copies trim to empty while organically shared short chunks
+    (which cdc_trim would drop) are kept."""
+    return dedup.substring_trim(
+        _docs_with_dups(spark, sf_dir), k=4, divisor=8, min_span_tokens=20
+    )
+
+
 def incremental_cdc_trim_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental chunk-level dedup (VERDICT r10 #5): the corpus
     arrives as two batches (even doc_ids, then odd); the odd batch
