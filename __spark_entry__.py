@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_docs": llm.url_canonical_docs,
         "lsh_plan_audit": llm.lsh_plan_audit,
         "substring_trim_docs": llm.substring_trim_docs,
+        "incremental_ann_ivf_embeddings": llm.incremental_ann_ivf_embeddings,
         # -- round-11 registrations (never driver-checked) --
         "lsh_recall_sampled_docs": llm.lsh_recall_sampled_docs,
         "incremental_cdc_trim_docs": llm.incremental_cdc_trim_docs,
@@ -2414,6 +2415,22 @@ def oracle_sql() -> dict[str, str]:
           FROM scored)
         WHERE rnk <= 5
     """
+    # incremental IVF-PQ lifecycle (VERDICT r11 #5): appended codes
+    # are bit-identical to a from-scratch encode with the same
+    # quantizers and compaction is a pure layout rewrite, so the
+    # build(even)+append(odd)+compact+probe pipeline EQUALS the
+    # init-only twin with its quantizer seeds drawn from the even
+    # half — one WHERE on the two seed subqueries rewrites the twin
+    assert (
+        sql["knn_ivf_pq_embeddings"].count("FROM emb ORDER BY vec_id LIMIT")
+        == 2
+    )
+    sql["incremental_ann_ivf_embeddings"] = sql[
+        "knn_ivf_pq_embeddings"
+    ].replace(
+        "FROM emb ORDER BY vec_id LIMIT",
+        "FROM emb WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT",
+    )
     # TRAINED IVF-ADC (knn_ivf_pq_trained_embeddings): one Lloyd
     # iteration for the coarse quantizer and for each of the m=4
     # per-subspace PQ codebooks — 5 k-means trainings replayed in SQL.

@@ -103,6 +103,77 @@ def test_lsh_plan_audit_registered_shape(spark):
     assert 0.0 <= r["measured_recall"] <= 1.0
 
 
+def _codes_rows(idx):
+    return sorted(tuple(r) for r in idx.codes.collect())
+
+
+def test_ivf_pq_compact_lifecycle(spark):
+    """Compaction is a pure layout rewrite: reads before and after are
+    identical, the folded tree has a single build with only
+    ingest=base partitions, and the below= read contract survives a
+    partial (below=N) compaction — a replayed trigger still sees its
+    exact pre-batch index."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from tweetaggregates_spark.operators.similarity import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        compact_ivf_pq_index,
+        read_ivf_pq_index,
+    )
+    from tweetaggregates_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    b0 = emb.filter(F.col("vec_id") % 3 == 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 1)
+    b2 = emb.filter(F.col("vec_id") % 3 == 2)
+    root = tempfile.mkdtemp(prefix="ivf_compact_")
+    try:
+        build_ivf_pq_index(
+            b0, root, n_cells=4, m_subvectors=4, k_codes=16,
+            coarse_iters=0, pq_iters=0, encode_residuals=False,
+        )
+        append_to_ivf_pq_index(b1, root, ingest_id="0")
+        append_to_ivf_pq_index(b2, root, ingest_id="1")
+        full_before = _codes_rows(read_ivf_pq_index(spark, root))
+        pre1_before = _codes_rows(read_ivf_pq_index(spark, root, below=1))
+
+        # partial compaction: fold base + ingest 0, carry ingest 1
+        compact_ivf_pq_index(spark, root, below=1)
+        assert _codes_rows(read_ivf_pq_index(spark, root)) == full_before
+        assert (
+            _codes_rows(read_ivf_pq_index(spark, root, below=1))
+            == pre1_before
+        )
+        bid = spark.read.parquet(f"{root}/meta").first().build_id
+        parts = sorted(os.listdir(f"{root}/codes_{bid}"))
+        assert [p for p in parts if p.startswith("ingest=")] == [
+            "ingest=1", "ingest=base",
+        ]
+
+        # full compaction: everything folds into base, one build left
+        compact_ivf_pq_index(spark, root)
+        assert _codes_rows(read_ivf_pq_index(spark, root)) == full_before
+        bid = spark.read.parquet(f"{root}/meta").first().build_id
+        parts = sorted(os.listdir(f"{root}/codes_{bid}"))
+        assert [p for p in parts if p.startswith("ingest=")] == [
+            "ingest=base",
+        ]
+        builds = [
+            n for n in os.listdir(root)
+            if re.fullmatch(r"codes(_[0-9a-f]{12})?", n)
+        ]
+        assert builds == [f"codes_{bid}"]  # stale builds pruned
+        # quantizers carried unchanged through both compactions
+        idx = read_ivf_pq_index(spark, root)
+        assert idx.avg_assign_dist is not None
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _st_words(prefix, n):
     return " ".join(f"{prefix}{i}" for i in range(n))
 

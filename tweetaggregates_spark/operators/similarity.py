@@ -1155,8 +1155,6 @@ def build_ivf_pq_index(
     plans see the partitioned layout."""
     from tweetaggregates_spark.operators.cluster import kmeans
 
-    import os
-    import shutil
     import uuid
 
     assigned, cents = kmeans(
@@ -1207,27 +1205,109 @@ def build_ivf_pq_index(
         [(encode_residuals, bid, avg_dist)],
         "encode_residuals BOOLEAN, build_id STRING, avg_assign_dist DOUBLE",
     ).write.mode("overwrite").parquet(f"{path}/meta")
-    import re
-
-    for name in os.listdir(path):
-        # prune ONLY build-id-shaped siblings (12-hex suffix) plus the
-        # legacy unsuffixed dirs a completed rebuild supersedes —
-        # never arbitrary user dirs that merely share the prefix
-        stale = (
-            re.fullmatch(r"(codes|centroids|codebook)(_[0-9a-f]{12})?", name)
-            and not name.endswith(f"_{bid}")
-        )
-        if stale:
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+    _prune_stale_builds(path, bid)
     return read_ivf_pq_index(spark, path)
 
 
-def read_ivf_pq_index(spark, path: str) -> IvfPqIndex:
+def _prune_stale_builds(path: str, keep_bid: str) -> None:
+    """Remove superseded build trees after a committed meta pointer:
+    ONLY build-id-shaped siblings (12-hex suffix) plus the legacy
+    unsuffixed dirs a completed rebuild supersedes — never arbitrary
+    user dirs that merely share the prefix."""
+    import os
+    import re
+    import shutil
+
+    for name in os.listdir(path):
+        stale = (
+            re.fullmatch(r"(codes|centroids|codebook)(_[0-9a-f]{12})?", name)
+            and not name.endswith(f"_{keep_bid}")
+        )
+        if stale:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+
+def compact_ivf_pq_index(
+    spark, path: str, below: int | None = None
+) -> IvfPqIndex:
+    """Rebase the versioned IVF-PQ code tree — the compaction half of
+    the append/compact lifecycle (VERDICT r11 #5), giving the ANN
+    index the same versioned-store contract as the dedup/CDC indexes:
+    ingest deltas accumulate small per-ingest file sets under
+    ``ingest=<id>/cell=<c>``; compaction folds them into a fresh
+    build's ``ingest=base`` tree so the per-cell file count (and probe
+    scan cost) stops growing with ingest history. Quantizers are
+    UNCHANGED — codes are already bit-final at append time, so
+    compaction is a pure layout rewrite: one scan of the code table,
+    no corpus access, no retraining, result-identical reads (pinned in
+    tests/test_r12_ops.py).
+
+    ``below=N`` folds only the committed ingests (numeric ingest id
+    < N, plus the current base); later or non-numeric ingests are
+    CARRIED UNCHANGED into the new build — so a streaming job that
+    compacts at trigger N, then replays trigger N, still reads its
+    exact pre-batch index via ``read_ivf_pq_index(below=N)`` (the
+    ``compact_cdc_index`` contract).
+
+    Crash safety mirrors ``build_ivf_pq_index``: the new build writes
+    under a fresh build id, the meta pointer flips LAST, and stale
+    builds are pruned only after the commit."""
+    import uuid
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    old_bid = getattr(meta, "build_id", None)
+    suffix = f"_{old_bid}" if old_bid else ""
+    codes = spark.read.parquet(f"{path}/codes{suffix}")
+    if "ingest" not in codes.columns:
+        codes = codes.withColumn("ingest", F.lit("base"))
+    if below is None:
+        new_ingest = F.lit("base")
+    else:
+        folds = (F.col("ingest") == "base") | (
+            F.col("ingest").cast("long") < below
+        )
+        new_ingest = F.when(folds, F.lit("base")).otherwise(F.col("ingest"))
+    bid = uuid.uuid4().hex[:12]
+    codes.withColumn("ingest", new_ingest).write.mode(
+        "overwrite"
+    ).partitionBy("ingest", "cell").parquet(f"{path}/codes_{bid}")
+    spark.read.parquet(f"{path}/centroids{suffix}").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids_{bid}")
+    spark.read.parquet(f"{path}/codebook{suffix}").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codebook_{bid}")
+    spark.createDataFrame(
+        [
+            (
+                bool(meta.encode_residuals),
+                bid,
+                getattr(meta, "avg_assign_dist", None),
+            )
+        ],
+        "encode_residuals BOOLEAN, build_id STRING, avg_assign_dist DOUBLE",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    _prune_stale_builds(path, bid)
+    return read_ivf_pq_index(spark, path)
+
+
+def read_ivf_pq_index(
+    spark, path: str, below: int | None = None
+) -> IvfPqIndex:
+    """Open the persisted index. ``below=N`` restricts the code table
+    to the base plus committed numeric ingests < N — the pre-batch
+    view a replayed streaming trigger must see (versioned-store read
+    contract; non-numeric ingest ids are excluded by the filter)."""
     meta = spark.read.parquet(f"{path}/meta").first()
     bid = getattr(meta, "build_id", None)
     suffix = f"_{bid}" if bid else ""  # legacy layout: unsuffixed dirs
     codes = spark.read.parquet(f"{path}/codes{suffix}")
     if "ingest" in codes.columns:
+        if below is not None:
+            codes = codes.filter(
+                (F.col("ingest") == "base")
+                | (F.col("ingest").cast("long") < below)
+            )
         codes = codes.drop("ingest")
     return IvfPqIndex(
         centroids=spark.read.parquet(f"{path}/centroids{suffix}"),

@@ -569,6 +569,58 @@ def knn_ivf_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_ann_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ index LIFECYCLE under the oracle gate (VERDICT r11
+    #5): build the persisted index on the even-vec_id half of the
+    corpus (init-only quantizers so the twin can replay the training),
+    append the odd half WITHOUT retraining
+    (similarity.append_to_ivf_pq_index — per-batch cost is
+    batch-bound: one map pass over the delta, the corpus is never
+    rescanned), compact the versioned code tree
+    (similarity.compact_ivf_pq_index — pure layout rewrite), and probe
+    top-5 for the first 10 vectors through the folded index. Appended
+    codes are bit-identical to a from-scratch encode with the same
+    quantizers, so the result EQUALS init-only ``knn_ivf_pq`` over the
+    full corpus with seeds drawn from the even half — which is exactly
+    the oracle (the hash gate proves the append+compact lifecycle
+    changes nothing but layout)."""
+    import shutil
+    import tempfile
+
+    from tweetaggregates_spark.operators.similarity import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        compact_ivf_pq_index,
+        knn_ivf_pq,
+        read_ivf_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ivf_lifecycle_")
+    try:
+        build_ivf_pq_index(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            root,
+            n_cells=8,
+            m_subvectors=4,
+            k_codes=16,
+            coarse_iters=0,
+            pq_iters=0,
+            encode_residuals=False,
+        )
+        append_to_ivf_pq_index(
+            emb.filter(F.col("vec_id") % 2 == 1), root, ingest_id="1"
+        )
+        compact_ivf_pq_index(spark, root)
+        idx = read_ivf_pq_index(spark, root)
+        out = knn_ivf_pq(
+            None, emb.filter(F.col("vec_id") < 10), k=5, n_probe=2, index=idx
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def knn_ivf_pq_trained_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
