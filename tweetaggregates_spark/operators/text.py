@@ -1347,7 +1347,22 @@ def html_main_text(
 
     Map-only: regexp split -> transform/filter over the fragment
     array -> array_join. No shuffle, no UDF — at 100 TB this runs at
-    scan speed alongside the other single-pass signals."""
+    scan speed alongside the other single-pass signals.
+
+    Known limits (pinned on the hand-authored realistic pages in
+    tests/fixtures/html — tests/test_html_fixtures.py):
+    * a raw ``>`` inside an attribute value (legal but rare HTML)
+      terminates the ``<[^>]*>`` tag match early and leaks the tag's
+      tail into the text (bounded by the tag length);
+    * an HTML comment containing ``>`` strips only up to that ``>``;
+      the residue usually falls below ``min_block_chars`` but can
+      survive inside a long block;
+    * tables are not block splitters: cell text joins the surrounding
+      prose (fine for LM corpora, wrong for layout-aware use);
+    * a ``<script>``/``<style>`` payload containing ``<`` (regex is
+      ``[^<]*``) only strips up to it. Entity-encoded attributes,
+      unclosed/unquoted tags, nested divs and inline CSS are handled
+      correctly per the fixture pins."""
     noscript = F.regexp_replace(F.col(html_col), _HTML_SCRIPT, " ")
     frags = F.split(noscript, _HTML_BLOCK_SPLIT)
     # per fragment: stripped text (inline tags out, whitespace
