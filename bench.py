@@ -171,6 +171,18 @@ HEADLINE = [
     # round 11: HTML main-content extraction (boilerplate removal) —
     # map-only regex + array HOFs, runs at scan speed
     "html_extract_docs",
+    # round 12: exact-substring span trim — the CDC chunk table plus
+    # two doc-bounded windows; nothing corpus-quadratic
+    "substring_trim_docs",
+    # round 12: URL canonicalization + keeper — map-only regexes, one
+    # reused-exchange shuffle of URL-sized rows
+    "url_canonical_docs",
+    # round 12: LSH planner (planned-vs-measured recall on the 20%
+    # audit sample) — sampled quadratic truth + pair-sized fold
+    "lsh_plan_audit",
+    # round 12: the IVF-PQ index lifecycle end to end (build even half,
+    # append odd half, compact, probe) — timed with its disk round-trips
+    "incremental_ann_ivf_embeddings",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size
