@@ -43,93 +43,39 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is stalest-first for the driver gate (the first 50
-        # entries are hash-checked). Round-11 block: the SEVEN new
-        # r11 registrations lead (sampled-truth LSH audit, incremental
-        # CDC trim, broadcast-model bigram scorer, near-dup-composed
-        # curation pipeline, streaming CDC-trim lifecycle,
-        # dimension-truncation recall audit, HTML main-content
-        # extraction), then the TEN entries whose code or twin
-        # changed this round (the kllsketch filter-first rewrite, the
-        # JPEG marker-walk fix, the carry-col shuffle fix, the
-        # ann_recall denominator fix, the pair_recall distinct, and
-        # the three refactored-plan entries), then the 25 r7-era
-        # entries (the stalest driver rows) and the oldest r8-era
-        # fill in stable alphabetical order — the gate boundary falls
-        # at dense_tumbling_counts (position 50); dsir_weights_docs
-        # is the first entry outside the block (r8-green, re-checked
-        # on a later rotation). The tail is sorted stalest-first so the
-        # r12 rotation just takes the head.
+        # entries are hash-checked). Round-12 block: the FOUR new r12
+        # registrations lead (URL canonicalization, LSH parameter
+        # planner, exact-substring span trim, IVF-PQ index lifecycle),
+        # then the FOUR entries whose code changed this round (the
+        # streaming CDC delta persist now routes through
+        # append_cdc_index_delta; similarity.py's build/read region
+        # gained the compact/below= lifecycle), then the stalest
+        # driver rows — the r8/r9-era tail VERDICT r11 named, starting
+        # at dsir_weights_docs — in stable order. The gate boundary
+        # falls after contamination_docs (position 50);
+        # cosine_near_dups is the first entry outside the block. The
+        # tail stays stalest-first (the r11-checked block is at the
+        # very end) so the r13 rotation just takes the head.
         # -- round-12 registrations (never driver-checked) --
         "url_canonical_docs": llm.url_canonical_docs,
         "lsh_plan_audit": llm.lsh_plan_audit,
         "substring_trim_docs": llm.substring_trim_docs,
         "incremental_ann_ivf_embeddings": llm.incremental_ann_ivf_embeddings,
-        # -- round-11 registrations (never driver-checked) --
-        "lsh_recall_sampled_docs": llm.lsh_recall_sampled_docs,
-        "incremental_cdc_trim_docs": llm.incremental_cdc_trim_docs,
-        "bigram_lm_quality_bcast_docs": llm.bigram_lm_quality_bcast_docs,
-        "curated_corpus_neardup_docs": llm.curated_corpus_neardup_docs,
+        # -- code changed this round --
         "stream_cdc_trim_docs": llm.stream_cdc_trim_docs,
-        "ann_recall_truncated_embeddings": llm.ann_recall_truncated_embeddings,
-        "html_extract_docs": llm.html_extract_docs,
-        # -- code/twin changed this round --
-        "kll_value_daily": ev.kll_value_daily,
-        "kll_value_monthly_rollup": ev.kll_value_monthly_rollup,
-        "media_meta_docs": llm.media_meta_docs,
-        "ann_recall_ivf_embeddings": llm.ann_recall_ivf_embeddings,
-        "top_retweets_shape": ev.top_retweets_shape,
-        "top_users_with_examples": ev.top_users_with_examples,
-        "curated_corpus_docs": llm.curated_corpus_docs,
-        "cdc_trim_docs": llm.cdc_trim_docs,
-        "bigram_lm_quality_docs": llm.bigram_lm_quality_docs,
-        "lsh_recall_docs": llm.lsh_recall_docs,
-        # -- r7-era (stalest driver rows) --
-        "acctbal_rank_percentiles": sequence.acctbal_rank_percentiles,
-        "chunk_docs": llm.chunk_docs,
-        "click_purchase_correlation": sequence.click_purchase_correlation,
-        "cms_heavy_hitters_monthly_rollup": ev.cms_heavy_hitters_monthly_rollup,
-        "conversion_funnel": sequence.conversion_funnel,
-        "curation_funnel_docs": llm.curation_funnel_docs,
-        "daily_growth_by_type": sequence.daily_growth_by_type,
-        "event_type_pagerank": sequence.event_type_pagerank,
-        "event_type_transitions": sequence.event_type_transitions,
-        "kmv_users_daily": ev.kmv_users_daily,
-        "mixture_plan_docs": llm.mixture_plan_docs,
-        "pack_sequences_docs": llm.pack_sequences_docs,
-        "pii_mask_docs": llm.pii_mask_docs,
-        "retention_cohorts": sequence.retention_cohorts,
-        "rolling_user_value_avg": sequence.rolling_user_value_avg,
-        "shuffle_order_docs": llm.shuffle_order_docs,
-        "split_docs": llm.split_docs,
-        "stratified_sample_docs": llm.stratified_sample_docs,
-        "time_weighted_value_daily": sequence.time_weighted_value_daily,
-        "token_counts_docs": llm.token_counts_docs,
-        "user_event_gaps": sequence.user_event_gaps,
-        "user_value_skyline": sequence.user_value_skyline,
-        "value_bucket_histogram": sequence.value_bucket_histogram,
-        "value_ntile_quartiles": sequence.value_ntile_quartiles,
-        "weighted_sample_docs": llm.weighted_sample_docs,
-        # -- r8-era fill (oldest remaining) --
-        "bpe_merges_docs": llm.bpe_merges_docs,
-        "cms_heavy_hitters_daily": ev.cms_heavy_hitters_daily,
-        "coreset_embeddings_batched": llm.coreset_embeddings_batched,
-        "cosine_near_dups_banded": llm.cosine_near_dups_banded,
-        "cosine_near_dups_blocked": llm.cosine_near_dups_blocked,
-        "cumulative_new_users": sequence.cumulative_new_users,
-        "daily_count_anomalies": ev.daily_count_anomalies,
-        "dense_tumbling_counts": ev.dense_tumbling_counts,
+        "knn_ivf_pq_embeddings": llm.knn_ivf_pq_embeddings,
+        "knn_ivf_pq_trained_embeddings": llm.knn_ivf_pq_trained_embeddings,
+        "knn_ivf_pq_refined_embeddings": llm.knn_ivf_pq_refined_embeddings,
+        # -- stalest driver rows (r8/r9-era) --
         "dsir_weights_docs": llm.dsir_weights_docs,
         "dup_cluster_size_histogram": llm.dup_cluster_size_histogram,
         "embedding_stats": llm.embedding_stats,
-        # ---- gate boundary: entries below are outside the first-50 block ----
         "events_profile": ev.events_profile,
         "hll_users_daily": ev.hll_users_daily,
         "hll_users_monthly_rollup": ev.hll_users_monthly_rollup,
         "incremental_dedup_docs": llm.incremental_dedup_docs,
         "incremental_exact_dedup_docs": llm.incremental_exact_dedup_docs,
         "kmeans_clusters_embeddings": llm.kmeans_clusters_embeddings,
-        "knn_ivf_pq_embeddings": llm.knn_ivf_pq_embeddings,
-        "knn_ivf_pq_trained_embeddings": llm.knn_ivf_pq_trained_embeddings,
         "knn_pq_embeddings": llm.knn_pq_embeddings,
         "label_centroids": llm.label_centroids_query,
         "latest_events_snapshot": ev.latest_events_snapshot,
@@ -163,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickers_who_purchased": ev.clickers_who_purchased,
         "clickers_without_purchase": ev.clickers_without_purchase,
         "contamination_docs": llm.contamination_docs,
+        # ---- gate boundary: entries below are outside the first-50 block ----
         "cosine_near_dups": llm.cosine_near_dups,
         "counts_range": ev.counts_range,
         "customers_with_orders_semi": star.customers_with_orders_semi,
@@ -178,7 +125,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_docs": llm.inverted_index_docs,
         "json_props_daily": ev.json_props_daily,
         "kmv_users_monthly_rollup": ev.kmv_users_monthly_rollup,
-        "knn_ivf_pq_refined_embeddings": llm.knn_ivf_pq_refined_embeddings,
         "line_dedup_docs": llm.line_dedup_docs,
         "minhash_lsh_capped": llm.minhash_lsh_capped_docs,
         "normalize_docs": llm.normalize_docs,
@@ -250,6 +196,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dup_pairs_docs": llm.winnow_dup_pairs_docs,
         "winnow_fingerprints_docs": llm.winnow_fingerprints_docs,
         "zipf_fit_docs": llm.zipf_fit_docs,
+        # -- freshest rows (r11-checked block) --
+        "lsh_recall_sampled_docs": llm.lsh_recall_sampled_docs,
+        "incremental_cdc_trim_docs": llm.incremental_cdc_trim_docs,
+        "bigram_lm_quality_bcast_docs": llm.bigram_lm_quality_bcast_docs,
+        "curated_corpus_neardup_docs": llm.curated_corpus_neardup_docs,
+        "ann_recall_truncated_embeddings": llm.ann_recall_truncated_embeddings,
+        "html_extract_docs": llm.html_extract_docs,
+        "kll_value_daily": ev.kll_value_daily,
+        "kll_value_monthly_rollup": ev.kll_value_monthly_rollup,
+        "media_meta_docs": llm.media_meta_docs,
+        "ann_recall_ivf_embeddings": llm.ann_recall_ivf_embeddings,
+        "top_retweets_shape": ev.top_retweets_shape,
+        "top_users_with_examples": ev.top_users_with_examples,
+        "curated_corpus_docs": llm.curated_corpus_docs,
+        "cdc_trim_docs": llm.cdc_trim_docs,
+        "bigram_lm_quality_docs": llm.bigram_lm_quality_docs,
+        "lsh_recall_docs": llm.lsh_recall_docs,
+        "acctbal_rank_percentiles": sequence.acctbal_rank_percentiles,
+        "chunk_docs": llm.chunk_docs,
+        "click_purchase_correlation": sequence.click_purchase_correlation,
+        "cms_heavy_hitters_monthly_rollup": ev.cms_heavy_hitters_monthly_rollup,
+        "conversion_funnel": sequence.conversion_funnel,
+        "curation_funnel_docs": llm.curation_funnel_docs,
+        "daily_growth_by_type": sequence.daily_growth_by_type,
+        "event_type_pagerank": sequence.event_type_pagerank,
+        "event_type_transitions": sequence.event_type_transitions,
+        "kmv_users_daily": ev.kmv_users_daily,
+        "mixture_plan_docs": llm.mixture_plan_docs,
+        "pack_sequences_docs": llm.pack_sequences_docs,
+        "pii_mask_docs": llm.pii_mask_docs,
+        "retention_cohorts": sequence.retention_cohorts,
+        "rolling_user_value_avg": sequence.rolling_user_value_avg,
+        "shuffle_order_docs": llm.shuffle_order_docs,
+        "split_docs": llm.split_docs,
+        "stratified_sample_docs": llm.stratified_sample_docs,
+        "time_weighted_value_daily": sequence.time_weighted_value_daily,
+        "token_counts_docs": llm.token_counts_docs,
+        "user_event_gaps": sequence.user_event_gaps,
+        "user_value_skyline": sequence.user_value_skyline,
+        "value_bucket_histogram": sequence.value_bucket_histogram,
+        "value_ntile_quartiles": sequence.value_ntile_quartiles,
+        "weighted_sample_docs": llm.weighted_sample_docs,
+        "bpe_merges_docs": llm.bpe_merges_docs,
+        "cms_heavy_hitters_daily": ev.cms_heavy_hitters_daily,
+        "coreset_embeddings_batched": llm.coreset_embeddings_batched,
+        "cosine_near_dups_banded": llm.cosine_near_dups_banded,
+        "cosine_near_dups_blocked": llm.cosine_near_dups_blocked,
+        "cumulative_new_users": sequence.cumulative_new_users,
+        "daily_count_anomalies": ev.daily_count_anomalies,
+        "dense_tumbling_counts": ev.dense_tumbling_counts,
     }
 
 

@@ -242,9 +242,11 @@ def canonical_urls(
 
     Scale shape: extraction + canonicalization are map-only (regex +
     array higher-order fns, whole-stage codegen); the keeper is one
-    groupBy(canonical_url) min + an equi-join on the same key, so the
-    exchange is reused (shuffle_hash) — one shuffle of URL-sized rows
-    total, the document text never moves.
+    groupBy(canonical_url) min + an equi-join on the same key —
+    everything shuffled is a URL-sized row (the document text never
+    moves), and the join key matches the aggregate key so the
+    partial-aggregated keeper side arrives co-partitioned
+    (shuffle_hash keeps the small side from triggering a sort).
 
     Output: (doc_id, url, canonical_url, keeper_doc_id, is_keeper),
     one row per extracted URL occurrence."""
