@@ -183,6 +183,10 @@ HEADLINE = [
     # round 12: the IVF-PQ index lifecycle end to end (build even half,
     # append odd half, compact, probe) — timed with its disk round-trips
     "incremental_ann_ivf_embeddings",
+    # round 12: metadata-filtered ANN — the pre-filtered exact truth
+    # and the post-filter recall audit (bucket-local IVF candidates)
+    "knn_filtered_embeddings",
+    "ann_filtered_recall_embeddings",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

@@ -633,6 +633,82 @@ def knn_ivf(
     return top.select("query_id", "neighbor_id", "cos_sim", "knn_rank")
 
 
+def knn_ivf_postfilter(
+    corpus: DataFrame,
+    queries: DataFrame,
+    predicate,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    overfetch: int = 2,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Metadata-FILTERED ANN, post-filter strategy (round 12): rank
+    the probed candidates by cosine, take the top ``k * overfetch``
+    PRE-filter, then apply the metadata ``predicate`` (a Column over
+    ``keep_cols``) and keep the top ``k`` survivors. This is the
+    standard production trade for "nearest neighbors WHERE <pred>"
+    (the faiss post-filter pattern vs an IDSelector pre-filter): the
+    index is oblivious to metadata, so when predicate selectivity s
+    drops below ~1/overfetch the expected survivors fall under k and
+    filtered recall collapses — ``ann_filtered_recall_embeddings``
+    measures exactly that against the pre-filtered exact truth, and
+    the over-fetch factor is the knob this audit sizes.
+
+    ``centroids=None`` uses the init-only deterministic quantizer
+    (the ``n_cells`` lowest-id corpus vectors — an O(model) driver
+    collect, same seeds as ``kmeans`` iters=0) so the DuckDB twin
+    replays the whole pipeline; pass ``train_ivf_centroids(...)`` for
+    the production quantizer.
+
+    Plan shape matches ``knn_ivf``: cell assignment is map-side
+    against inlined centroid literals, the candidate join is
+    bucket-local on the cell id, and both rank passes are per-query
+    windows over candidate-sized rows. Output: (query_id,
+    neighbor_id, cos_sim, knn_rank) — knn_rank is the POST-filter
+    rank."""
+    from pyspark.sql import Window as W
+
+    if centroids is None:
+        rows = (
+            _normed(corpus, id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_cells)
+            .collect()
+        )
+        centroids = [list(r["v"]) for r in rows]
+    c = _normed(corpus, id_col, vec_col, extra=list(keep_cols))
+    c = c.withColumnRenamed(id_col, "neighbor_id").withColumn(
+        "cell", _nearest_cells(F.col("v"), centroids, 1)[0]
+    ).withColumnRenamed("v", "cv")
+    q = _normed(queries, id_col, vec_col).withColumnRenamed(
+        id_col, "query_id"
+    )
+    q = q.withColumn(
+        "cell", F.explode(_nearest_cells(F.col("v"), centroids, n_probe))
+    ).withColumnRenamed("v", "qv")
+    scored = q.join(
+        c,
+        (q["cell"] == c["cell"])
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).withColumn("cos_sim", F.round(cosine_sim(F.col("qv"), F.col("cv")), 6))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    pre = scored.withColumn("_pr", F.row_number().over(w)).filter(
+        F.col("_pr") <= k * overfetch
+    )
+    post = pre.filter(predicate)
+    return (
+        post.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "knn_rank")
+    )
+
+
 def label_centroids(
     df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
 ) -> DataFrame:

@@ -2195,6 +2195,111 @@ def oracle_sql() -> dict[str, str]:
         "FROM emb ORDER BY vec_id LIMIT",
         "FROM emb WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT",
     )
+    # metadata-filtered exact kNN: the knn_cosine shape with the
+    # predicate restricting the CORPUS side only (pre-filter strategy)
+    sql["knn_filtered_embeddings"] = f"""
+        WITH e AS (SELECT vec_id, label,
+                          CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        s AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {_D_COS} AS cos_sim
+          FROM e q JOIN e c
+            ON q.vec_id < 20 AND c.label = 1 AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC)
+                 AS INTEGER) AS knn_rank
+        FROM s QUALIFY knn_rank <= 5
+    """
+    # filtered-ANN recall audit (round 12): replay the post-filter
+    # pipeline — init-only cosine coarse quantizer (8 lowest-id
+    # vectors; assignment ties to the HIGHER cell id, matching
+    # _nearest_cells' reverse(array_sort(struct(sim, cell)))), probe 2
+    # cells, rank top k*overfetch=10 by rounded cosine PRE-filter,
+    # filter label = 1, keep top 5 — then the ann_recall fold against
+    # the pre-filtered exact truth (per-query denominator <= k)
+    _cosql = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b}))), {dp})"
+    )
+    sql["ann_filtered_recall_embeddings"] = f"""
+        WITH e AS (
+          SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v
+          FROM embeddings
+        ),
+        cells AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+        ),
+        sim AS (
+          SELECT e.vec_id, c.cell,
+                 {_cosql.format(a="e.v", b="c.cv", dp=9)} AS s
+          FROM e CROSS JOIN cells c
+        ),
+        asg AS (
+          SELECT vec_id, cell FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+            FROM sim) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+            FROM sim WHERE vec_id < 20) WHERE rn <= 2
+        ),
+        scored AS (
+          SELECT p.query_id, n.vec_id AS neighbor_id, n.label,
+                 {_cosql.format(a="q.v", b="n.v", dp=6)} AS cos_sim
+          FROM probes p
+          JOIN asg a ON a.cell = p.cell
+          JOIN e n ON n.vec_id = a.vec_id
+          JOIN e q ON q.vec_id = p.query_id
+          WHERE n.vec_id <> p.query_id
+        ),
+        pre AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id ASC) AS pr
+            FROM scored) WHERE pr <= 10
+        ),
+        approx AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id ASC) AS kr
+            FROM pre WHERE label = 1) WHERE kr <= 5
+        ),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY {_cosql.format(a="q.v", b="c.v", dp=6)} DESC,
+                              c.vec_id ASC) AS kr
+            FROM e q JOIN e c
+              ON q.vec_id < 20 AND c.label = 1 AND q.vec_id <> c.vec_id
+          ) WHERE kr <= 5
+        ),
+        hits AS (
+          SELECT query_id, count(*) AS n_hits
+          FROM exact JOIN approx USING (query_id, neighbor_id)
+          GROUP BY 1
+        ),
+        qn AS (
+          SELECT query_id, least(count(*), 5) AS n_exact
+          FROM exact GROUP BY 1
+        )
+        SELECT q.query_id,
+               CAST(coalesce(h.n_hits, 0) AS INTEGER) AS n_hits,
+               round(coalesce(h.n_hits, 0) / q.n_exact, 6) AS recall
+        FROM qn q LEFT JOIN hits h USING (query_id)
+    """
     # TRAINED IVF-ADC (knn_ivf_pq_trained_embeddings): one Lloyd
     # iteration for the coarse quantizer and for each of the m=4
     # per-subspace PQ codebooks — 5 k-means trainings replayed in SQL.

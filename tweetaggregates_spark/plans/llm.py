@@ -569,6 +569,42 @@ def knn_ivf_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_filtered_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered exact kNN — "nearest neighbors WHERE
+    label = 1" (the pre-filter strategy: restrict the corpus, then
+    search). The truth side of the filtered-ANN audit; at 100 TB the
+    same predicate pushes down to the corpus scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_bruteforce(
+        emb.filter(F.col("label") == 1), emb.filter(F.col("vec_id") < 20)
+    )
+
+
+def ann_filtered_recall_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filtered-ANN recall audit (round 12): the POST-filter strategy
+    (similarity.knn_ivf_postfilter — rank top k*overfetch through the
+    metadata-oblivious IVF index, then filter) measured against the
+    pre-filtered exact truth. With ~10% predicate selectivity and
+    overfetch=2 the expected survivors per query are ~1 of k=5, so
+    this audit DOCUMENTS the collapse (per-query recall well below 1)
+    — the number that tells an operator to raise overfetch or move
+    the predicate into the index (partition the code table by the
+    filter column). The monotone-recovery property (recall -> 1 as
+    overfetch grows with full probing) is pinned in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.knn_bruteforce(
+        emb.filter(F.col("label") == 1), queries
+    )
+    approx = similarity.knn_ivf_postfilter(
+        emb, queries, F.col("label") == 1,
+        k=5, n_cells=8, n_probe=2, overfetch=2,
+    )
+    return similarity.ann_recall(exact, approx, k=5)
+
+
 def incremental_ann_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF-PQ index LIFECYCLE under the oracle gate (VERDICT r11
     #5): build the persisted index on the even-vec_id half of the
