@@ -187,6 +187,9 @@ HEADLINE = [
     # and the post-filter recall audit (bucket-local IVF candidates)
     "knn_filtered_embeddings",
     "ann_filtered_recall_embeddings",
+    # round 12: per-segment language mixture (CCNet per-paragraph
+    # pass) — posexplode + map-only lang-id + one count groupBy
+    "lang_segments_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

@@ -174,6 +174,50 @@ def test_ivf_pq_compact_lifecycle(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_lang_segments_mixture(spark):
+    """Per-segment language ID: an embedded second-language sentence
+    flags the doc as mixed with the right per-language counts; a
+    monolingual doc stays unmixed; a doc with no classifiable segment
+    stays visible as (0 segments, 'unknown', unmixed)."""
+    from tweetaggregates_spark.operators.text import lang_segments
+
+    en = ("the and that have this with from they which were "
+          "said each them many")
+    es = "el que los se del las por con una su"
+    df = spark.createDataFrame(
+        [
+            (1, f"{en}. {es}."),          # en doc + planted es segment
+            (2, f"{en}. {en} also. {en}"),  # monolingual, 3 segments
+            (3, "xy zq"),                  # too short to classify
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in lang_segments(df).collect()}
+    assert out[1]["n_segments"] == 2
+    assert out[1]["n_en"] == 1 and out[1]["n_es"] == 1
+    assert out[1]["majority_lang"] == "en"  # tie order en > es
+    assert out[1]["is_mixed"]
+    assert out[2]["n_segments"] == 3 and out[2]["n_en"] == 3
+    assert out[2]["majority_lang"] == "en" and not out[2]["is_mixed"]
+    assert out[3]["n_segments"] == 0
+    assert out[3]["majority_lang"] == "unknown" and not out[3]["is_mixed"]
+
+
+def test_lang_segments_docs_nonvacuous(spark):
+    """The registered mixed-language corpus must produce genuinely
+    mixed documents (the planted foreign segments detected) and keep
+    every doc visible."""
+    from tweetaggregates_spark.plans import llm
+
+    out = llm.lang_segments_docs(spark, SF)
+    assert out.count() == 500
+    mixed = out.filter(F.col("is_mixed"))
+    assert mixed.count() > 0
+    # the planted languages actually register
+    assert out.agg(F.sum("n_es")).first()[0] > 0
+    assert out.agg(F.sum("n_de")).first()[0] > 0
+
+
 def test_filtered_ann_overfetch_recovery(spark):
     """Post-filter ANN collapses at low overfetch (survivors < k when
     selectivity ~10%) and recovers monotonically; with full probing

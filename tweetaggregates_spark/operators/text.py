@@ -53,6 +53,80 @@ def lang_id(
     )
 
 
+# sentence-ish segment boundary: terminal punctuation + whitespace
+# (shared verbatim with the DuckDB twin)
+SEG_SPLIT_RE = "[.!?]+[ \\t\\n]+"
+
+
+def lang_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 3,
+) -> DataFrame:
+    """Per-SEGMENT language ID rolled into a per-document language
+    mixture profile — the CCNet per-paragraph pass (Wenzek et al.
+    2020 §4.2: language is decided below document granularity because
+    crawled pages routinely embed a second language, and a document-
+    level vote silently mislabels them). Segments are sentence-ish
+    splits on SEG_SPLIT_RE; segments with fewer than ``min_tokens``
+    tokens are too short to classify and are skipped.
+
+    Output (one row per input doc — docs with no classifiable segment
+    stay visible with n_segments = 0 and majority 'unknown'):
+    n_segments, per-language segment counts (n_en..n_unknown),
+    majority_lang (argmax with the lang_id tie order, en > es > fr >
+    de > unknown), and is_mixed (any classified segment disagreeing
+    with the majority).
+
+    Scale shape: one posexplode + the map-only lang_id expressions on
+    segment rows, then ONE doc_id groupBy (partial-aggregated counts)
+    and a left join back to the doc ids — everything shuffled is a
+    count row."""
+    langs = list(LANG_STOPWORDS) + ["unknown"]
+    segs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), SEG_SPLIT_RE)).alias(
+            "seg_id", "seg_text"
+        ),
+    ).filter(F.size(tokens(F.col("seg_text"))) >= min_tokens)
+    pred = lang_id(
+        segs, text_col="seg_text", id_col="doc_id",
+        keep_cols=("seg_id",), emit_n_tokens=False,
+    )
+    per = pred.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        *[
+            F.sum((F.col("lang_pred") == L).cast("int"))
+            .cast("long")
+            .alias(f"n_{L}")
+            for L in langs
+        ],
+    )
+    best = F.greatest(*[F.col(f"n_{L}") for L in langs])
+    maj = F.lit(None).cast("string")
+    whens = None
+    for L in langs:  # fixed tie order, matching lang_id
+        cond = F.col(f"n_{L}") == best
+        whens = F.when(cond, F.lit(L)) if whens is None else whens.when(
+            cond, F.lit(L)
+        )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    joined = base.join(per, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("n_segments"), F.lit(0)).alias("n_segments"),
+        *[
+            F.coalesce(F.col(f"n_{L}"), F.lit(0)).alias(f"n_{L}")
+            for L in langs
+        ],
+        F.coalesce(whens, F.lit("unknown")).alias("majority_lang"),
+        F.coalesce(
+            (F.col("n_segments") - best) > 0, F.lit(False)
+        ).alias("is_mixed"),
+    )
+
+
 def quality_score(
     df: DataFrame,
     text_col: str = "text",

@@ -1766,6 +1766,73 @@ def oracle_sql() -> dict[str, str]:
                c3.doc_id = k.keeper_doc_id AS is_keeper
         FROM c3 JOIN keeper k USING (canonical_url)
     """
+    # per-segment language ID + per-doc mixture profile (round 12):
+    # replays the segment split, the per-segment lang_id CASE (shared
+    # _LANG fragments over seg tokens), and the count/majority fold —
+    # counts keyed by the SAME fixed tie order as the operator
+    from tweetaggregates_spark.operators.text import SEG_SPLIT_RE
+
+    _seg_langs = list(LANG_STOPWORDS) + ["unknown"]
+    _seg_counts = ",\n".join(
+        f"CAST(sum(CASE WHEN lang_pred = '{L}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_{L}"
+        for L in _seg_langs
+    )
+    _seg_ncols = ", ".join(
+        f"coalesce(n_{L}, 0) AS n_{L}" for L in _seg_langs
+    )
+    _seg_best = "greatest(" + ", ".join(f"n_{L}" for L in _seg_langs) + ")"
+    _seg_maj = "\n".join(
+        f"WHEN n_{L} = g THEN '{L}'" for L in _seg_langs
+    )
+    sql["lang_segments_docs"] = f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE doc_id % 3
+                   WHEN 0 THEN text ||
+                     '. el que los se del las por con una su.'
+                   WHEN 1 THEN text ||
+                     '. der die das und ist nicht ein eine zu den.'
+                   ELSE text END AS text
+          FROM documents
+        ),
+        segsrc AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(text, '{SEG_SPLIT_RE}'))
+                   AS seg_text
+          FROM aug
+        ),
+        toksrc AS (
+          SELECT doc_id,
+                 {_D_TOKS.replace("lower(text)", "lower(seg_text)")} AS toks
+          FROM segsrc
+        ),
+        f AS (SELECT doc_id, toks FROM toksrc WHERE len(toks) >= 3),
+        r AS (SELECT doc_id, {_LANG_RATIO_COLS} FROM f),
+        p AS (
+          SELECT doc_id,
+                 CASE WHEN {_LANG_BEST} < {LANG_PRED_THRESHOLD}
+                      THEN 'unknown'
+                      {_LANG_PRED_WHENS}
+                      END AS lang_pred
+          FROM r
+        ),
+        per AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+                 {_seg_counts}
+          FROM p GROUP BY 1
+        ),
+        perg AS (SELECT *, {_seg_best} AS g FROM per)
+        SELECT d.doc_id,
+               coalesce(n_segments, 0) AS n_segments,
+               {_seg_ncols},
+               CASE WHEN perg.doc_id IS NULL THEN 'unknown'
+                    {_seg_maj}
+                    END AS majority_lang,
+               coalesce(n_segments - g > 0, FALSE) AS is_mixed
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN perg USING (doc_id)
+    """
     # the oracle computes daily counts straight from raw events; equality
     # with the Spark side (which re-aggregates the persisted 10-min
     # buckets) PROVES the rollup nesting property, not just the numbers

@@ -449,6 +449,31 @@ def url_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.canonical_urls(_docs_with_url_variants(spark, sf_dir))
 
 
+def _docs_with_mixed_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language synthesis: append one stopword-dense Spanish
+    (doc_id % 3 == 0) or German (% 3 == 1) sentence as a NEW segment
+    (terminal '.' + space ahead of it) so the per-segment language
+    pass must detect embedded second languages; every 3rd doc stays
+    untouched as the monolingual control."""
+    docs = _docs(spark, sf_dir)
+    es = F.lit(". el que los se del las por con una su.")
+    de = F.lit(". der die das und ist nicht ein eine zu den.")
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), es))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.col("text"), de))
+        .otherwise(F.col("text")),
+    )
+
+
+def lang_segments_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment language ID + per-doc mixture profile over the
+    mixed-language corpus (operators/text.lang_segments): the planted
+    foreign sentences must surface as is_mixed segments against the
+    document's majority language."""
+    return text.lang_segments(_docs_with_mixed_lang(spark, sf_dir))
+
+
 def cosine_near_dups_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-nested-loop matmul near-dups — the no-driver-collect form
     of cosine_near_dups_blocked (block pairs meet in the shuffle; one
