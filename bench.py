@@ -190,6 +190,9 @@ HEADLINE = [
     # round 12: per-segment language mixture (CCNet per-paragraph
     # pass) — posexplode + map-only lang-id + one count groupBy
     "lang_segments_docs",
+    # round 12: the full BPE trainer (8 argmax rounds over the vocab
+    # table, never the corpus) + broadcast-vocab tokenize
+    "bpe_token_counts_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

@@ -1766,6 +1766,68 @@ def oracle_sql() -> dict[str, str]:
                c3.doc_id = k.keeper_doc_id AS is_keeper
         FROM c3 JOIN keeper k USING (canonical_url)
     """
+    # full BPE trainer + tokenizer (round 12): 8 unrolled training
+    # rounds — per-round pair counts over the symbolized train vocab,
+    # the (count desc, a asc, b asc) argmax, and the merge applied
+    # with the EXACT greedy left-to-right non-overlapping fold
+    # (_apply_merge): list_reduce carries the out-list as a
+    # ','-joined string (symbols are alnum, ',' is safe), merging the
+    # tail when (tail, x) == (a, b) — verified value-identical to the
+    # Spark fold incl. the ["aa","a"] overlap case. Apply step: vocab
+    # lookup with char-count OOV fallback over the full corpus.
+    _bpe_rounds = []
+    for _r in range(1, 9):
+        _prev = f"r{_r - 1}"
+        _bpe_rounds.append(f"""
+        p{_r} AS (
+          SELECT u.a AS a, u.b AS b, CAST(sum(wc) AS BIGINT) AS pc
+          FROM (
+            SELECT wc, unnest([{{'a': syms[i], 'b': syms[i+1]}}
+                               for i in range(1, len(syms))]) AS u
+            FROM {_prev}
+          )
+          GROUP BY 1, 2
+        ),
+        m{_r} AS (SELECT a, b FROM p{_r}
+                  ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+        r{_r} AS (
+          SELECT word, wc,
+                 CASE WHEN m.a IS NULL THEN syms
+                      ELSE string_split(list_reduce(syms,
+                        (acc, x) -> CASE
+                          WHEN regexp_extract(acc, '([^,]*)$', 1) = m.a
+                               AND x = m.b
+                          THEN substr(acc, 1,
+                                      length(acc) - length(m.a))
+                               || m.a || m.b
+                          ELSE acc || ',' || x END), ',')
+                 END AS syms
+          FROM {_prev} LEFT JOIN m{_r} m ON TRUE
+        )""")
+    sql["bpe_token_counts_docs"] = f"""
+        WITH toksrc AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+        trainwords AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS wc
+          FROM (SELECT unnest(toks) AS word FROM toksrc
+                WHERE doc_id % 2 = 0)
+          GROUP BY 1
+        ),
+        r0 AS (
+          SELECT word, wc,
+                 [substr(word, i, 1)
+                  for i in range(1, length(word) + 1)] AS syms
+          FROM trainwords
+        ),
+        {",".join(_bpe_rounds)},
+        words AS (SELECT doc_id, unnest(toks) AS word FROM toksrc),
+        seg AS (SELECT word, len(syms) AS n_sym FROM r8)
+        SELECT w.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(coalesce(s.n_sym, length(w.word)))
+                    AS BIGINT) AS n_bpe_tokens
+        FROM words w LEFT JOIN seg s USING (word)
+        GROUP BY 1
+    """
     # per-segment language ID + per-doc mixture profile (round 12):
     # replays the segment split, the per-segment lang_id CASE (shared
     # _LANG fragments over seg tokens), and the count/majority fold —

@@ -100,6 +100,25 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_merge_candidates(_docs(spark, sf_dir), top_n=20)
 
 
+def bpe_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL BPE trainer + tokenizer under the oracle gate (round
+    12): train 8 merges on the even-doc_id half of the corpus
+    (operators/text.bpe_train — the iterative Sennrich loop; the 8
+    argmax collects are model state by definition), then tokenize the
+    WHOLE corpus with the trained segmentation (bpe_token_counts —
+    broadcast vocab lookup; odd-half OOV words take the char-count
+    fallback, so the gate also proves the degradation path). The
+    DuckDB twin replays all 8 training rounds — pair counts, the
+    (count desc, pair asc) argmax, and the exact greedy left-to-right
+    non-overlapping merge fold via list_reduce — so the hash match
+    certifies the trainer, not just the apply step."""
+    docs = _docs(spark, sf_dir)
+    _merges, table = text.bpe_train(
+        docs.filter(F.col("doc_id") % 2 == 0), n_merges=8
+    )
+    return text.bpe_token_counts(docs, table)
+
+
 def substring_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document substring dedup: pairs sharing a verbatim span of
     >= 8 tokens, with shared-shingle count and longest-span length
