@@ -193,6 +193,10 @@ HEADLINE = [
     # round 12: the full BPE trainer (8 argmax rounds over the vocab
     # table, never the corpus) + broadcast-vocab tokenize
     "bpe_token_counts_docs",
+    # round 12: one-permutation minhash — 1/16th the signature hash
+    # cost, same single shuffle and banding join
+    "oph_lsh_pairs_docs",
+    "oph_lsh_recall_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

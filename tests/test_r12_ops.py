@@ -174,6 +174,49 @@ def test_ivf_pq_compact_lifecycle(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_oph_densification_no_nulls(spark):
+    """A doc with ONE shingle (one non-empty bucket) densifies every
+    other bucket by circular borrow + offset: the signature has no
+    nulls, and each borrowed value is the base hash plus its borrow
+    distance."""
+    from tweetaggregates_spark.functions.hashing import hash64
+    from tweetaggregates_spark.operators.dedup import (
+        minhash_signatures_oph,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id BIGINT, text STRING"
+    )
+    sig = minhash_signatures_oph(df).collect()[0]
+    vals = [sig[f"mh{i}"] for i in range(16)]
+    assert all(v is not None for v in vals)
+    h = spark.range(1).select(
+        hash64(F.lit("alpha beta gamma")).alias("h")
+    ).first().h
+    home = h % 16
+    for i in range(16):
+        assert vals[i] == h + (home - i) % 16
+
+
+def test_oph_catches_planted_duplicates(spark):
+    """Identical docs have identical OPH signatures, so every planted
+    full copy in the duplicated crawl MUST band together — exact-dup
+    recall of the banding is structurally 1."""
+    from tweetaggregates_spark.plans import llm
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in llm.oph_lsh_pairs_docs(spark, SF).collect()
+    }
+    docs = llm._docs(spark, SF)
+    planted = {
+        (d, d + 1_000_000)
+        for (d,) in docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id").collect()
+    }
+    assert planted <= pairs
+
+
 def test_lang_segments_mixture(spark):
     """Per-segment language ID: an embedded second-language sentence
     flags the doc as mixed with the right per-language counts; a

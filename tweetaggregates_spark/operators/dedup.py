@@ -87,6 +87,73 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_oph(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_buckets: int = N_MINHASH,
+) -> DataFrame:
+    """One-permutation minhash with rotation densification (Li,
+    Owen & Zhang 2012; Shrivastava & Li 2014) — the production cost
+    lever for signature computation: ``minhash_signatures`` evaluates
+    ``n_hashes`` independent hash families per shingle (16 md5 calls
+    here, 8 after the pair trick); OPH hashes each shingle ONCE,
+    scatters it into ``h mod n_buckets`` buckets, and takes the
+    per-bucket min — an unbiased minhash estimator per NON-EMPTY
+    bucket at 1/n_hashes the hashing cost. Empty buckets (docs with
+    fewer shingles than buckets hit them often) densify by borrowing
+    the nearest non-empty bucket to the right (circular), offset by
+    the borrow distance so borrowed values stay distinct across
+    buckets — without densification an empty bucket would collide for
+    ALL docs and flood the banding with false candidates.
+
+    Same output contract as ``minhash_signatures`` (doc_id,
+    mh0..mh{n-1}), so ``lsh_bands`` / ``_band_self_pairs`` compose
+    unchanged. Plan shape: one explode + ONE groupBy with n_buckets
+    conditional min aggregates — the identical single shuffle, 1/16th
+    the hash arithmetic. The estimator is noisier per bucket than
+    true k-permutation minhash for short docs (fewer distinct
+    shingles than buckets); ``oph_lsh_recall_docs`` audits the
+    resulting candidate recall against exact Jaccard truth."""
+    sh = _doc_shingles(df, text_col, id_col, k)
+    hashed = sh.select(
+        "doc_id",
+        hash64(F.col("shingle")).alias("h"),
+    ).withColumn("b", F.pmod(F.col("h"), F.lit(n_buckets)))
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("b") == i, F.col("h"))).alias(f"m{i}")
+            for i in range(n_buckets)
+        ]
+    )
+    dense = [
+        F.coalesce(
+            *[
+                F.col(f"m{(i + j) % n_buckets}") + F.lit(j)
+                for j in range(n_buckets)
+            ]
+        ).alias(f"mh{i}")
+        for i in range(n_buckets)
+    ]
+    return mins.select("doc_id", *dense)
+
+
+def minhash_lsh_pairs_oph(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_buckets: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Candidate near-dup pairs from the OPH signature — the standard
+    banding over ``minhash_signatures_oph`` (same bucket-local join
+    economics as ``minhash_lsh_pairs``, 1/n the signature cost)."""
+    sig = minhash_signatures_oph(df, text_col, id_col, k, n_buckets)
+    return _band_self_pairs(lsh_bands(sig, n_buckets, n_bands))
+
+
 def lsh_bands(sig: DataFrame, n_hashes: int = N_MINHASH, n_bands: int = N_BANDS) -> DataFrame:
     """Signature -> (doc_id, band_id, band_key) rows; band_key is the
     ':'-joined minhash slice, so equal key <=> equal band values."""

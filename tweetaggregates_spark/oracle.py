@@ -89,6 +89,14 @@ _D_COS = (
     "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)"
 )
 
+# the 'lshaudit' 20% hash-sample predicate (operators/sampling.
+# hash_sample replayed) — shared by every sampled-audit twin
+_LSHAUDIT_PRED = (
+    "("
+    + _D_HASH.format(x="concat('lshaudit:', CAST(doc_id AS VARCHAR))")
+    + " % 1000000) < 200000"
+)
+
 
 def _logreg_sql(
     n_buckets: int = 256,
@@ -1766,6 +1774,81 @@ def oracle_sql() -> dict[str, str]:
                c3.doc_id = k.keeper_doc_id AS is_keeper
         FROM c3 JOIN keeper k USING (canonical_url)
     """
+    # one-permutation minhash (round 12): ONE hash per shingle
+    # scattered into h mod 16 buckets, per-bucket min, empty buckets
+    # densified by circular borrow + offset — then the standard
+    # banding. The pairs entry runs on the duplicated crawl; the
+    # audit entry reuses the lsh_recall shape on the 20% sample.
+    _oph_mins = ",\n".join(
+        f"min(CASE WHEN h % 16 = {i} THEN h END) AS m{i}"
+        for i in range(16)
+    )
+    _oph_dense = ",\n".join(
+        "coalesce("
+        + ", ".join(f"m{(i + j) % 16} + {j}" for j in range(16))
+        + f") AS mh{i}"
+        for i in range(16)
+    )
+    _oph_body = f"""
+        hsrc AS (SELECT doc_id, {_D_HASH.format(x="shingle")} AS h
+                 FROM sh),
+        mins AS (SELECT doc_id, {_oph_mins} FROM hsrc GROUP BY doc_id),
+        sig AS (SELECT doc_id, {_oph_dense} FROM mins),
+        bands AS ({_BAND_SELECTS}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        )
+    """
+    _oph_pairs_sql = (
+        _D_SHINGLES.replace(
+            "FROM documents",
+            """FROM (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          WHERE doc_id % 5 = 0
+        )""",
+        )
+        + ",\n"
+        + _oph_body
+        + "\n        SELECT doc_a, doc_b FROM cand"
+    )
+    sql["oph_lsh_pairs_docs"] = _oph_pairs_sql
+    _oph_recall_sql = f"""
+        {_D_SHINGLES},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS n_inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        truth AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.3
+        ),
+        {_oph_body},
+        hit AS (SELECT count(*) AS n_hit
+                FROM truth JOIN cand USING (doc_a, doc_b)),
+        nt AS (SELECT count(*) AS n_truth FROM truth),
+        nc AS (SELECT count(*) AS n_cand FROM cand)
+        SELECT CAST(n_truth AS BIGINT) AS n_truth,
+               CAST(n_cand AS BIGINT) AS n_cand,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               round(n_hit / greatest(n_truth, 1), 6) AS recall,
+               round(n_hit / greatest(n_cand, 1), 6) AS precision
+        FROM nt CROSS JOIN nc CROSS JOIN hit
+    """
+    assert _oph_recall_sql.count("FROM documents") == 1
+    sql["oph_lsh_recall_docs"] = _oph_recall_sql.replace(
+        "FROM documents", f"FROM documents WHERE {_LSHAUDIT_PRED}"
+    )
     # full BPE trainer + tokenizer (round 12): 8 unrolled training
     # rounds — per-round pair counts over the symbolized train vocab,
     # the (count desc, a asc, b asc) argmax, and the merge applied
@@ -4565,15 +4648,11 @@ def oracle_sql() -> dict[str, str]:
     # operators/sampling.hash_sample predicate replayed) — truth AND
     # candidates restricted to sampled x sampled pairs. The shingle CTE
     # is the only place the corpus enters, so one WHERE rewrites the
-    # whole audit.
-    _lshaudit_pred = (
-        "("
-        + _D_HASH.format(x="concat('lshaudit:', CAST(doc_id AS VARCHAR))")
-        + " % 1000000) < 200000"
-    )
+    # whole audit. (Predicate defined at module level — _LSHAUDIT_PRED
+    # — because the OPH audit earlier in this function reuses it.)
     assert sql["lsh_recall_docs"].count("FROM documents") == 1
     sql["lsh_recall_sampled_docs"] = sql["lsh_recall_docs"].replace(
-        "FROM documents", f"FROM documents WHERE {_lshaudit_pred}"
+        "FROM documents", f"FROM documents WHERE {_LSHAUDIT_PRED}"
     )
     # LSH parameter planner (VERDICT r11 #4): planned recall is the
     # MMDS s-curve 1-(1-s^r)^b averaged over the exact-Jaccard true
@@ -4633,7 +4712,7 @@ def oracle_sql() -> dict[str, str]:
     """
     assert _plan_audit_sql.count("FROM documents") == 1
     sql["lsh_plan_audit"] = _plan_audit_sql.replace(
-        "FROM documents", f"FROM documents WHERE {_lshaudit_pred}"
+        "FROM documents", f"FROM documents WHERE {_LSHAUDIT_PRED}"
     )
     # incremental CDC trim (VERDICT r10 #5): the combined-min keeper
     # makes the odd-batch-vs-even-index trim EQUAL the one-shot trim

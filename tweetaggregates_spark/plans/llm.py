@@ -1753,6 +1753,26 @@ def lsh_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_plan_audit(sampled, threshold=0.3)
 
 
+def oph_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates from ONE-permutation minhash banding
+    (operators/dedup.minhash_lsh_pairs_oph) over the duplicated crawl
+    — the 1/16th-hash-cost production signature; candidates are
+    hash-gated so the densification is twin-exact."""
+    return dedup.minhash_lsh_pairs_oph(_docs_with_dups(spark, sf_dir))
+
+
+def oph_lsh_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality audit of the OPH signature: recall/precision
+    of OPH-banded candidates vs exact 3-gram Jaccard >= 0.3 on the
+    'lshaudit' 20% sample — the number that says whether the 16x
+    hashing saving costs recall on THIS corpus."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sampled = sampling.hash_sample(docs, "doc_id", 0.2, salt="lshaudit")
+    truth = dedup.ngram_jaccard_pairs(sampled, threshold=0.3)
+    cand = dedup.minhash_lsh_pairs_oph(sampled)
+    return dedup.pair_recall(truth, cand)
+
+
 def _curated_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The standard pre-training curation pipeline EXECUTED end to end
     in one composed plan (the RefinedWeb/Gopher recipe order): fused
