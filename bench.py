@@ -197,6 +197,9 @@ HEADLINE = [
     # cost, same single shuffle and banding join
     "oph_lsh_pairs_docs",
     "oph_lsh_recall_docs",
+    # round 12: per-source quality calibration — skew-safe two-pass
+    # rank, exact integer keep cut
+    "quality_calibrated_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

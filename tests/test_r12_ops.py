@@ -385,6 +385,28 @@ def test_substring_trim_vs_cdc_trim_spares_short(spark):
     assert 0 < n_span < n_cdc
 
 
+def test_canonical_urls_idempotent(spark):
+    """Canonicalization is a FIXPOINT: re-canonicalizing a canonical
+    URL changes nothing. Checked over the registered entry's full
+    sf0.01 output — every canonical_url, fed back through the
+    operator, maps to itself."""
+    from tweetaggregates_spark.operators.text import canonical_urls
+    from tweetaggregates_spark.plans import llm
+
+    first = llm.url_canonical_docs(spark, SF).select(
+        F.col("doc_id"), F.col("canonical_url")
+    )
+    again = canonical_urls(
+        first.select(
+            "doc_id",
+            F.concat(F.lit("see "), F.col("canonical_url"), F.lit(" end"))
+            .alias("text"),
+        )
+    )
+    diff = again.filter(F.col("url") != F.col("canonical_url")).count()
+    assert diff == 0
+
+
 def test_url_canonical_docs_nonvacuous(spark):
     """At sf0.01 the variant synthesis plants 3-way mergers: some rows
     must be non-keepers, and every 6-group's 0/1/2 variants share one

@@ -53,6 +53,61 @@ def lang_id(
     )
 
 
+def quality_calibrated_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    keep_num: int = 4,
+    keep_den: int = 5,
+) -> DataFrame:
+    """Per-source quality CALIBRATION (round 12): a single global
+    quality threshold biases curation toward whichever source's
+    scores run hot — boilerplate-light sources dominate, noisy ones
+    vanish (why RefinedWeb/CCNet set thresholds per source/language
+    bucket, not globally). Rank docs by ``quality_score`` WITHIN each
+    source and keep the top ``keep_num/keep_den`` fraction; the cut
+    is the INTEGER predicate ``den * rank <= num * n_source``, so it
+    is exact in both engines (no float threshold to disagree on) and
+    engine ULP noise in the score can only reorder ties, which break
+    on doc_id.
+
+    Scale shape: the per-source rank uses
+    ``grouped_partitioned_rank`` — the two-pass range-bucketed rank —
+    because web sources are zipf-skewed and a plain
+    ``Window.partitionBy(source)`` funnels the dominant source
+    through one task (the r7 scale lesson).
+
+    Output: (doc_id, source, quality_score, q_rank, n_source, keep)."""
+    from tweetaggregates_spark.operators.prefix import (
+        grouped_partitioned_rank,
+    )
+
+    scored = quality_score(df, text_col, id_col, keep_cols=(source_col,))
+    ranked = grouped_partitioned_rank(
+        scored.select(
+            "doc_id", source_col, "quality_score"
+        ),
+        [source_col],
+        "quality_score",
+        ["doc_id"],
+        ascending=False,
+        rank_name="q_rank",
+        count_name="n_source",
+    )
+    return ranked.select(
+        "doc_id",
+        source_col,
+        "quality_score",
+        "q_rank",
+        "n_source",
+        (
+            F.lit(keep_den) * F.col("q_rank")
+            <= F.lit(keep_num) * F.col("n_source")
+        ).alias("keep"),
+    )
+
+
 # sentence-ish segment boundary: terminal punctuation + whitespace
 # (shared verbatim with the DuckDB twin)
 SEG_SPLIT_RE = "[.!?]+[ \\t\\n]+"

@@ -1911,6 +1911,35 @@ def oracle_sql() -> dict[str, str]:
         FROM words w LEFT JOIN seg s USING (word)
         GROUP BY 1
     """
+    # per-source quality calibration (round 12): the quality_docs
+    # score formula + a per-source (score desc, doc_id) row_number
+    # and the exact integer keep cut 5*rank <= 4*n — no float
+    # threshold for the engines to disagree on
+    sql["quality_calibrated_docs"] = f"""
+        WITH t AS (SELECT doc_id, source, text, {_D_TOKS} AS toks
+                   FROM documents),
+        s AS (
+          SELECT doc_id, source,
+                 round((length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / greatest(length(text), 1)) * 0.5
+                   + least(len(toks) / 100.0, 1.0) * 0.5, 6)
+                   AS quality_score
+          FROM t
+        ),
+        r AS (
+          SELECT doc_id, source, quality_score,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY quality_score DESC, doc_id ASC)
+                   AS INTEGER) AS q_rank,
+                 CAST(count(*) OVER (PARTITION BY source)
+                   AS BIGINT) AS n_source
+          FROM s
+        )
+        SELECT doc_id, source, quality_score, q_rank, n_source,
+               5 * q_rank <= 4 * n_source AS keep
+        FROM r
+    """
     # per-segment language ID + per-doc mixture profile (round 12):
     # replays the segment split, the per-segment lang_id CASE (shared
     # _LANG fragments over seg tokens), and the count/majority fold —

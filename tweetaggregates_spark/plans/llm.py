@@ -485,6 +485,14 @@ def _docs_with_mixed_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_calibrated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration: keep the top-4/5 of each
+    source by quality score with an exact integer rank cut
+    (operators/text.quality_calibrated_by_source) — the per-bucket
+    thresholding RefinedWeb/CCNet use instead of one global cut."""
+    return text.quality_calibrated_by_source(_docs(spark, sf_dir))
+
+
 def lang_segments_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment language ID + per-doc mixture profile over the
     mixed-language corpus (operators/text.lang_segments): the planted
