@@ -200,6 +200,9 @@ HEADLINE = [
     # round 12: per-source quality calibration — skew-safe two-pass
     # rank, exact integer keep cut
     "quality_calibrated_docs",
+    # round 12: snapshot diff for dataset versioning — hash map-side,
+    # one full-outer id join
+    "corpus_diff_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

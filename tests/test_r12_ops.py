@@ -174,6 +174,40 @@ def test_ivf_pq_compact_lifecycle(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_corpus_diff_statuses(spark):
+    """Snapshot diff semantics on a hand-built pair of versions."""
+    from tweetaggregates_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will vanish")],
+        "doc_id BIGINT, text STRING",
+    )
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "did change"), (4, "brand new")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in corpus_diff(old, new).collect()}
+    assert len(out) == 4
+    assert out[1]["status"] == "unchanged"
+    assert out[2]["status"] == "changed"
+    assert out[2]["old_hash"] != out[2]["new_hash"]
+    assert out[3]["status"] == "removed" and out[3]["new_hash"] is None
+    assert out[4]["status"] == "added" and out[4]["old_hash"] is None
+
+
+def test_corpus_diff_docs_nonvacuous(spark):
+    """The synthesized v1/v2 pair exercises all four statuses."""
+    from tweetaggregates_spark.plans import llm
+
+    counts = {
+        r["status"]: r["n"]
+        for r in llm.corpus_diff_docs(spark, SF)
+        .groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts) == {"added", "removed", "changed", "unchanged"}
+    assert all(v > 0 for v in counts.values())
+
+
 def test_oph_densification_no_nulls(spark):
     """A doc with ONE shingle (one non-empty bucket) densifies every
     other bucket by circular borrow + offset: the signature has no

@@ -1881,6 +1881,42 @@ def pair_recall(truth: DataFrame, candidates: DataFrame) -> DataFrame:
     )
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff for dataset VERSIONING (round 12): given two
+    corpus snapshots, classify every doc id as 'added' (new only),
+    'removed' (old only), 'changed' (same id, different content
+    hash), or 'unchanged' — the audit a training-data pipeline runs
+    between crawl snapshots before deciding what to re-process
+    (downstream incremental dedup/index appends consume exactly the
+    added+changed slice).
+
+    Plan shape: each side reduces to (id, content hash) map-side —
+    the text never shuffles — then ONE full-outer equi-join on the
+    id. Output: (doc_id, status, old_hash, new_hash), one row per doc
+    present in either snapshot."""
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        hash64(F.col(text_col)).alias("old_hash"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        hash64(F.col(text_col)).alias("new_hash"),
+    )
+    j = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("doc_id", status.alias("status"), "old_hash", "new_hash")
+
+
 def lsh_plan_audit(
     df: DataFrame,
     text_col: str = "text",

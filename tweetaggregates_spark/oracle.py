@@ -1774,6 +1774,36 @@ def oracle_sql() -> dict[str, str]:
                c3.doc_id = k.keeper_doc_id AS is_keeper
         FROM c3 JOIN keeper k USING (canonical_url)
     """
+    # corpus snapshot diff (round 12): both snapshots reduce to
+    # (id, content hash) and meet in one FULL OUTER join; the
+    # synthesis CASE replays _docs -> v2 (remove %11, edit %7, add
+    # shifted %13)
+    sql["corpus_diff_docs"] = f"""
+        WITH old AS (
+          SELECT doc_id, {_D_HASH.format(x="text")} AS old_hash
+          FROM documents
+        ),
+        newsnap AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text || ' revised'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 11 <> 0
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id, text
+          FROM documents WHERE doc_id % 13 = 0
+        ),
+        new AS (
+          SELECT doc_id, {_D_HASH.format(x="text")} AS new_hash
+          FROM newsnap
+        )
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.old_hash <> n.new_hash THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               o.old_hash, n.new_hash
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """
     # one-permutation minhash (round 12): ONE hash per shingle
     # scattered into h mod 16 buckets, per-bucket min, empty buckets
     # densified by circular borrow + offset — then the standard

@@ -1761,6 +1761,29 @@ def lsh_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_plan_audit(sampled, threshold=0.3)
 
 
+def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two synthesized crawl versions
+    (operators/dedup.corpus_diff): v2 removes every 11th doc, edits
+    every 7th (an appended token changes the content hash), and adds
+    a shifted-id batch for every 13th — all four statuses are
+    non-vacuous under the gate."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    d = F.col("doc_id")
+    edited = F.when(
+        d % 7 == 0, F.concat(F.col("text"), F.lit(" revised"))
+    ).otherwise(F.col("text"))
+    new = (
+        docs.filter(d % 11 != 0)
+        .withColumn("text", edited)
+        .unionAll(
+            docs.filter(d % 13 == 0).select(
+                (d + 2_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return dedup.corpus_diff(docs, new)
+
+
 def oph_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates from ONE-permutation minhash banding
     (operators/dedup.minhash_lsh_pairs_oph) over the duplicated crawl
