@@ -174,6 +174,79 @@ def test_ivf_pq_compact_lifecycle(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_substring_trim_internal_consistency(spark):
+    """Conservation pins over the full registered sf0.01 output:
+    retokenizing text_deduped yields exactly n_tokens_kept tokens
+    (tokens are alnum runs, so a space-join of kept slices
+    retokenizes to itself), and kept counts never exceed totals."""
+    from tweetaggregates_spark.functions.textstats import tokens
+    from tweetaggregates_spark.plans import llm
+
+    out = llm.substring_trim_docs(spark, SF)
+    bad = out.filter(
+        (F.size(tokens(F.col("text_deduped"))) != F.col("n_tokens_kept"))
+        | (F.col("n_chunks_kept") > F.col("n_chunks"))
+        | (F.col("n_tokens_kept") < 0)
+    )
+    assert bad.count() == 0
+
+
+def test_quality_calibrated_keep_fraction_exact(spark):
+    """The integer cut keeps exactly floor(4n/5) docs per source."""
+    from tweetaggregates_spark.plans import llm
+
+    per = (
+        llm.quality_calibrated_docs(spark, SF)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("int")).alias("kept"),
+        )
+    )
+    bad = per.filter(F.col("kept") != (4 * F.col("n") - (4 * F.col("n")) % 5) / 5)
+    assert per.count() > 1
+    assert bad.count() == 0
+
+
+def test_canonical_urls_idempotent_randomized(spark):
+    """Idempotence over a seeded generator of adversarial URLs (case
+    soup, default and odd ports, tracking and real params in any
+    order, fragments, trailing slashes): one pass reaches the
+    fixpoint for every generated URL."""
+    import random
+
+    from tweetaggregates_spark.operators.text import canonical_urls
+
+    rng = random.Random(12012)
+    urls = []
+    for i in range(200):
+        scheme = rng.choice(["http", "https", "HTTP", "HtTpS"]).lower()
+        # scheme case is synthesized lowercase: URL_RE only matches
+        # lowercase schemes (documented extraction contract)
+        host = rng.choice(
+            ["Example.COM", "www.example.com", "sub.www.ex.org", "ex.net"]
+        )
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = rng.choice(["", "/", "/a", "/a/B/", "/x//"])
+        params = rng.sample(
+            ["utm_source=x", "b=2", "a=1", "fbclid=z", "ref=t", "q=hi"],
+            k=rng.randint(0, 4),
+        )
+        query = "?" + "&".join(params) if params else ""
+        frag = rng.choice(["", "#f", "#a>b"])
+        urls.append((i, f"pre {scheme}://{host}{port}{path}{query}{frag} post"))
+    df = spark.createDataFrame(urls, "doc_id BIGINT, text STRING")
+    first = canonical_urls(df).select("doc_id", "canonical_url")
+    again = canonical_urls(
+        first.select(
+            "doc_id",
+            F.concat(F.lit("x "), F.col("canonical_url"), F.lit(" y"))
+            .alias("text"),
+        )
+    )
+    assert again.filter(F.col("url") != F.col("canonical_url")).count() == 0
+
+
 def test_corpus_diff_statuses(spark):
     """Snapshot diff semantics on a hand-built pair of versions."""
     from tweetaggregates_spark.operators.dedup import corpus_diff
