@@ -43,20 +43,21 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is stalest-first for the driver gate (the first 50
-        # entries are hash-checked). Round-12 block: the TWELVE new
+        # entries are hash-checked). Round-12 block: the THIRTEEN new
         # r12 registrations lead (URL canonicalization, LSH parameter
         # planner, exact-substring span trim, IVF-PQ index lifecycle,
         # filtered exact kNN, filtered-ANN recall audit, per-segment
         # language mixture, BPE trainer+tokenizer, OPH minhash pairs
         # + audit, per-source quality calibration, corpus snapshot
-        # diff), then the FOUR entries whose code changed this round
-        # (the streaming CDC delta persist now routes through
-        # append_cdc_index_delta; similarity.py's build/read region
-        # gained the compact/below= lifecycle), then the stalest
-        # driver rows — the r8/r9-era tail VERDICT r11 named, starting
-        # at dsir_weights_docs — in stable order. The gate boundary
-        # falls after value_quantile_sketch_daily (position 50);
-        # value_quantile_sketch_monthly is the first entry outside the
+        # diff, diff-driven snapshot ingest), then the FOUR entries
+        # whose code changed this round (the streaming CDC delta
+        # persist now routes through append_cdc_index_delta;
+        # similarity.py's build/read region gained the compact/below=
+        # lifecycle), then the stalest driver rows — the r8/r9-era
+        # tail VERDICT r11 named, starting at dsir_weights_docs — in
+        # stable order. The gate boundary falls after
+        # user_activity_concentration (position 50);
+        # value_quantile_sketch_daily is the first entry outside the
         # block (it and the following r9-green rows are next in line
         # for r13). The tail stays stalest-first (the r11-checked
         # block is at the very end) so the r13 rotation just takes
@@ -74,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oph_lsh_recall_docs": llm.oph_lsh_recall_docs,
         "quality_calibrated_docs": llm.quality_calibrated_docs,
         "corpus_diff_docs": llm.corpus_diff_docs,
+        "snapshot_ingest_docs": llm.snapshot_ingest_docs,
         # -- code changed this round --
         "stream_cdc_trim_docs": llm.stream_cdc_trim_docs,
         "knn_ivf_pq_embeddings": llm.knn_ivf_pq_embeddings,
@@ -113,8 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_docs": llm.substring_dup_docs,
         "tfidf_docs": llm.tfidf_docs,
         "user_activity_concentration": ev.user_activity_concentration,
-        "value_quantile_sketch_daily": ev.value_quantile_sketch_daily,
         # ---- gate boundary: entries below are outside the first-50 block ----
+        "value_quantile_sketch_daily": ev.value_quantile_sketch_daily,
         "value_quantile_sketch_monthly": ev.value_quantile_sketch_monthly,
         "viewers_never_erroring": ev.viewers_never_erroring,
         "vocab_docs": llm.vocab_docs,

@@ -203,6 +203,9 @@ HEADLINE = [
     # round 12: snapshot diff for dataset versioning — hash map-side,
     # one full-outer id join
     "corpus_diff_docs",
+    # round 12: diff-driven re-processing — only added+changed docs
+    # fold into the persisted content-hash index
+    "snapshot_ingest_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

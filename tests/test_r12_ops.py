@@ -281,6 +281,35 @@ def test_corpus_diff_docs_nonvacuous(spark):
     assert all(v > 0 for v in counts.values())
 
 
+def test_snapshot_ingest_matches_oneshot(spark):
+    """The diff-driven ingest (re-process ONLY added+changed) folds to
+    the same index as a one-shot exact_dedup over v1 plus that slice,
+    and the slice is strictly smaller than v2 — removed and unchanged
+    docs never re-process."""
+    from tweetaggregates_spark.operators import dedup
+    from tweetaggregates_spark.plans import llm
+    from tweetaggregates_spark.plans.llm import _docs, _docs_snapshot_v2
+
+    docs = _docs(spark, SF).select("doc_id", "text")
+    v2 = _docs_snapshot_v2(docs)
+    diff = dedup.corpus_diff(docs, v2)
+    n_batch = diff.filter(
+        F.col("status").isin("added", "changed")
+    ).count()
+    assert 0 < n_batch < v2.count()
+
+    updated = llm.snapshot_ingest_docs(spark, SF)
+    oneshot = dedup.exact_dedup(
+        docs.unionAll(
+            diff.filter(F.col("status").isin("added", "changed"))
+            .select("doc_id").join(v2, "doc_id").select("doc_id", "text")
+        )
+    )
+    assert sorted(map(tuple, updated.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+
+
 def test_oph_densification_no_nulls(spark):
     """A doc with ONE shingle (one non-empty bucket) densifies every
     other bucket by circular borrow + offset: the signature has no

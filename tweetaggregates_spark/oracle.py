@@ -1804,6 +1804,26 @@ def oracle_sql() -> dict[str, str]:
                o.old_hash, n.new_hash
         FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
     """
+    # snapshot-ingest composition (round 12): fold only the diff's
+    # added+changed slice into v1's content-hash index; the
+    # batching-invariant fold makes the result the one-shot
+    # exact_dedup over v1 + that slice, written here as predicates —
+    # hash equality proves the diff-driven selection is exact
+    sql["snapshot_ingest_docs"] = f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id, text || ' revised' AS text FROM documents
+          WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id, text FROM documents
+          WHERE doc_id % 13 = 0
+        )
+        SELECT {_D_HASH.format(x="text")} AS content_hash,
+               min(doc_id) AS canonical_id,
+               count(*) AS n_copies
+        FROM corpus GROUP BY 1
+    """
     # one-permutation minhash (round 12): ONE hash per shingle
     # scattered into h mod 16 buckets, per-bucket min, empty buckets
     # densified by circular borrow + offset — then the standard

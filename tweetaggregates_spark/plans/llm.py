@@ -1761,18 +1761,15 @@ def lsh_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_plan_audit(sampled, threshold=0.3)
 
 
-def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot diff between two synthesized crawl versions
-    (operators/dedup.corpus_diff): v2 removes every 11th doc, edits
-    every 7th (an appended token changes the content hash), and adds
-    a shifted-id batch for every 13th — all four statuses are
-    non-vacuous under the gate."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+def _docs_snapshot_v2(docs: DataFrame) -> DataFrame:
+    """The v2 crawl snapshot used by the versioning entries: remove
+    every 11th doc, edit every 7th (an appended token changes the
+    content hash), add a shifted-id batch for every 13th."""
     d = F.col("doc_id")
     edited = F.when(
         d % 7 == 0, F.concat(F.col("text"), F.lit(" revised"))
     ).otherwise(F.col("text"))
-    new = (
+    return (
         docs.filter(d % 11 != 0)
         .withColumn("text", edited)
         .unionAll(
@@ -1781,7 +1778,39 @@ def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return dedup.corpus_diff(docs, new)
+
+
+def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two synthesized crawl versions
+    (operators/dedup.corpus_diff): all four statuses are non-vacuous
+    under the gate (see _docs_snapshot_v2)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return dedup.corpus_diff(docs, _docs_snapshot_v2(docs))
+
+
+def snapshot_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioning story EXECUTED end to end (round 12): diff v1
+    against the v2 snapshot, re-process ONLY the docs the diff says
+    are new content (status added/changed — the removed and unchanged
+    docs never move), and fold that batch into v1's persisted
+    content-hash index (operators/dedup.exact_dedup_new_batch).
+    Because the fold is batching-invariant, the updated index EQUALS
+    the one-shot exact_dedup over v1 plus the re-processed slice —
+    which is the DuckDB twin with the slice written as predicates, so
+    the hash gate proves the diff-driven selection picks exactly the
+    right rows to re-process."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    v2 = _docs_snapshot_v2(docs)
+    diff = dedup.corpus_diff(docs, v2)
+    batch = (
+        diff.filter(F.col("status").isin("added", "changed"))
+        .select("doc_id")
+        .join(v2, "doc_id")
+        .select("doc_id", "text")
+    )
+    index = dedup.exact_dedup(docs)
+    _assignments, updated = dedup.exact_dedup_new_batch(batch, index)
+    return updated
 
 
 def oph_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
