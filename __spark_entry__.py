@@ -43,25 +43,24 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is stalest-first for the driver gate (the first 50
-        # entries are hash-checked). Round-12 block: the THIRTEEN new
+        # entries are hash-checked). Round-12 block: the FOURTEEN new
         # r12 registrations lead (URL canonicalization, LSH parameter
         # planner, exact-substring span trim, IVF-PQ index lifecycle,
         # filtered exact kNN, filtered-ANN recall audit, per-segment
         # language mixture, BPE trainer+tokenizer, OPH minhash pairs
         # + audit, per-source quality calibration, corpus snapshot
-        # diff, diff-driven snapshot ingest), then the FOUR entries
-        # whose code changed this round (the streaming CDC delta
-        # persist now routes through append_cdc_index_delta;
+        # diff, diff-driven snapshot ingest, dataset card), then the
+        # FOUR entries whose code changed this round (the streaming
+        # CDC delta persist now routes through append_cdc_index_delta;
         # similarity.py's build/read region gained the compact/below=
         # lifecycle), then the stalest driver rows — the r8/r9-era
         # tail VERDICT r11 named, starting at dsir_weights_docs — in
-        # stable order. The gate boundary falls after
-        # user_activity_concentration (position 50);
-        # value_quantile_sketch_daily is the first entry outside the
-        # block (it and the following r9-green rows are next in line
-        # for r13). The tail stays stalest-first (the r11-checked
-        # block is at the very end) so the r13 rotation just takes
-        # the head.
+        # stable order. The gate boundary falls after tfidf_docs
+        # (position 50); user_activity_concentration is the first
+        # entry outside the block (it and the following r9-green rows
+        # are next in line for r13). The tail stays stalest-first
+        # (the r11-checked block is at the very end) so the r13
+        # rotation just takes the head.
         # -- round-12 registrations (never driver-checked) --
         "url_canonical_docs": llm.url_canonical_docs,
         "lsh_plan_audit": llm.lsh_plan_audit,
@@ -76,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibrated_docs": llm.quality_calibrated_docs,
         "corpus_diff_docs": llm.corpus_diff_docs,
         "snapshot_ingest_docs": llm.snapshot_ingest_docs,
+        "dataset_card_docs": llm.dataset_card_docs,
         # -- code changed this round --
         "stream_cdc_trim_docs": llm.stream_cdc_trim_docs,
         "knn_ivf_pq_embeddings": llm.knn_ivf_pq_embeddings,
@@ -114,8 +114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_exact_dedup_docs": llm.stream_exact_dedup_docs,
         "substring_dup_docs": llm.substring_dup_docs,
         "tfidf_docs": llm.tfidf_docs,
-        "user_activity_concentration": ev.user_activity_concentration,
         # ---- gate boundary: entries below are outside the first-50 block ----
+        "user_activity_concentration": ev.user_activity_concentration,
         "value_quantile_sketch_daily": ev.value_quantile_sketch_daily,
         "value_quantile_sketch_monthly": ev.value_quantile_sketch_monthly,
         "viewers_never_erroring": ev.viewers_never_erroring,

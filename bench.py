@@ -206,6 +206,8 @@ HEADLINE = [
     # round 12: diff-driven re-processing — only added+changed docs
     # fold into the persisted content-hash index
     "snapshot_ingest_docs",
+    # round 12: one-row corpus datasheet — single-scan aggregate
+    "dataset_card_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

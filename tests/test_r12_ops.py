@@ -281,6 +281,30 @@ def test_corpus_diff_docs_nonvacuous(spark):
     assert all(v > 0 for v in counts.values())
 
 
+def test_dataset_card_values(spark):
+    """The datasheet row's arithmetic on a hand-built corpus: counts,
+    totals, cardinalities, and the exact-dup rate."""
+    from tweetaggregates_spark.operators.text import dataset_card
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three", "web", "en"),
+            (2, "one two three", "web", "en"),  # exact dup of 1
+            (3, "quatre cinq", "books", "fr"),
+            (4, "six", "web", "en"),
+        ],
+        "doc_id BIGINT, text STRING, source STRING, lang STRING",
+    )
+    r = dataset_card(df).collect()[0]
+    assert r["n_docs"] == 4
+    assert r["n_tokens"] == 3 + 3 + 2 + 1
+    assert r["n_chars"] == 13 + 13 + 11 + 3
+    assert r["mean_doc_tokens"] == 2.25
+    assert r["n_sources"] == 2 and r["n_langs"] == 2
+    assert r["dup_rate"] == 0.25  # 3 distinct hashes of 4 docs
+    assert 0.0 < r["mean_quality"] <= 1.0
+
+
 def test_snapshot_ingest_matches_oneshot(spark):
     """The diff-driven ingest (re-process ONLY added+changed) folds to
     the same index as a one-shot exact_dedup over v1 plus that slice,

@@ -53,6 +53,68 @@ def lang_id(
     )
 
 
+def dataset_card(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """One-row corpus DATASHEET (round 12) — the summary a dataset
+    release ships with (Gebru et al. "Datasheets for Datasets";
+    every LLM data card carries these numbers): document/token/char
+    totals, mean document length, source and language cardinalities,
+    the exact-duplicate rate (1 - distinct content hashes / docs),
+    and the mean heuristic quality score. ONE aggregate over one
+    corpus scan — every input is a map-side expression (token count,
+    content hash, the quality_score formula), the distinct counts are
+    partial-aggregated, and the double mean routes through
+    DECIMAL(28,12) (order-free, twin-exact).
+
+    Output columns: n_docs, n_tokens, n_chars, mean_doc_tokens,
+    n_sources, n_langs, dup_rate, mean_quality."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    score = F.round(
+        (
+            F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+            / F.greatest(n_chars, F.lit(1))
+        )
+        * 0.5
+        + F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5,
+        6,
+    )
+    row = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("_src"),
+        F.col(lang_col).alias("_lang"),
+        n_tok.alias("_nt"),
+        n_chars.alias("_nc"),
+        hash64(t).alias("_h"),
+        score.alias("_q"),
+    )
+    return row.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.sum("_nc").cast("long").alias("n_chars"),
+        F.round(F.sum("_nt") / F.count(F.lit(1)), 6).alias(
+            "mean_doc_tokens"
+        ),
+        F.countDistinct("_src").alias("n_sources"),
+        F.countDistinct("_lang").alias("n_langs"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("_h") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.round(
+            F.sum(F.col("_q").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+    )
+
+
 def quality_calibrated_by_source(
     df: DataFrame,
     text_col: str = "text",

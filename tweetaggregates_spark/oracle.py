@@ -1961,6 +1961,38 @@ def oracle_sql() -> dict[str, str]:
         FROM words w LEFT JOIN seg s USING (word)
         GROUP BY 1
     """
+    # one-row corpus datasheet (round 12): totals, cardinalities,
+    # exact-dup rate and the DECIMAL-routed mean quality — one scan
+    sql["dataset_card_docs"] = f"""
+        WITH corpus AS (
+          SELECT doc_id, text, source, lang FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text, source, lang
+          FROM documents WHERE doc_id % 5 = 0
+        ),
+        t AS (
+          SELECT doc_id, source, lang,
+                 len({_D_TOKS}) AS nt,
+                 length(text) AS nc,
+                 {_D_HASH.format(x="text")} AS h,
+                 round((length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / greatest(length(text), 1)) * 0.5
+                   + least(len({_D_TOKS}) / 100.0, 1.0) * 0.5, 6) AS q
+          FROM corpus
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               CAST(sum(nc) AS BIGINT) AS n_chars,
+               round(CAST(sum(nt) AS DOUBLE) / count(*), 6)
+                 AS mean_doc_tokens,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6)
+                 AS dup_rate,
+               round(CAST(sum(CAST(q AS DECIMAL(28,12))) AS DOUBLE)
+                 / count(*), 6) AS mean_quality
+        FROM t
+    """
     # per-source quality calibration (round 12): the quality_docs
     # score formula + a per-source (score desc, doc_id) row_number
     # and the exact integer keep cut 5*rank <= 4*n — no float

@@ -485,6 +485,17 @@ def _docs_with_mixed_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dataset_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet over the dup-augmented crawl
+    (operators/text.dataset_card — the dup synthesis makes dup_rate
+    non-zero under the gate)."""
+    docs = _docs(spark, sf_dir)
+    dups = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return text.dataset_card(docs.unionAll(dups))
+
+
 def quality_calibrated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality calibration: keep the top-4/5 of each
     source by quality score with an exact integer rank cut
