@@ -43,78 +43,31 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is stalest-first for the driver gate (the first 50
-        # entries are hash-checked). Round-12 block: the FOURTEEN new
-        # r12 registrations lead (URL canonicalization, LSH parameter
-        # planner, exact-substring span trim, IVF-PQ index lifecycle,
-        # filtered exact kNN, filtered-ANN recall audit, per-segment
-        # language mixture, BPE trainer+tokenizer, OPH minhash pairs
-        # + audit, per-source quality calibration, corpus snapshot
-        # diff, diff-driven snapshot ingest, dataset card), then the
-        # FOUR entries whose code changed this round (the streaming
-        # CDC delta persist now routes through append_cdc_index_delta;
-        # similarity.py's build/read region gained the compact/below=
-        # lifecycle), then the stalest driver rows — the r8/r9-era
-        # tail VERDICT r11 named, starting at dsir_weights_docs — in
-        # stable order. The gate boundary falls after tfidf_docs
-        # (position 50); user_activity_concentration is the first
-        # entry outside the block (it and the following r9-green rows
-        # are next in line for r13). The tail stays stalest-first
-        # (the r11-checked block is at the very end) so the r13
-        # rotation just takes the head.
-        # -- round-12 registrations (never driver-checked) --
-        "url_canonical_docs": llm.url_canonical_docs,
-        "lsh_plan_audit": llm.lsh_plan_audit,
-        "substring_trim_docs": llm.substring_trim_docs,
-        "incremental_ann_ivf_embeddings": llm.incremental_ann_ivf_embeddings,
-        "knn_filtered_embeddings": llm.knn_filtered_embeddings,
-        "ann_filtered_recall_embeddings": llm.ann_filtered_recall_embeddings,
-        "lang_segments_docs": llm.lang_segments_docs,
-        "bpe_token_counts_docs": llm.bpe_token_counts_docs,
-        "oph_lsh_pairs_docs": llm.oph_lsh_pairs_docs,
-        "oph_lsh_recall_docs": llm.oph_lsh_recall_docs,
-        "quality_calibrated_docs": llm.quality_calibrated_docs,
-        "corpus_diff_docs": llm.corpus_diff_docs,
-        "snapshot_ingest_docs": llm.snapshot_ingest_docs,
-        "dataset_card_docs": llm.dataset_card_docs,
+        # entries are hash-checked). Round-13 block: the FIVE new r13
+        # registrations lead (paned hopping under the gate, cluster-
+        # level leak-proof split routing, BM25 ranked retrieval, the
+        # streaming near-dup lifecycle, snapshot-diff-driven ANN
+        # ingest), then the TWO entries whose code changed this round
+        # (curated_corpus_neardup_docs now signs with one-permutation
+        # minhash; incremental_ann_ivf_embeddings exercises the
+        # read/compact paths that gained tombstone handling), then the
+        # stalest driver rows — the r9-era tail VERDICT r12 named,
+        # starting at user_activity_concentration — in stable order.
+        # The gate boundary falls after stream_pca_embeddings
+        # (position 50); throughput_5min is the first entry outside
+        # the block. The tail stays stalest-first (the r11-checked
+        # block, then the r12-checked block at the very end) so the
+        # r14 rotation just takes the head.
+        # -- round-13 registrations (never driver-checked) --
+        "hopping_counts_paned": ev.hopping_counts_paned,
+        "cluster_split_docs": llm.cluster_split_docs,
+        "bm25_topk_docs": llm.bm25_topk_docs,
+        "stream_near_dedup_docs": llm.stream_near_dedup_docs,
+        "snapshot_ann_ingest_embeddings": llm.snapshot_ann_ingest_embeddings,
         # -- code changed this round --
-        "stream_cdc_trim_docs": llm.stream_cdc_trim_docs,
-        "knn_ivf_pq_embeddings": llm.knn_ivf_pq_embeddings,
-        "knn_ivf_pq_trained_embeddings": llm.knn_ivf_pq_trained_embeddings,
-        "knn_ivf_pq_refined_embeddings": llm.knn_ivf_pq_refined_embeddings,
-        # -- stalest driver rows (r8/r9-era) --
-        "dsir_weights_docs": llm.dsir_weights_docs,
-        "dup_cluster_size_histogram": llm.dup_cluster_size_histogram,
-        "embedding_stats": llm.embedding_stats,
-        "events_profile": ev.events_profile,
-        "hll_users_daily": ev.hll_users_daily,
-        "hll_users_monthly_rollup": ev.hll_users_monthly_rollup,
-        "incremental_dedup_docs": llm.incremental_dedup_docs,
-        "incremental_exact_dedup_docs": llm.incremental_exact_dedup_docs,
-        "kmeans_clusters_embeddings": llm.kmeans_clusters_embeddings,
-        "knn_pq_embeddings": llm.knn_pq_embeddings,
-        "label_centroids": llm.label_centroids_query,
-        "latest_events_snapshot": ev.latest_events_snapshot,
-        "lm_quality_docs": llm.lm_quality_docs,
-        "media_frames_docs": llm.media_frames_docs,
-        "media_waveform_docs": llm.media_waveform_docs,
-        "q11_part_revenue_share": star.q11_part_revenue_share,
-        "q12_late_priority_counts": star.q12_late_priority_counts,
-        "q15_top_supplier": star.q15_top_supplier,
-        "q16_supplier_counts": star.q16_supplier_counts,
-        "q17_small_quantity_revenue": star.q17_small_quantity_revenue,
-        "q19_disjunctive_revenue": star.q19_disjunctive_revenue,
-        "q22_idle_customers": star.q22_idle_customers,
-        "q2_min_cost_supplier": star.q2_min_cost_supplier,
-        "q4_priority_counts": star.q4_priority_counts,
-        "q7_nation_volume": star.q7_nation_volume,
-        "q8_market_share": star.q8_market_share,
-        "quantized_embeddings": llm.quantized_embeddings_docs,
-        "revenue_grouping_sets": ev.revenue_grouping_sets,
-        "semantic_dup_embeddings": llm.semantic_dup_embeddings,
-        "stream_exact_dedup_docs": llm.stream_exact_dedup_docs,
-        "substring_dup_docs": llm.substring_dup_docs,
-        "tfidf_docs": llm.tfidf_docs,
-        # ---- gate boundary: entries below are outside the first-50 block ----
+        "curated_corpus_neardup_docs": llm.curated_corpus_neardup_docs,
+        "incremental_ann_ivf_embeddings": llm.incremental_ann_ivf_embeddings,
+        # -- stalest driver rows (r9-era) --
         "user_activity_concentration": ev.user_activity_concentration,
         "value_quantile_sketch_daily": ev.value_quantile_sketch_daily,
         "value_quantile_sketch_monthly": ev.value_quantile_sketch_monthly,
@@ -158,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": llm.simhash_docs,
         "simhash_pairs_docs": llm.simhash_pairs_docs,
         "stream_pca_embeddings": llm.stream_pca_embeddings,
+        # ---- gate boundary: entries below are outside the first-50 block ----
         "throughput_5min": ev.throughput_5min,
         "top_event_types_tumbling": ev.top_event_types_tumbling,
         "top_orders_per_customer": star.top_orders_per_customer,
@@ -211,11 +165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dup_pairs_docs": llm.winnow_dup_pairs_docs,
         "winnow_fingerprints_docs": llm.winnow_fingerprints_docs,
         "zipf_fit_docs": llm.zipf_fit_docs,
-        # -- freshest rows (r11-checked block) --
+        # -- r11-checked block --
         "lsh_recall_sampled_docs": llm.lsh_recall_sampled_docs,
         "incremental_cdc_trim_docs": llm.incremental_cdc_trim_docs,
         "bigram_lm_quality_bcast_docs": llm.bigram_lm_quality_bcast_docs,
-        "curated_corpus_neardup_docs": llm.curated_corpus_neardup_docs,
         "ann_recall_truncated_embeddings": llm.ann_recall_truncated_embeddings,
         "html_extract_docs": llm.html_extract_docs,
         "kll_value_daily": ev.kll_value_daily,
@@ -261,6 +214,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_new_users": sequence.cumulative_new_users,
         "daily_count_anomalies": ev.daily_count_anomalies,
         "dense_tumbling_counts": ev.dense_tumbling_counts,
+        # -- freshest rows (r12-checked block) --
+        "url_canonical_docs": llm.url_canonical_docs,
+        "lsh_plan_audit": llm.lsh_plan_audit,
+        "substring_trim_docs": llm.substring_trim_docs,
+        "knn_filtered_embeddings": llm.knn_filtered_embeddings,
+        "ann_filtered_recall_embeddings": llm.ann_filtered_recall_embeddings,
+        "lang_segments_docs": llm.lang_segments_docs,
+        "bpe_token_counts_docs": llm.bpe_token_counts_docs,
+        "oph_lsh_pairs_docs": llm.oph_lsh_pairs_docs,
+        "oph_lsh_recall_docs": llm.oph_lsh_recall_docs,
+        "quality_calibrated_docs": llm.quality_calibrated_docs,
+        "corpus_diff_docs": llm.corpus_diff_docs,
+        "snapshot_ingest_docs": llm.snapshot_ingest_docs,
+        "dataset_card_docs": llm.dataset_card_docs,
+        "stream_cdc_trim_docs": llm.stream_cdc_trim_docs,
+        "knn_ivf_pq_embeddings": llm.knn_ivf_pq_embeddings,
+        "knn_ivf_pq_trained_embeddings": llm.knn_ivf_pq_trained_embeddings,
+        "knn_ivf_pq_refined_embeddings": llm.knn_ivf_pq_refined_embeddings,
+        "dsir_weights_docs": llm.dsir_weights_docs,
+        "dup_cluster_size_histogram": llm.dup_cluster_size_histogram,
+        "embedding_stats": llm.embedding_stats,
+        "events_profile": ev.events_profile,
+        "hll_users_daily": ev.hll_users_daily,
+        "hll_users_monthly_rollup": ev.hll_users_monthly_rollup,
+        "incremental_dedup_docs": llm.incremental_dedup_docs,
+        "incremental_exact_dedup_docs": llm.incremental_exact_dedup_docs,
+        "kmeans_clusters_embeddings": llm.kmeans_clusters_embeddings,
+        "knn_pq_embeddings": llm.knn_pq_embeddings,
+        "label_centroids": llm.label_centroids_query,
+        "latest_events_snapshot": ev.latest_events_snapshot,
+        "lm_quality_docs": llm.lm_quality_docs,
+        "media_frames_docs": llm.media_frames_docs,
+        "media_waveform_docs": llm.media_waveform_docs,
+        "q11_part_revenue_share": star.q11_part_revenue_share,
+        "q12_late_priority_counts": star.q12_late_priority_counts,
+        "q15_top_supplier": star.q15_top_supplier,
+        "q16_supplier_counts": star.q16_supplier_counts,
+        "q17_small_quantity_revenue": star.q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": star.q19_disjunctive_revenue,
+        "q22_idle_customers": star.q22_idle_customers,
+        "q2_min_cost_supplier": star.q2_min_cost_supplier,
+        "q4_priority_counts": star.q4_priority_counts,
+        "q7_nation_volume": star.q7_nation_volume,
+        "q8_market_share": star.q8_market_share,
+        "quantized_embeddings": llm.quantized_embeddings_docs,
+        "revenue_grouping_sets": ev.revenue_grouping_sets,
+        "semantic_dup_embeddings": llm.semantic_dup_embeddings,
+        "stream_exact_dedup_docs": llm.stream_exact_dedup_docs,
+        "substring_dup_docs": llm.substring_dup_docs,
+        "tfidf_docs": llm.tfidf_docs,
     }
 
 

@@ -1296,7 +1296,9 @@ def _prune_stale_builds(path: str, keep_bid: str) -> None:
 
     for name in os.listdir(path):
         stale = (
-            re.fullmatch(r"(codes|centroids|codebook)(_[0-9a-f]{12})?", name)
+            re.fullmatch(
+                r"(codes|centroids|codebook|tombs)(_[0-9a-f]{12})?", name
+            )
             and not name.endswith(f"_{keep_bid}")
         )
         if stale:
@@ -1344,9 +1346,27 @@ def compact_ivf_pq_index(
         )
         new_ingest = F.when(folds, F.lit("base")).otherwise(F.col("ingest"))
     bid = uuid.uuid4().hex[:12]
+    # fold committed tombstones into the rewrite: deletes from ingests
+    # in the folding set apply NOW (against the codes' ORIGINAL
+    # versions, before they collapse to base) and are dropped from the
+    # log; later tombstones carry forward so a replayed trigger's
+    # below= read still sees its exact pre-batch view
+    tombs = _read_tombstones(spark, path, suffix, None)
+    carried = None
+    if tombs is not None:
+        if below is None:
+            folding, carried = tombs, None
+        else:
+            folding = tombs.filter(F.col("ingest").cast("long") < below)
+            carried = tombs.filter(~(F.col("ingest").cast("long") < below))
+        codes = _apply_tombstones(codes, folding)
     codes.withColumn("ingest", new_ingest).write.mode(
         "overwrite"
     ).partitionBy("ingest", "cell").parquet(f"{path}/codes_{bid}")
+    if carried is not None and carried.limit(1).count() > 0:
+        carried.write.mode("overwrite").partitionBy("ingest").parquet(
+            f"{path}/tombs_{bid}"
+        )
     spark.read.parquet(f"{path}/centroids{suffix}").write.mode(
         "overwrite"
     ).parquet(f"{path}/centroids_{bid}")
@@ -1367,13 +1387,96 @@ def compact_ivf_pq_index(
     return read_ivf_pq_index(spark, path)
 
 
+def _ingest_version(col):
+    """Numeric version of an ``ingest`` partition value: ``base`` (the
+    build/compaction output) sorts before every numeric ingest."""
+    return F.when(col == "base", F.lit(-1).cast("long")).otherwise(
+        col.cast("long")
+    )
+
+
+def _read_tombstones(spark, path: str, suffix: str, below: int | None):
+    """The index's tombstone table (vec_id, ingest) or None when the
+    build has none. ``below`` mirrors the codes filter: a replayed
+    trigger must not see deletes from uncommitted later ingests."""
+    import os
+
+    tdir = f"{path}/tombs{suffix}"
+    if not os.path.isdir(tdir):
+        return None
+    tombs = spark.read.parquet(tdir)
+    if below is not None:
+        tombs = tombs.filter(F.col("ingest").cast("long") < below)
+    return tombs
+
+
+def _apply_tombstones(codes: DataFrame, tombs: DataFrame) -> DataFrame:
+    """Drop code rows deleted by a LATER ingest: a tombstone written at
+    ingest T kills codes whose ingest version is < T (strictly — a
+    delete-then-reinsert under ONE ingest id keeps the reinsert, which
+    is what makes the diff-driven 'changed' path idempotent on
+    replay). ``codes`` must still carry its ``ingest`` column."""
+    tmax = (
+        tombs.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("ingest").cast("long").alias("_tv"),
+        )
+        .groupBy("neighbor_id")
+        .agg(F.max("_tv").alias("_tv"))
+    )
+    return (
+        codes.withColumn("_cv", _ingest_version(F.col("ingest")))
+        .join(F.broadcast(tmax), "neighbor_id", "left")
+        .filter(F.col("_tv").isNull() | (F.col("_cv") >= F.col("_tv")))
+        .drop("_tv", "_cv")
+    )
+
+
+def delete_from_ivf_pq_index(
+    ids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    ingest_id: str | None = None,
+) -> None:
+    """Delete vectors from the persisted index by id — the versioned-
+    store DELETE half of the ANN lifecycle (VERDICT r12 #8: a
+    snapshot diff's removed+changed slice must leave the index, not
+    just have its replacement appended). Writes O(deleted ids)
+    TOMBSTONES under ``tombs_<build>/ingest=<id>`` — never touches
+    the code tree; ``read_ivf_pq_index`` drops tombstoned codes whose
+    ingest version precedes the delete, and compaction folds applied
+    tombstones into the rewrite. Same idempotence contract as
+    ``append_to_ivf_pq_index``: a retried batch with the same
+    ``ingest_id`` overwrites its own tombstone partition. Pair the
+    delete with the batch's append under ONE ingest id so a changed
+    doc's re-encoded row (same version, not ``<``) survives its own
+    tombstone."""
+    import uuid
+
+    spark = ids.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first()
+    bid = getattr(meta, "build_id", None)
+    if not bid:
+        raise ValueError(
+            "delete_from_ivf_pq_index needs the versioned layout; "
+            "rebuild the index with build_ivf_pq_index first"
+        )
+    iid = ingest_id if ingest_id is not None else uuid.uuid4().hex[:12]
+    ids.select(F.col(id_col).cast("long").alias("vec_id")).withColumn(
+        "ingest", F.lit(str(iid))
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("ingest").parquet(f"{path}/tombs_{bid}")
+
+
 def read_ivf_pq_index(
     spark, path: str, below: int | None = None
 ) -> IvfPqIndex:
     """Open the persisted index. ``below=N`` restricts the code table
     to the base plus committed numeric ingests < N — the pre-batch
     view a replayed streaming trigger must see (versioned-store read
-    contract; non-numeric ingest ids are excluded by the filter)."""
+    contract; non-numeric ingest ids are excluded by the filter).
+    Tombstoned codes (delete_from_ivf_pq_index) are dropped here."""
     meta = spark.read.parquet(f"{path}/meta").first()
     bid = getattr(meta, "build_id", None)
     suffix = f"_{bid}" if bid else ""  # legacy layout: unsuffixed dirs
@@ -1384,6 +1487,9 @@ def read_ivf_pq_index(
                 (F.col("ingest") == "base")
                 | (F.col("ingest").cast("long") < below)
             )
+        tombs = _read_tombstones(spark, path, suffix, below)
+        if tombs is not None:
+            codes = _apply_tombstones(codes, tombs)
         codes = codes.drop("ingest")
     return IvfPqIndex(
         centroids=spark.read.parquet(f"{path}/centroids{suffix}"),

@@ -4844,9 +4844,28 @@ def oracle_sql() -> dict[str, str]:
     # shifted dups never survive exact dedup, so text joins from the
     # original documents), keep the min-id member per cluster with its
     # size. The CC CTE macro reads `FROM documents` exactly once
-    # (toksrc) — rewritten to the curated subset.
-    assert _lsh_cc_cte.count("FROM documents") == 1
-    _cur_cc = _lsh_cc_cte.replace(
+    # (toksrc) — rewritten to the curated subset. Round 13 (VERDICT
+    # r12 #7): the Spark side now signs with ONE-PERMUTATION minhash
+    # (minhash_lsh_pairs_oph — 1/16th the hashing cost at audited
+    # recall parity), so the closure CTE here banded over the OPH
+    # signature instead of the 16-hash one.
+    _oph_cc_cte = f"""
+            toksrc AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+            sh AS (SELECT doc_id, unnest(list_distinct({_D_SH3})) AS shingle
+                   FROM toksrc),
+            {_oph_body},
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM cand
+                      UNION SELECT doc_b, doc_a FROM cand),
+            reach(u, r) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+            ),
+            labels AS (SELECT u AS doc_id, min(r) AS cluster_id
+                       FROM reach GROUP BY 1)
+    """
+    assert _oph_cc_cte.count("FROM documents") == 1
+    _cur_cc = _oph_cc_cte.replace(
         "FROM documents",
         "FROM documents WHERE doc_id IN (SELECT doc_id FROM cur)",
     )
@@ -4986,4 +5005,124 @@ def oracle_sql() -> dict[str, str]:
         FROM cl JOIN sz USING (cluster_id)
         WHERE cl.doc_id = cl.cluster_id
     """
+    # ---- round 13 twins (VERDICT r12 #2/#3/#4/#5/#8) -----------------------
+    # paned hopping aggregation: panes are an exact algebraic
+    # decomposition of the hopping count, so the twin IS the plain
+    # x(size/slide) expansion SQL — hash equality proves the pane
+    # partial+rollup algebra
+    sql["hopping_counts_paned"] = sql["hopping_counts"]
+    # streaming near-dup lifecycle: the FOLDED persisted band index is
+    # batching-invariant (CC under component contraction), so its
+    # labels equal the one-shot transitive closure
+    sql["stream_near_dedup_docs"] = sql["dedup_clusters_docs"]
+    # cluster-level split routing: the recursive-CTE closure labels
+    # each doc with its near-dup cluster, then the SAME 10/10/80 hash
+    # split as split_docs keyed on the CLUSTER id
+    _clsplit_bucket = (
+        "("
+        + _D_HASH.format(
+            x="concat('split:', CAST(cluster_id AS VARCHAR))"
+        )
+        + " % 1000000)"
+    )
+    sql["cluster_split_docs"] = f"""
+        WITH RECURSIVE {_lsh_cc_cte},
+        cl AS (
+          SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN labels l USING (doc_id)
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN {_clsplit_bucket} < 100000 THEN 'val'
+                    WHEN {_clsplit_bucket} < 200000 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM cl
+    """
+    # BM25 ranked retrieval (operators/text.bm25_topk): query terms =
+    # first 8 distinct tokens of every 101st doc in first-occurrence
+    # order; per-term Okapi weights round to 9 dp (ln ulp) and sum
+    # through DECIMAL(28,12); rank on the exact decimal, ties by
+    # doc_id. Arithmetic association matches the Spark expression
+    # term for term (IEEE mul/div are deterministic given identical
+    # inputs).
+    sql["bm25_topk_docs"] = f"""
+        WITH toksrc AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+        tok AS (
+          SELECT doc_id, u.p AS pos, u.tok AS token
+          FROM (SELECT doc_id,
+                       unnest([{{'p': i, 'tok': toks[i]}}
+                               for i in range(1, len(toks) + 1)]) AS u
+                FROM toksrc)
+        ),
+        qt AS (SELECT doc_id AS query_id, token, min(pos) AS fp
+               FROM tok WHERE doc_id % 101 = 0 GROUP BY 1, 2),
+        qterms AS (
+          SELECT query_id, token FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY fp, token) AS qr
+            FROM qt) WHERE qr <= 8
+        ),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+               FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        dft AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+        stats AS (
+          SELECT (SELECT count(DISTINCT doc_id) FROM documents)
+                   AS n_docs,
+                 (SELECT count(*) FROM tok) AS total_tokens
+        ),
+        scored AS (
+          SELECT q.query_id, t.doc_id,
+                 round(
+                   ln(1 + (s.n_docs - f.doc_freq + 0.5)
+                          / (f.doc_freq + 0.5))
+                   * (t.tf * (1.2 + 1))
+                   / (t.tf + 1.2 * (1 - 0.75 + 0.75
+                        * (d.dl / (s.total_tokens / s.n_docs)))),
+                   9) AS w
+          FROM qterms q
+          JOIN tf t USING (token)
+          JOIN dl d ON t.doc_id = d.doc_id
+          JOIN dft f ON t.token = f.token
+          CROSS JOIN stats s
+        ),
+        agg AS (SELECT query_id, doc_id,
+                       sum(CAST(w AS DECIMAL(28,12))) AS sd
+                FROM scored GROUP BY 1, 2)
+        SELECT query_id, doc_id,
+               round(CAST(sd AS DOUBLE), 6) AS bm25,
+               CAST(rnk AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sd DESC, doc_id) AS rnk
+              FROM agg)
+        WHERE rnk <= 10
+    """
+    # snapshot-diff -> ANN ingest: tombstone(removed+changed) +
+    # append(added+changed) + compact leaves exactly encode(v2) under
+    # v1's quantizers, so the twin is the init-only one-shot over the
+    # POST-DIFF corpus (emb) with quantizer seeds drawn from v1
+    # (emb1). Vector edit = negation (exact in IEEE both engines).
+    _ivf_src = sql["knn_ivf_pq_embeddings"]
+    assert _ivf_src.count("FROM embeddings\n        ),") == 1
+    _snap_ann = _ivf_src.replace("WITH emb AS (", "WITH emb1 AS (", 1)
+    _snap_ann = _snap_ann.replace(
+        "FROM embeddings\n        ),",
+        """FROM embeddings
+        ),
+        emb AS (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 7 = 0 THEN [-x for x in v]
+                      ELSE v END AS v
+          FROM emb1 WHERE vec_id % 11 <> 0
+          UNION ALL
+          SELECT vec_id + 2000000 AS vec_id, v FROM emb1
+          WHERE vec_id % 13 = 0
+        ),""",
+        1,
+    )
+    assert _snap_ann.count("FROM emb ORDER BY vec_id LIMIT") == 2
+    _snap_ann = _snap_ann.replace(
+        "FROM emb ORDER BY vec_id LIMIT",
+        "FROM emb1 ORDER BY vec_id LIMIT",
+    )
+    sql["snapshot_ann_ingest_embeddings"] = _snap_ann
     return sql

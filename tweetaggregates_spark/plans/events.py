@@ -23,7 +23,7 @@ from tweetaggregates_spark.operators.aggregate import (
     top_entities_per_window,
 )
 from tweetaggregates_spark.operators.topk import dedupe_array_keep_first
-from tweetaggregates_spark.operators.window import windowed_count
+from tweetaggregates_spark.operators.window import hopping_paned, windowed_count
 from tweetaggregates_spark.sources.tables import load_table
 
 
@@ -48,6 +48,29 @@ def hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_count(
         _events(spark, sf_dir), "ts", "10 minutes", "1 minute", "cnt"
     )
+
+
+def hopping_counts_paned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/W4 on the PANE path (VERDICT r12 #3): the same 10-min/1-min
+    hopping count as ``hopping_counts`` computed via per-1-min pane
+    partials + pane->window rollup (operators/window.hopping_paned,
+    the Li et al. 'No pane, no gain' decomposition). The naive plan
+    explodes every RAW event x10 before the first aggregate; this
+    aggregates events into |panes| rows first and explodes only the
+    panes — at 100 TB the x10 shuffle blowup applies to ~minutes x
+    groups rows instead of ~events rows (the production lever for the
+    reference's heaviest shape, Query.cs:142-146; measured shuffle
+    delta in SCALE.md). The twin is the plain-expansion hopping SQL,
+    so the hash gate proves the pane algebra exact."""
+    out = hopping_paned(
+        _events(spark, sf_dir),
+        "ts",
+        [],
+        {"cnt": (F.count(F.lit(1)), F.sum)},
+        size_minutes=10,
+        slide_minutes=1,
+    )
+    return out.select("window_time", F.col("cnt").cast("long").alias("cnt"))
 
 
 def top_users_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1966,9 +1966,22 @@ def curated_corpus_neardup_docs(
     label join, size join) and the signal chain must run ONCE — the
     same barrier pattern the pipeline's r10 restructure proved.
     Non-vacuous at sf0.01: the crawl's boilerplate band collapses
-    (n_members > 1 clusters exist)."""
+    (n_members > 1 clusters exist).
+
+    Round 13 (VERDICT r12 #7): the signature is ONE-PERMUTATION
+    minhash (minhash_lsh_pairs_oph) — 1/16th the per-shingle hashing
+    of the 16-hash path at recall parity (audited by
+    oph_lsh_recall_docs), adopted here because this composed pipeline
+    is the registry's heaviest signature consumer; measured delta in
+    SCALE.md. lsh_verified_pairs / canonical_docs / the band-index
+    lifecycle entries deliberately KEEP the 16-hash signature: they
+    are the documented oracle baselines for that signature family,
+    and the persisted band-index layout (minhash_signatures feeding
+    build_band_index) is hash-gated against its own one-shot build —
+    switching its signature is an index FORMAT change, scheduled with
+    the next index rebuild, not a drop-in swap."""
     clean = _curated_clean(spark, sf_dir).localCheckpoint(eager=False)
-    pairs = dedup.minhash_lsh_pairs(clean)
+    pairs = dedup.minhash_lsh_pairs_oph(clean)
     labeled = cluster.assign_clusters(
         clean.select("doc_id"), pairs
     ).select("doc_id", "cluster_id")
@@ -2054,3 +2067,210 @@ def incremental_cdc_trim_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = dedup.cdc_chunk_index(b1, k=4, divisor=8)
     trimmed, _delta = dedup.cdc_trim_new_batch(b2, index, k=4, divisor=8)
     return trimmed
+
+
+# -- round 13: leak-proof splits, retrieval, streaming near-dup gate, --------
+# -- diff-driven ANN ingest (VERDICT r12 #2/#4/#5/#8) ------------------------
+
+
+def cluster_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-proof CLUSTER-level train/val/test routing (VERDICT r12
+    #2): ``split_docs`` routes by per-doc hash, so two near-duplicates
+    can straddle train and test — the eval-contamination hole
+    ``contamination_docs`` measures but a doc-level split cannot
+    prevent (the reason dedup precedes splitting in every public
+    corpus recipe — Gopher/RefinedWeb/Dolma). Compose: MinHash-LSH
+    pairs -> connected components (operators/cluster.assign_clusters)
+    -> the 10/10/80 hash split keyed on the CLUSTER id — every member
+    inherits its cluster's split, so no near-dup pair straddles splits
+    (pinned in tests/test_r13_ops.py). Scale: the routing adds one
+    map-side hash on top of the CC labels — the cost IS the dedup
+    pass a pipeline already runs; the twin replays the closure with a
+    recursive CTE and the same hash routing."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs)
+    labeled = cluster.assign_clusters(docs.select("doc_id"), pairs)
+    return sampling.split_assign(labeled, "cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval under the gate (VERDICT r12 #5): top-10
+    docs per query for 5 corpus-derived queries (every 101st doc's
+    first 8 distinct tokens) — the retrieval shape that completes the
+    inverted_index/tfidf index family (operators/text.bm25_topk
+    carries the scoring + scale docstring)."""
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return text.bm25_topk(docs, queries)
+
+
+def stream_near_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming NEAR-dup LIFECYCLE under the correctness gate
+    (VERDICT r12 #4 — the one streaming dedup lifecycle that was
+    pytest-only while its exact and CDC siblings were gate entries):
+    the corpus is replayed as a 2-file NDJSON drop-dir (low doc_ids,
+    then high) and drained one file per trigger through
+    ``run_streaming_near_dedup`` — per trigger the batch dedups
+    against the FOLDED pre-batch MinHash band index and appends only
+    its O(batch) delta (bands + remap log). Batching-invariance makes
+    the FOLDED index (operators/dedup.read_band_index) equal to a
+    one-shot ``build_band_index`` over everything ingested, whose
+    cluster labels are the transitive closure — so the DuckDB twin is
+    the dedup_clusters recursive-CTE closure. Harness note: writing
+    the drop-dir collects the sf docs to the driver — test-gate
+    replay only; the operator is driver-free."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from tweetaggregates_spark.streaming.dedup import (
+        run_streaming_near_dedup,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    root = tempfile.mkdtemp(prefix="stream_near_dedup_")
+    try:
+        in_dir = os.path.join(root, "in")
+        os.makedirs(in_dir)
+        n = len(rows)
+        halves = (rows[: n // 2], rows[n // 2 :])
+        for i, half in enumerate(halves):
+            p = os.path.join(in_dir, f"{i}.ndjson")
+            with open(p, "w") as fh:
+                fh.write(
+                    "\n".join(
+                        _json.dumps({"doc_id": r.doc_id, "text": r.text})
+                        for r in half
+                    )
+                )
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        index_path = os.path.join(root, "index")
+        run_streaming_near_dedup(
+            spark,
+            in_dir,
+            index_path,
+            os.path.join(root, "out"),
+            os.path.join(root, "ckpt"),
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        final = dedup.read_band_index(spark, index_path)
+        labels = final.select("doc_id", "cluster").distinct()
+        return (
+            docs.select("doc_id")
+            .join(labels, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("cluster"), F.col("doc_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _emb_snapshot_v2(emb: DataFrame) -> DataFrame:
+    """The v2 embedding snapshot for the diff-driven ANN entries:
+    remove every 11th vector, change every 7th (negation — exact in
+    IEEE, so the twin replays it bit-identically), add a shifted-id
+    batch for every 13th (the _docs_snapshot_v2 shape on vectors)."""
+    vid = F.col("vec_id")
+    neg = F.transform("embedding", lambda x: -x)
+    return (
+        emb.filter(vid % 11 != 0)
+        .withColumn(
+            "embedding",
+            F.when(vid % 7 == 0, neg).otherwise(F.col("embedding")),
+        )
+        .unionByName(
+            emb.filter(vid % 13 == 0).select(
+                (vid + 2_000_000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+
+
+def snapshot_ann_ingest_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snapshot-diff -> ANN ingest COMPOSED (VERDICT r12 #8): the same
+    added+changed slice that drives the content-hash index in
+    ``snapshot_ingest_docs`` drives the IVF-PQ index here, so
+    embedding re-indexing also skips unchanged docs. Diff v1 against
+    the v2 snapshot (operators/dedup.corpus_diff over a JSON
+    rendering of the vector — map-side, the vectors never shuffle),
+    then apply the diff to v1's persisted index: TOMBSTONE the
+    removed+changed ids (similarity.delete_from_ivf_pq_index — the
+    versioned-store delete half ANN ingest needs that dedup's remap
+    log never did) and APPEND the added+changed vectors encoded with
+    the EXISTING quantizers, both under one ingest id (delete-then-
+    insert is idempotent on replay); compact (tombstones fold into
+    the rewrite); probe top-5 for v2's first 10 vectors. The updated
+    index holds exactly encode(v2) with v1's quantizers, so the twin
+    is the init-only one-shot ``knn_ivf_pq`` over the POST-DIFF
+    corpus with quantizer seeds drawn from v1 — the hash gate proves
+    the diff-driven delete+append selection is exact."""
+    import shutil
+    import tempfile
+
+    from tweetaggregates_spark.operators.similarity import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        compact_ivf_pq_index,
+        delete_from_ivf_pq_index,
+        knn_ivf_pq,
+        read_ivf_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    v2 = _emb_snapshot_v2(emb)
+    sig = lambda d: d.select(  # noqa: E731
+        "vec_id", F.to_json(F.col("embedding")).alias("sig")
+    )
+    diff = dedup.corpus_diff(
+        sig(emb), sig(v2), id_col="vec_id", text_col="sig"
+    )
+    batch_ids = diff.filter(
+        F.col("status").isin("added", "changed")
+    ).select(F.col("doc_id").alias("vec_id"))
+    gone_ids = diff.filter(
+        F.col("status").isin("removed", "changed")
+    ).select(F.col("doc_id").alias("vec_id"))
+    root = tempfile.mkdtemp(prefix="snapshot_ann_")
+    try:
+        build_ivf_pq_index(
+            emb,
+            root,
+            n_cells=8,
+            m_subvectors=4,
+            k_codes=16,
+            coarse_iters=0,
+            pq_iters=0,
+            encode_residuals=False,
+        )
+        delete_from_ivf_pq_index(gone_ids, root, ingest_id="1")
+        append_to_ivf_pq_index(
+            v2.join(batch_ids, "vec_id"), root, ingest_id="1"
+        )
+        compact_ivf_pq_index(spark, root)
+        idx = read_ivf_pq_index(spark, root)
+        out = knn_ivf_pq(
+            None,
+            v2.filter(F.col("vec_id") < 10),
+            k=5,
+            n_probe=2,
+            index=idx,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
