@@ -208,6 +208,19 @@ HEADLINE = [
     "snapshot_ingest_docs",
     # round 12: one-row corpus datasheet — single-scan aggregate
     "dataset_card_docs",
+    # round 13: the pane-decomposed hopping count (the production fix
+    # for the x10 raw-row expansion — aggregate panes first, explode
+    # the panes), vs the plain expansion already in HEADLINE
+    "hopping_counts_paned",
+    # round 13: leak-proof cluster-routed split (CC labels + map-side
+    # hash routing) and BM25 ranked retrieval over the token index
+    "cluster_split_docs",
+    "bm25_topk_docs",
+    # round 13: streaming near-dup lifecycle (drop-dir replay, folded
+    # band index) and snapshot-diff-driven ANN ingest (tombstone +
+    # append + compact + probe) — lifecycle proofs under the gate
+    "stream_near_dedup_docs",
+    "snapshot_ann_ingest_embeddings",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

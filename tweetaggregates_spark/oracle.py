@@ -4844,28 +4844,13 @@ def oracle_sql() -> dict[str, str]:
     # shifted dups never survive exact dedup, so text joins from the
     # original documents), keep the min-id member per cluster with its
     # size. The CC CTE macro reads `FROM documents` exactly once
-    # (toksrc) — rewritten to the curated subset. Round 13 (VERDICT
-    # r12 #7): the Spark side now signs with ONE-PERMUTATION minhash
-    # (minhash_lsh_pairs_oph — 1/16th the hashing cost at audited
-    # recall parity), so the closure CTE here banded over the OPH
-    # signature instead of the 16-hash one.
-    _oph_cc_cte = f"""
-            toksrc AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
-            sh AS (SELECT doc_id, unnest(list_distinct({_D_SH3})) AS shingle
-                   FROM toksrc),
-            {_oph_body},
-            edges AS (SELECT doc_a AS u, doc_b AS v FROM cand
-                      UNION SELECT doc_b, doc_a FROM cand),
-            reach(u, r) AS (
-              SELECT u, u FROM edges
-              UNION
-              SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
-            ),
-            labels AS (SELECT u AS doc_id, min(r) AS cluster_id
-                       FROM reach GROUP BY 1)
-    """
-    assert _oph_cc_cte.count("FROM documents") == 1
-    _cur_cc = _oph_cc_cte.replace(
+    # (toksrc) — rewritten to the curated subset. Round 13: the OPH
+    # switch here was tried, swept hash-green (identical candidates),
+    # and REVERTED after measurement — see the
+    # curated_corpus_neardup_docs docstring and SCALE.md round-13;
+    # the twin stays on the 16-hash closure the Spark side uses.
+    assert _lsh_cc_cte.count("FROM documents") == 1
+    _cur_cc = _lsh_cc_cte.replace(
         "FROM documents",
         "FROM documents WHERE doc_id IN (SELECT doc_id FROM cur)",
     )
@@ -5013,8 +4998,19 @@ def oracle_sql() -> dict[str, str]:
     sql["hopping_counts_paned"] = sql["hopping_counts"]
     # streaming near-dup lifecycle: the FOLDED persisted band index is
     # batching-invariant (CC under component contraction), so its
-    # labels equal the one-shot transitive closure
-    sql["stream_near_dedup_docs"] = sql["dedup_clusters_docs"]
+    # labels equal the one-shot transitive closure — over the same
+    # 30% 'streamnd' hash-sample slice the replay ingests (both the
+    # CTE's toksrc and the outer documents scan rewrite)
+    _snd_pred = (
+        "("
+        + _D_HASH.format(x="concat('streamnd:', CAST(doc_id AS VARCHAR))")
+        + " % 1000000) < 300000"
+    )
+    assert sql["dedup_clusters_docs"].count("FROM documents") == 2
+    sql["stream_near_dedup_docs"] = sql["dedup_clusters_docs"].replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE {_snd_pred})",
+    )
     # cluster-level split routing: the recursive-CTE closure labels
     # each doc with its near-dup cluster, then the SAME 10/10/80 hash
     # split as split_docs keyed on the CLUSTER id

@@ -1968,20 +1968,26 @@ def curated_corpus_neardup_docs(
     Non-vacuous at sf0.01: the crawl's boilerplate band collapses
     (n_members > 1 clusters exist).
 
-    Round 13 (VERDICT r12 #7): the signature is ONE-PERMUTATION
-    minhash (minhash_lsh_pairs_oph) — 1/16th the per-shingle hashing
-    of the 16-hash path at recall parity (audited by
-    oph_lsh_recall_docs), adopted here because this composed pipeline
-    is the registry's heaviest signature consumer; measured delta in
-    SCALE.md. lsh_verified_pairs / canonical_docs / the band-index
-    lifecycle entries deliberately KEEP the 16-hash signature: they
-    are the documented oracle baselines for that signature family,
-    and the persisted band-index layout (minhash_signatures feeding
-    build_band_index) is hash-gated against its own one-shot build —
-    switching its signature is an index FORMAT change, scheduled with
-    the next index rebuild, not a drop-in swap."""
+    Round 13 (VERDICT r12 #7 — OPH adoption SETTLED BY MEASUREMENT):
+    this entry was re-registered on ``minhash_lsh_pairs_oph`` and
+    swept hash-green (identical candidate pairs on the curated
+    corpus), then the measured delta came out NEGATIVE — composed
+    pipeline 13.5 s OPH vs 12.0 s 16-hash at sf0.1, and the isolated
+    signature stage 7.36 vs 7.31 s even at sf1 (tools/scale_r13.py,
+    SCALE.md round-13 section). On Spark's codegen the per-shingle
+    md5 cost OPH saves is NOT the bottleneck (tokenize + shingle
+    explode + the min-aggregate dominate), and OPH's densification
+    (16 coalesces over 16 shifted candidates = a 256-term projection)
+    costs more than the 15 saved hashes. So the 16-hash signature
+    stays the default HERE and in every composed consumer
+    (lsh_verified_pairs, canonical_docs, the band-index lifecycle —
+    whose persisted layout is additionally an index FORMAT contract);
+    ``oph_lsh_pairs_docs``/``oph_lsh_recall_docs`` keep OPH
+    gate-green as the documented alternative for engines where
+    hashing IS the bottleneck (row-at-a-time scorers, GPU shingling,
+    wider signatures)."""
     clean = _curated_clean(spark, sf_dir).localCheckpoint(eager=False)
-    pairs = dedup.minhash_lsh_pairs_oph(clean)
+    pairs = dedup.minhash_lsh_pairs(clean)
     labeled = cluster.assign_clusters(
         clean.select("doc_id"), pairs
     ).select("doc_id", "cluster_id")
@@ -2120,8 +2126,17 @@ def stream_near_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the FOLDED index (operators/dedup.read_band_index) equal to a
     one-shot ``build_band_index`` over everything ingested, whose
     cluster labels are the transitive closure — so the DuckDB twin is
-    the dedup_clusters recursive-CTE closure. Harness note: writing
-    the drop-dir collects the sf docs to the driver — test-gate
+    the dedup_clusters recursive-CTE closure over the same slice.
+
+    The replay runs on a deterministic 30% hash sample ('streamnd'
+    salt — the lsh_recall_sampled precedent): per-trigger cost is CC
+    rounds x job latency plus the versioned parquet round-trips, so
+    the full-corpus replay triples the gate entry's wall time while
+    proving nothing extra — every lifecycle property (folded
+    pre-batch index, O(batch) deltas, batching-invariance) holds
+    per-slice, and the FULL-corpus replay stays pinned in
+    tests/test_stream_near_dedup.py. Harness note: writing the
+    drop-dir collects the sampled docs to the driver — test-gate
     replay only; the operator is driver-free."""
     import json as _json
     import os
@@ -2132,7 +2147,12 @@ def stream_near_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_streaming_near_dedup,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = sampling.hash_sample(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        "doc_id",
+        0.3,
+        salt="streamnd",
+    )
     rows = sorted(docs.collect(), key=lambda r: r.doc_id)
     root = tempfile.mkdtemp(prefix="stream_near_dedup_")
     try:
