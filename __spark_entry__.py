@@ -43,19 +43,20 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is stalest-first for the driver gate (the first 50
-        # entries are hash-checked). Round-13 block: the FIVE new r13
-        # registrations lead (paned hopping under the gate, cluster-
-        # level leak-proof split routing, BM25 ranked retrieval, the
-        # streaming near-dup lifecycle, snapshot-diff-driven ANN
-        # ingest), then the TWO entries whose code changed this round
+        # entries are hash-checked). Round-13 block: the SEVEN new
+        # r13 registrations lead (paned hopping under the gate,
+        # cluster-level leak-proof split routing, BM25 ranked
+        # retrieval + the BM25 eval-contamination audit, asymmetric
+        # n-gram containment, the streaming near-dup lifecycle,
+        # snapshot-diff-driven ANN ingest), then the TWO entries
+        # whose code changed this round
         # (curated_corpus_neardup_docs now signs with one-permutation
         # minhash; incremental_ann_ivf_embeddings exercises the
         # read/compact paths that gained tombstone handling), then the
         # stalest driver rows — the r9-era tail VERDICT r12 named,
         # starting at user_activity_concentration — in stable order.
-        # The gate boundary falls after stream_pca_embeddings
-        # (position 50); throughput_5min is the first entry outside
-        # the block. The tail stays stalest-first (the r11-checked
+        # The gate boundary falls after simhash_docs (position 50);
+        # simhash_pairs_docs is the first entry outside the block. The tail stays stalest-first (the r11-checked
         # block, then the r12-checked block at the very end) so the
         # r14 rotation just takes the head.
         # -- round-13 registrations (never driver-checked) --
@@ -64,6 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_docs": llm.bm25_topk_docs,
         "stream_near_dedup_docs": llm.stream_near_dedup_docs,
         "snapshot_ann_ingest_embeddings": llm.snapshot_ann_ingest_embeddings,
+        "bm25_eval_contamination_docs": llm.bm25_eval_contamination_docs,
+        "ngram_containment_docs": llm.ngram_containment_docs,
         # -- code changed this round --
         "curated_corpus_neardup_docs": llm.curated_corpus_neardup_docs,
         "incremental_ann_ivf_embeddings": llm.incremental_ann_ivf_embeddings,
@@ -109,9 +112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total_counts": ev.running_total_counts,
         "session_windows": ev.session_windows,
         "simhash_docs": llm.simhash_docs,
+        # ---- gate boundary: entries below are outside the first-50 block ----
         "simhash_pairs_docs": llm.simhash_pairs_docs,
         "stream_pca_embeddings": llm.stream_pca_embeddings,
-        # ---- gate boundary: entries below are outside the first-50 block ----
         "throughput_5min": ev.throughput_5min,
         "top_event_types_tumbling": ev.top_event_types_tumbling,
         "top_orders_per_customer": star.top_orders_per_customer,

@@ -221,6 +221,11 @@ HEADLINE = [
     # append + compact + probe) — lifecycle proofs under the gate
     "stream_near_dedup_docs",
     "snapshot_ann_ingest_embeddings",
+    # round 13: BM25 eval-contamination audit (train-side index stats)
+    # and the asymmetric containment join (quadratic oracle baseline,
+    # same single shingle self-join plan as ngram_jaccard_docs)
+    "bm25_eval_contamination_docs",
+    "ngram_containment_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

@@ -299,3 +299,47 @@ def test_partial_compact_carries_later_tombstones(spark, tmp_path):
     assert 11 not in _codes_ids(read_ivf_pq_index(spark, root))
     # ...and is still invisible to the below=1 pre-batch view
     assert 11 in _codes_ids(read_ivf_pq_index(spark, root, below=1))
+
+
+# -- containment + retrieval contamination (round-13 extras) -----------------
+
+
+def test_containment_catches_subsumed_short_doc(spark):
+    """A short doc embedded verbatim in a long doc: Jaccard is tiny
+    (fails the 0.3 near-dup bar) but containment(short->long) = 1.0 —
+    the shape the asymmetric join exists for."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [(1, short), (2, filler + " " + short + " " + filler)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    assert jac == []  # symmetric measure misses it
+    cont = dedup.ngram_containment_pairs(docs, threshold=0.8).collect()
+    assert [(r.doc_contained, r.doc_container, r.containment) for r in cont] == [
+        (1, 2, 1.0)
+    ]
+
+
+def test_containment_directed_both_ways_for_copies(spark):
+    """Exact copies contain each other: both directions emitted."""
+    rows = [(1, "one two three four five"), (2, "one two three four five")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r.doc_contained, r.doc_container)
+        for r in dedup.ngram_containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert got == {(1, 2), (2, 1)}
+
+
+def test_bm25_contamination_train_side_stats(spark):
+    """The contamination entry's index stats come from the TRAIN side
+    only: an eval doc never appears as a retrieved neighbor."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    out = text.bm25_topk(train, queries, k=5).collect()
+    assert len(out) > 0
+    assert all(r.doc_id % 50 != 0 for r in out)  # only train docs retrieved
+    assert all(r.rank <= 5 for r in out)

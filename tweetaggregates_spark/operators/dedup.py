@@ -286,6 +286,88 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT join: directed pairs where
+    C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| >= threshold
+    — Broder's containment measure, the dup shape symmetric Jaccard
+    MISSES: a short doc embedded in a much longer one (a quote inside
+    an aggregator page, a boilerplate-wrapped repost) has
+    |A∩B|/|A∪B| ≈ |A|/|B| → 0 but containment ≈ 1. Corpus recipes run
+    this after Jaccard dedup to catch subsumed shorts (the ExactSubstr
+    family handles the span-level form; this is the doc-level form).
+
+    Output: (doc_contained, doc_container, n_inter, containment),
+    DIRECTED — mutual near-copies emit both directions. Same plan
+    economics as ``ngram_jaccard_pairs`` (whose docstring documents
+    the quadratic-baseline role and the ``max_doc_freq`` cap): one
+    shingle self-join with a reused exchange; the direction split is
+    a map-side union AFTER the (doc_a, doc_b) aggregate, so the join
+    itself still runs on unordered pairs once."""
+    sh = _doc_shingles(df, text_col, id_col, k)
+    if max_doc_freq is not None:
+        cool = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(cool.hint("shuffle_hash"), "shingle")
+    sizes = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.array_distinct(word_shingles(tokens(F.col(text_col)), k))
+        ).alias("n_shingles"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b").hint("shuffle_hash")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    j = (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")
+            ),
+            "doc_b",
+        )
+    )
+    directed = j.select(
+        F.col("doc_a").alias("doc_contained"),
+        F.col("doc_b").alias("doc_container"),
+        "n_inter",
+        F.round(F.col("n_inter") / F.col("na"), 6).alias("containment"),
+    ).unionByName(
+        j.select(
+            F.col("doc_b").alias("doc_contained"),
+            F.col("doc_a").alias("doc_container"),
+            "n_inter",
+            F.round(F.col("n_inter") / F.col("nb"), 6).alias("containment"),
+        )
+    )
+    return directed.filter(F.col("containment") >= threshold)
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -5034,23 +5034,29 @@ def oracle_sql() -> dict[str, str]:
         FROM cl
     """
     # BM25 ranked retrieval (operators/text.bm25_topk): query terms =
-    # first 8 distinct tokens of every 101st doc in first-occurrence
+    # first 8 distinct tokens of the query docs in first-occurrence
     # order; per-term Okapi weights round to 9 dp (ln ulp) and sum
     # through DECIMAL(28,12); rank on the exact decimal, ties by
     # doc_id. Arithmetic association matches the Spark expression
     # term for term (IEEE mul/div are deterministic given identical
-    # inputs).
-    sql["bm25_topk_docs"] = f"""
+    # inputs). Parameterized over the query-side and corpus-side
+    # predicates: bm25_topk_docs retrieves from the full corpus with
+    # corpus-derived queries; bm25_eval_contamination_docs queries
+    # the TRAIN side with the eval split (index stats over train
+    # only, matching text.bm25_topk's df-derived stats).
+    def _bm25_sql(query_pred: str, corpus_pred: str, k: int) -> str:
+        return f"""
         WITH toksrc AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
-        tok AS (
+        postok AS (
           SELECT doc_id, u.p AS pos, u.tok AS token
           FROM (SELECT doc_id,
                        unnest([{{'p': i, 'tok': toks[i]}}
                                for i in range(1, len(toks) + 1)]) AS u
                 FROM toksrc)
         ),
+        tok AS (SELECT * FROM postok WHERE {corpus_pred}),
         qt AS (SELECT doc_id AS query_id, token, min(pos) AS fp
-               FROM tok WHERE doc_id % 101 = 0 GROUP BY 1, 2),
+               FROM postok WHERE {query_pred} GROUP BY 1, 2),
         qterms AS (
           SELECT query_id, token FROM (
             SELECT *, row_number() OVER (
@@ -5062,8 +5068,8 @@ def oracle_sql() -> dict[str, str]:
         dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
         dft AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
         stats AS (
-          SELECT (SELECT count(DISTINCT doc_id) FROM documents)
-                   AS n_docs,
+          SELECT (SELECT count(DISTINCT doc_id) FROM documents
+                  WHERE {corpus_pred}) AS n_docs,
                  (SELECT count(*) FROM tok) AS total_tokens
         ),
         scored AS (
@@ -5090,7 +5096,41 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY sd DESC, doc_id) AS rnk
               FROM agg)
-        WHERE rnk <= 10
+        WHERE rnk <= {k}
+    """
+
+    sql["bm25_topk_docs"] = _bm25_sql("doc_id % 101 = 0", "TRUE", 10)
+    sql["bm25_eval_contamination_docs"] = _bm25_sql(
+        "doc_id % 50 = 0", "doc_id % 50 <> 0", 5
+    )
+    # doc-level asymmetric containment (Broder): the Jaccard twin's
+    # shingle join re-selected as DIRECTED containment rows
+    sql["ngram_containment_docs"] = f"""
+        {_D_SHINGLES},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS n_inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        j AS (
+          SELECT doc_a, doc_b, n_inter, sa.n AS na, sb.n AS nb
+          FROM inter
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+        ),
+        d AS (
+          SELECT doc_a AS doc_contained, doc_b AS doc_container,
+                 n_inter, round(n_inter / na, 6) AS containment
+          FROM j
+          UNION ALL
+          SELECT doc_b, doc_a, n_inter, round(n_inter / nb, 6)
+          FROM j
+        )
+        SELECT doc_contained, doc_container, n_inter, containment
+        FROM d WHERE containment >= 0.8
     """
     # snapshot-diff -> ANN ingest: tombstone(removed+changed) +
     # append(added+changed) + compact leaves exactly encode(v2) under

@@ -2294,3 +2294,38 @@ def snapshot_ann_ingest_embeddings(
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def ngram_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level asymmetric containment pairs (round 13 —
+    operators/dedup.ngram_containment_pairs, which carries the
+    measure + plan docstring): directed (contained, container) pairs
+    at C >= 0.8 over 3-gram shingles — the subsumed-short-doc dup
+    shape symmetric Jaccard misses. Quadratic-truth oracle baseline
+    like ngram_jaccard_docs (same one-shingle-join plan; the
+    max_doc_freq cap is the documented production guard)."""
+    return dedup.ngram_containment_pairs(
+        _docs(spark, sf_dir), k=3, threshold=0.8
+    )
+
+
+def bm25_eval_contamination_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retrieval-based eval contamination (round 13 — the BM25
+    companion to the n-gram `contamination_docs`): each eval-split
+    doc (doc_id % 50 == 0, the curated pipeline's split convention)
+    queries the TRAIN corpus (doc_id % 50 != 0) with its first 8
+    distinct tokens; top-5 train docs per eval doc by BM25. This is
+    the retrieval-shaped audit run before shipping a benchmark
+    number: ranked lexical overlap catches reworded/reordered
+    contamination that exact n-gram matching can miss, and the score
+    distribution calibrates an exclusion threshold. Same single
+    token-scan plan as bm25_topk_docs (text.bm25_topk); the index
+    stats (tf/dl/df/N) are computed over the TRAIN side only."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return text.bm25_topk(train, queries, k=5)
