@@ -352,19 +352,31 @@ def ngram_containment_pairs(
             "doc_b",
         )
     )
+    # both directions via ONE map-side explode (a union would consume
+    # — and recompute — the whole join pipeline twice; PLAN_AUDIT:
+    # 14 -> 8 exchanges, matching the jaccard sibling)
     directed = j.select(
-        F.col("doc_a").alias("doc_contained"),
-        F.col("doc_b").alias("doc_container"),
-        "n_inter",
-        F.round(F.col("n_inter") / F.col("na"), 6).alias("containment"),
-    ).unionByName(
-        j.select(
-            F.col("doc_b").alias("doc_contained"),
-            F.col("doc_a").alias("doc_container"),
-            "n_inter",
-            F.round(F.col("n_inter") / F.col("nb"), 6).alias("containment"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_contained"),
+                    F.col("doc_b").alias("doc_container"),
+                    F.col("n_inter").alias("n_inter"),
+                    F.round(F.col("n_inter") / F.col("na"), 6).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_contained"),
+                    F.col("doc_a").alias("doc_container"),
+                    F.col("n_inter").alias("n_inter"),
+                    F.round(F.col("n_inter") / F.col("nb"), 6).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
     return directed.filter(F.col("containment") >= threshold)
 
 
