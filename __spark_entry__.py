@@ -50,8 +50,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # n-gram containment, the streaming near-dup lifecycle,
         # snapshot-diff-driven ANN ingest), then the TWO entries
         # whose code changed this round
-        # (curated_corpus_neardup_docs now signs with one-permutation
-        # minhash; incremental_ann_ivf_embeddings exercises the
+        # (curated_corpus_neardup_docs was switched to OPH signatures
+        # and REVERTED after measurement — the docstring records the
+        # 12.02 vs 13.47 s numbers; it still calls the 16-hash
+        # dedup.minhash_lsh_pairs;
+        # incremental_ann_ivf_embeddings exercises the
         # read/compact paths that gained tombstone handling), then the
         # stalest driver rows — the r9-era tail VERDICT r12 named,
         # starting at user_activity_concentration — in stable order.

@@ -1,0 +1,108 @@
+"""Round-14 pins.
+
+First block: the ADVICE r13 tombstone-ordering fixes in
+operators/similarity.py — numeric-ingest enforcement on delete, the
+newer-than-any-tombstone rule for uuid-keyed appends, and the
+legacy-non-numeric-tombstone carry in partial compaction.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tweetaggregates_spark.operators.similarity import (
+    append_to_ivf_pq_index,
+    build_ivf_pq_index,
+    compact_ivf_pq_index,
+    delete_from_ivf_pq_index,
+    read_ivf_pq_index,
+)
+
+
+def _mini_corpus(spark, n=64, d=8):
+    import math
+
+    rows = [
+        (i, [round(math.sin(0.1 * i * (j + 1)), 6) for j in range(d)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+
+def _codes_ids(idx):
+    return {r.neighbor_id for r in idx.codes.select("neighbor_id").collect()}
+
+
+def _build(spark, tmp_path):
+    emb = _mini_corpus(spark)
+    root = str(tmp_path / "idx")
+    build_ivf_pq_index(
+        emb, root, n_cells=4, m_subvectors=2, k_codes=8,
+        coarse_iters=0, pq_iters=0, encode_residuals=False,
+    )
+    return emb, root
+
+
+def test_delete_requires_numeric_ingest(spark, tmp_path):
+    """ADVICE r13 (high): the default-args path used to write a uuid
+    tombstone that no-oped at read time. Both the None default and an
+    explicit non-numeric id must now raise at WRITE time."""
+    emb, root = _build(spark, tmp_path)
+    gone = spark.createDataFrame([(3,)], "vec_id LONG")
+    with pytest.raises(ValueError, match="NUMERIC ingest_id"):
+        delete_from_ivf_pq_index(gone, root)
+    with pytest.raises(ValueError, match="NUMERIC ingest_id"):
+        delete_from_ivf_pq_index(gone, root, ingest_id="deadbeef1234")
+    # nothing was written: the index is untouched
+    assert len(_codes_ids(read_ivf_pq_index(spark, root))) == 64
+
+
+def test_uuid_append_survives_numeric_tombstone(spark, tmp_path):
+    """ADVICE r13 (medium): codes appended under the documented uuid
+    default have no numeric version; they must read as NEWER than any
+    tombstone — delete at ingest 1 then uuid-keyed re-insert keeps the
+    live row instead of NULL-comparing it away."""
+    emb, root = _build(spark, tmp_path)
+    gone = spark.createDataFrame([(5,)], "vec_id LONG")
+    delete_from_ivf_pq_index(gone, root, ingest_id="1")
+    changed = emb.filter(F.col("vec_id") == 5).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    append_to_ivf_pq_index(changed, root)  # ingest_id=None -> uuid
+    ids = _codes_ids(read_ivf_pq_index(spark, root))
+    assert 5 in ids
+
+
+def test_partial_compact_carries_legacy_nonnumeric_tombstone(
+    spark, tmp_path
+):
+    """ADVICE r13 (high): compact(below=N) must not LOSE a legacy
+    non-numeric tombstone — it fails both `cast < N` and the negation
+    (NULL), so without the explicit isNull arm it landed in neither
+    folding nor carried and resurrected its vectors after the old
+    tombs dir was pruned. It must be carried unchanged (mirroring the
+    codes-side predicate), alongside the numeric one that folds."""
+    import os
+
+    emb, root = _build(spark, tmp_path)
+    gone = spark.createDataFrame([(11,)], "vec_id LONG")
+    delete_from_ivf_pq_index(gone, root, ingest_id="0")
+    # simulate a legacy pre-enforcement tombstone written under a
+    # non-numeric ingest id, directly into the build's tombs dir
+    meta = spark.read.parquet(f"{root}/meta").first()
+    spark.createDataFrame(
+        [(23, "legacyuuid00")], "vec_id LONG, ingest STRING"
+    ).write.mode("append").partitionBy("ingest").parquet(
+        f"{root}/tombs_{meta.build_id}"
+    )
+    compact_ivf_pq_index(spark, root, below=1)
+    # the numeric ingest-0 tombstone folded: vec 11 physically gone
+    idx = read_ivf_pq_index(spark, root)
+    assert 11 not in _codes_ids(idx)
+    # the legacy tombstone was carried, not lost with the pruned dir
+    tomb_dirs = [d for d in os.listdir(root) if d.startswith("tombs")]
+    assert len(tomb_dirs) == 1
+    carried = spark.read.parquet(f"{root}/{tomb_dirs[0]}")
+    rows = carried.select("vec_id", "ingest").collect()
+    assert [(r.vec_id, r.ingest) for r in rows] == [(23, "legacyuuid00")]

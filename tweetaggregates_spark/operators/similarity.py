@@ -1342,7 +1342,7 @@ def compact_ivf_pq_index(
         new_ingest = F.lit("base")
     else:
         folds = (F.col("ingest") == "base") | (
-            F.col("ingest").cast("long") < below
+            F.col("ingest").try_cast("long") < below
         )
         new_ingest = F.when(folds, F.lit("base")).otherwise(F.col("ingest"))
     bid = uuid.uuid4().hex[:12]
@@ -1357,8 +1357,15 @@ def compact_ivf_pq_index(
         if below is None:
             folding, carried = tombs, None
         else:
-            folding = tombs.filter(F.col("ingest").cast("long") < below)
-            carried = tombs.filter(~(F.col("ingest").cast("long") < below))
+            # split on cast IS NULL explicitly (ADVICE r13): a legacy
+            # non-numeric tombstone fails BOTH `cast < below` and its
+            # negation (NULL), so without the isNull arm it would land
+            # in neither set and be silently lost by the rebase —
+            # carry it unchanged, mirroring the codes-side `folds`
+            # predicate (non-numeric code ingests are carried too)
+            tv = F.col("ingest").try_cast("long")
+            folding = tombs.filter(tv < below)
+            carried = tombs.filter(tv.isNull() | (tv >= below))
         codes = _apply_tombstones(codes, folding)
     codes.withColumn("ingest", new_ingest).write.mode(
         "overwrite"
@@ -1391,22 +1398,29 @@ def _ingest_version(col):
     """Numeric version of an ``ingest`` partition value: ``base`` (the
     build/compaction output) sorts before every numeric ingest."""
     return F.when(col == "base", F.lit(-1).cast("long")).otherwise(
-        col.cast("long")
-    )
+        col.try_cast("long")  # non-numeric (uuid) ingests -> NULL,
+    )  # never an ANSI cast error mid-read
 
 
 def _read_tombstones(spark, path: str, suffix: str, below: int | None):
     """The index's tombstone table (vec_id, ingest) or None when the
     build has none. ``below`` mirrors the codes filter: a replayed
-    trigger must not see deletes from uncommitted later ingests."""
-    import os
+    trigger must not see deletes from uncommitted later ingests.
 
+    Existence goes through the Hadoop FileSystem API, not
+    ``os.path.isdir`` (ADVICE r13): on hdfs:// or s3a:// a local stat
+    always says 'missing' and deletes would silently no-op — the
+    FS-aware check makes missing-vs-unreachable behave the same on
+    every filesystem Spark can read."""
     tdir = f"{path}/tombs{suffix}"
-    if not os.path.isdir(tdir):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(tdir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
         return None
     tombs = spark.read.parquet(tdir)
     if below is not None:
-        tombs = tombs.filter(F.col("ingest").cast("long") < below)
+        tombs = tombs.filter(F.col("ingest").try_cast("long") < below)
     return tombs
 
 
@@ -1415,17 +1429,31 @@ def _apply_tombstones(codes: DataFrame, tombs: DataFrame) -> DataFrame:
     ingest T kills codes whose ingest version is < T (strictly — a
     delete-then-reinsert under ONE ingest id keeps the reinsert, which
     is what makes the diff-driven 'changed' path idempotent on
-    replay). ``codes`` must still carry its ``ingest`` column."""
+    replay). ``codes`` must still carry its ``ingest`` column.
+
+    Codes appended under a NON-numeric ingest id (the documented uuid
+    default of ``append_to_ivf_pq_index``) have no position in the
+    numeric version order; treat them as newer-than-any-tombstone
+    (``_cv`` coalesced to Long.MaxValue, ADVICE r13) so a delete at
+    ingest 1 followed by a uuid-keyed re-insert keeps the live row
+    instead of silently dropping it on the NULL comparison."""
     tmax = (
         tombs.select(
             F.col("vec_id").alias("neighbor_id"),
-            F.col("ingest").cast("long").alias("_tv"),
+            F.col("ingest").try_cast("long").alias("_tv"),
         )
         .groupBy("neighbor_id")
         .agg(F.max("_tv").alias("_tv"))
     )
+    max_long = (1 << 63) - 1
     return (
-        codes.withColumn("_cv", _ingest_version(F.col("ingest")))
+        codes.withColumn(
+            "_cv",
+            F.coalesce(
+                _ingest_version(F.col("ingest")),
+                F.lit(max_long).cast("long"),
+            ),
+        )
         .join(F.broadcast(tmax), "neighbor_id", "left")
         .filter(F.col("_tv").isNull() | (F.col("_cv") >= F.col("_tv")))
         .drop("_tv", "_cv")
@@ -1450,9 +1478,14 @@ def delete_from_ivf_pq_index(
     ``ingest_id`` overwrites its own tombstone partition. Pair the
     delete with the batch's append under ONE ingest id so a changed
     doc's re-encoded row (same version, not ``<``) survives its own
-    tombstone."""
-    import uuid
+    tombstone.
 
+    ``ingest_id`` is REQUIRED and must be numeric (ADVICE r13): the
+    tombstone's whole meaning is its position in the ingest version
+    order (`kills codes with version < T`), so a non-numeric id has no
+    defined ordering — ``_apply_tombstones`` would cast it to NULL and
+    the delete would silently no-op at read time. Rejecting it here
+    keeps the write path and the read path consistent."""
     spark = ids.sparkSession
     meta = spark.read.parquet(f"{path}/meta").first()
     bid = getattr(meta, "build_id", None)
@@ -1461,7 +1494,16 @@ def delete_from_ivf_pq_index(
             "delete_from_ivf_pq_index needs the versioned layout; "
             "rebuild the index with build_ivf_pq_index first"
         )
-    iid = ingest_id if ingest_id is not None else uuid.uuid4().hex[:12]
+    try:
+        int(str(ingest_id))
+    except (TypeError, ValueError):
+        raise ValueError(
+            "delete_from_ivf_pq_index requires a NUMERIC ingest_id "
+            f"(got {ingest_id!r}): tombstones order against code "
+            "versions by numeric ingest, so a non-numeric id would "
+            "silently delete nothing at read time"
+        )
+    iid = ingest_id
     ids.select(F.col(id_col).cast("long").alias("vec_id")).withColumn(
         "ingest", F.lit(str(iid))
     ).write.mode("overwrite").option(
@@ -1485,7 +1527,7 @@ def read_ivf_pq_index(
         if below is not None:
             codes = codes.filter(
                 (F.col("ingest") == "base")
-                | (F.col("ingest").cast("long") < below)
+                | (F.col("ingest").try_cast("long") < below)
             )
         tombs = _read_tombstones(spark, path, suffix, below)
         if tombs is not None:
