@@ -62,7 +62,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # simhash_pairs_docs is the first entry outside the block. The tail stays stalest-first (the r11-checked
         # block, then the r12-checked block at the very end) so the
         # r14 rotation just takes the head.
-        # -- round-13 registrations (never driver-checked) --
+        # -- round-14 registrations (never driver-checked) --
+        "incremental_cluster_split_docs": (
+            llm.incremental_cluster_split_docs
+        ),
+        # -- round-13 registrations --
         "hopping_counts_paned": ev.hopping_counts_paned,
         "cluster_split_docs": llm.cluster_split_docs,
         "bm25_topk_docs": llm.bm25_topk_docs,

@@ -106,3 +106,89 @@ def test_partial_compact_carries_legacy_nonnumeric_tombstone(
     carried = spark.read.parquet(f"{root}/{tomb_dirs[0]}")
     rows = carried.select("vec_id", "ingest").collect()
     assert [(r.vec_id, r.ingest) for r in rows] == [(23, "legacyuuid00")]
+
+
+# -- frozen cluster-split routing (VERDICT r13 #2) ---------------------------
+
+
+from tweetaggregates_spark.operators import sampling
+
+
+def _splits(df):
+    return {r.doc_id: r.split for r in df.collect()}
+
+
+def test_frozen_split_merge_never_flips(spark):
+    """A merge-inducing second batch changes NO existing doc's split:
+    batch-1 docs are never re-emitted, and the bridge doc inherits the
+    SMALLEST previously-assigned cluster's split (the tie policy)."""
+    a1 = spark.createDataFrame(
+        [(10, 10), (11, 10), (20, 20), (21, 20), (30, 30)],
+        "doc_id LONG, cluster LONG",
+    )
+    s1, routes = sampling.frozen_split_for_batch(a1)
+    base = _splits(s1)
+    # initial routing table is empty: every cluster routes by its own
+    # label hash (identity routes are implicit)
+    assert routes.count() == 0
+    # doc 5 bridges clusters 10 and 20; the component min (5) is a NEW
+    # doc id, so the label changes for both sides
+    a2 = spark.createDataFrame([(5, 5)], "doc_id LONG, cluster LONG")
+    remap = spark.createDataFrame(
+        [(10, 5), (20, 5)], "old_cluster LONG, new_cluster LONG"
+    )
+    s2, routes2 = sampling.frozen_split_for_batch(a2, routes, remap)
+    out2 = _splits(s2)
+    # only the batch's docs are (re)emitted — the freeze
+    assert set(out2) == {5}
+    # tie policy: min(10, 20) = 10 — NOT the new label 5's own hash
+    assert out2[5] == base[10]
+    # the merged component's non-identity route persists for later
+    # ingests
+    assert {(r.cluster_id, r.route_key) for r in routes2.collect()} == {
+        (5, 10)
+    }
+    # batch 3: doc 4 renames the merged component again (5 -> 4); the
+    # prior NON-identity route must fold through the remap chain
+    a3 = spark.createDataFrame([(4, 4)], "doc_id LONG, cluster LONG")
+    remap3 = spark.createDataFrame(
+        [(5, 4)], "old_cluster LONG, new_cluster LONG"
+    )
+    s3, routes3 = sampling.frozen_split_for_batch(a3, routes2, remap3)
+    assert _splits(s3)[4] == base[10]
+    assert {(r.cluster_id, r.route_key) for r in routes3.collect()} == {
+        (4, 10)
+    }
+
+
+def test_frozen_split_kept_label_wins_tie(spark):
+    """When the merged component KEEPS one side's label (the component
+    min is an old cluster, not a new doc), that label competes in the
+    tie: min(3, 10) = 3, the route is identity, and the routing table
+    stays empty."""
+    a1 = spark.createDataFrame(
+        [(3, 3), (7, 3), (10, 10), (12, 10)], "doc_id LONG, cluster LONG"
+    )
+    s1, routes = sampling.frozen_split_for_batch(a1)
+    base = _splits(s1)
+    a2 = spark.createDataFrame([(8, 3)], "doc_id LONG, cluster LONG")
+    remap = spark.createDataFrame(
+        [(10, 3)], "old_cluster LONG, new_cluster LONG"
+    )
+    s2, routes2 = sampling.frozen_split_for_batch(a2, routes, remap)
+    assert _splits(s2)[8] == base[3]
+    assert routes2.count() == 0  # identity route stays implicit
+
+
+def test_frozen_split_new_cluster_routes_by_own_label(spark):
+    """A batch-2 doc that matches nothing forms a new cluster and
+    hash-routes on its own label — identical to split_assign, so the
+    one-shot and incremental paths agree on never-merged clusters."""
+    a2 = spark.createDataFrame([(99, 99)], "doc_id LONG, cluster LONG")
+    s2, _ = sampling.frozen_split_for_batch(a2)
+    expected = _splits(
+        sampling.split_assign(
+            a2.selectExpr("doc_id", "cluster AS cluster_id"), "cluster_id"
+        )
+    )
+    assert _splits(s2) == expected

