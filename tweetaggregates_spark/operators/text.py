@@ -8,7 +8,9 @@ the row path, embarrassingly parallel (no shuffle except noted).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tweetaggregates_spark.functions.hashing import hash64
@@ -654,14 +656,55 @@ def bm25_topk(
     in as a literal; the query-term table (|Q| x n_query_terms rows)
     BROADCASTS onto tf, so the corpus never shuffles for the join —
     the only corpus-sized exchanges are the two index-build groupBys
-    a real system would persist (see inverted_index). Final top-k is
-    a per-query window over |Q| x matched-docs rows."""
-    from pyspark.sql import Window
-
+    a real system would persist (see inverted_index /
+    build_token_index). Final top-k is a per-query window over
+    |Q| x matched-docs rows."""
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
     )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # dl/total_tokens aggregate the RAW token relation, not tf: tf is
+    # already consumed twice (dft + the scored join) and Spark
+    # recomputes unpersisted subplans per consumer, so deriving dl
+    # from tf (sum of per-term counts — value-identical) re-runs the
+    # (doc, token) aggregation a third time. Measured at sf0.1:
+    # 4.9 s this form vs 7.0 s the tf-derived form (median of 3,
+    # warm). The multiple map-side token scans are the cheap side of
+    # that trade; a deployment persists the token index once anyway
+    # (see build_token_index).
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    stats = df.agg(
+        F.countDistinct(id_col).alias("n_docs"),
+    ).crossJoin(tok.agg(F.count(F.lit(1)).alias("total_tokens")))
+    return _bm25_score(
+        tf, dl, dft, stats, queries,
+        query_id_col=query_id_col, query_text_col=query_text_col,
+        n_query_terms=n_query_terms, k=k, k1=k1, b=b,
+    )
+
+
+def _bm25_score(
+    tf: DataFrame,
+    dl: DataFrame,
+    dft: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    n_query_terms: int = 8,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The BM25 scoring plan over MATERIALIZED index stats — shared by
+    the scan-per-call ``bm25_topk`` and the persisted-index
+    ``bm25_topk_indexed``. Inputs: tf(doc_id, token, tf),
+    dl(doc_id, dl), dft(token, doc_freq), stats 1-row
+    (n_docs, total_tokens)."""
+    from pyspark.sql import Window
+
     qtok = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.posexplode(tokens(F.col(query_text_col))).alias("pos", "token"),
@@ -674,21 +717,6 @@ def bm25_topk(
         .filter(F.col("qr") <= n_query_terms)
         .select("query_id", "token")
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    # dl/total_tokens aggregate the RAW token relation, not tf: tf is
-    # already consumed twice (dft + the scored join) and Spark
-    # recomputes unpersisted subplans per consumer, so deriving dl
-    # from tf (sum of per-term counts — value-identical) re-runs the
-    # (doc, token) aggregation a third time. Measured at sf0.1:
-    # 4.9 s this form vs 7.0 s the tf-derived form (median of 3,
-    # warm). The multiple map-side token scans are the cheap side of
-    # that trade; a deployment persists the token index once anyway
-    # (see inverted_index).
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
-    stats = df.agg(
-        F.countDistinct(id_col).alias("n_docs"),
-    ).crossJoin(tok.agg(F.count(F.lit(1)).alias("total_tokens")))
     # identical association to the DuckDB twin: IEEE mul/div are
     # deterministic given identical inputs, ln() is the only libm
     # call and the 9 dp round absorbs its last-ulp noise
@@ -1704,4 +1732,188 @@ def html_main_text(
         .withColumn("n_blocks", F.size("_blocks"))
         .withColumn("n_blocks_kept", F.size("_kept"))
         .drop("_blocks", "_kept")
+    )
+
+
+# -- persisted token / retrieval index lifecycle (VERDICT r13 #3) ------------
+
+
+class TokenIndex(NamedTuple):
+    """Folded view of the persisted retrieval index: exactly the four
+    materialized stats ``_bm25_score`` consumes."""
+
+    tf: DataFrame      # (doc_id, token, tf)
+    dl: DataFrame      # (doc_id, dl)
+    dft: DataFrame     # (token, doc_freq)
+    stats: DataFrame   # 1 row: (n_docs, total_tokens)
+
+
+def _token_index_frames(
+    batch: DataFrame, text_col: str, id_col: str
+) -> list[tuple[str, DataFrame]]:
+    """One batch's index stats in FAMILY WRITE ORDER (tf last — the
+    commit point ``read_token_index`` keys versions off)."""
+    tok = batch.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    stats = batch.agg(
+        F.countDistinct(id_col).alias("n_docs")
+    ).crossJoin(tok.agg(F.count(F.lit(1)).alias("total_tokens")))
+    return [("dl", dl), ("df", dft), ("stats", stats), ("tf", tf)]
+
+
+def build_token_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the inverted/retrieval index ONCE (VERDICT r13 #3):
+    ``bm25_topk`` rebuilds tf/dl/df/N per call, which is the right
+    oracle-baseline shape but not a deployment — at 100 TB the token
+    scan and its two corpus-sized groupBys dwarf every query, so a
+    real system persists them and serves retrieval from the index
+    (what Lucene/ES call the inverted index + norms + collection
+    stats). Same versioned-store contract as the band/CDC/IVF-PQ
+    index families (``versioned_store``): this writes base ``v=0`` for
+    four families — tf (the postings with term frequencies), dl (doc
+    lengths — Lucene's norms), df (document frequencies) and the
+    1-row collection stats. df and stats are ADDITIVE over
+    disjoint-doc batches, so increments fold by sum — no corpus
+    rescan ever (``append_token_index_delta``)."""
+    from tweetaggregates_spark import versioned_store as vs
+
+    vs.commit_bases(
+        path,
+        [
+            (f"{sub}_base", frame)
+            for sub, frame in _token_index_frames(df, text_col, id_col)
+        ],
+        0,
+    )
+
+
+def append_token_index_delta(
+    batch: DataFrame,
+    path: str,
+    ingest_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold a NEW batch into the persisted retrieval index: O(batch)
+    writes — the batch's own tf/dl rows and its additive df/stats
+    deltas land at ``<family>/v=<ingest_id>``; the corpus is never
+    rescanned. Assumes batch doc ids are disjoint from prior ingests
+    (the same contract as every index family here). Per-version
+    overwrite + tf-written-last make a replayed ingest idempotent:
+    a crash mid-append leaves no tf/v=<id>, so readers ignore the
+    orphan families and the retry overwrites them."""
+    for sub, frame in _token_index_frames(batch, text_col, id_col):
+        frame.write.mode("overwrite").parquet(
+            f"{path}/{sub}/v={int(ingest_id)}"
+        )
+
+
+def read_token_index(
+    spark: SparkSession, path: str, below: int | None = None
+) -> TokenIndex:
+    """Open the folded index. tf/dl fold by union (disjoint docs);
+    df folds by per-token SUM and stats by 1-row SUM — the additive
+    increments that make the fold equal a from-scratch build over
+    everything ingested (batching invariance, pinned in
+    tests/test_token_index.py). ``below=N`` restricts to versions < N
+    (the streaming replay contract). The tf family is authoritative
+    for version selection; the other three read at ITS versions, so a
+    crash between family writes can never produce a skewed fold."""
+    from tweetaggregates_spark import versioned_store as vs
+
+    b, deltas = vs.base_and_deltas(path, "tf_base", "tf", below)
+
+    def _fold(sub: str, schema: str) -> DataFrame:
+        parts = vs.read_family(
+            spark, path, f"{sub}_base", sub, b, deltas, schema
+        )
+        out = vs.union_all(parts)
+        if out is None:
+            return spark.createDataFrame([], schema)
+        return out
+
+    dft = (
+        _fold("df", "token STRING, doc_freq BIGINT")
+        .groupBy("token")
+        .agg(F.sum("doc_freq").alias("doc_freq"))
+    )
+    stats = _fold("stats", "n_docs BIGINT, total_tokens BIGINT").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+    )
+    return TokenIndex(
+        tf=_fold("tf", "doc_id BIGINT, token STRING, tf BIGINT"),
+        dl=_fold("dl", "doc_id BIGINT, dl BIGINT"),
+        dft=dft,
+        stats=stats,
+    )
+
+
+def compact_token_index(
+    spark: SparkSession, path: str, below: int | None = None
+) -> None:
+    """Rebase the versioned retrieval index: fold every committed
+    delta into fresh bases so read-time fold cost (and the per-token
+    df sum fan-in) resets to one scan per family. df/stats deltas
+    PRE-AGGREGATE into single rows per token / one stats row — the
+    incremental fold is exact integer addition, so compaction is
+    result-identical by construction. Crash-safe via
+    ``versioned_store.commit_bases`` (tf base renamed LAST = the
+    commit point) + post-commit cleanup, the same contract as
+    ``compact_band_index``."""
+    from tweetaggregates_spark import versioned_store as vs
+
+    b, deltas = vs.base_and_deltas(path, "tf_base", "tf", below)
+    if not deltas:
+        return
+    idx = read_token_index(spark, path, below)
+    newv = max(deltas)
+    vs.commit_bases(
+        path,
+        [
+            ("dl_base", idx.dl),
+            ("df_base", idx.dft),
+            ("stats_base", idx.stats),
+            ("tf_base", idx.tf),
+        ],
+        newv,
+    )
+    vs.cleanup_after_compact(
+        path,
+        ["dl", "df", "stats", "tf"],
+        ["dl_base", "df_base", "stats_base", "tf_base"],
+        newv,
+    )
+
+
+def bm25_topk_indexed(
+    index: TokenIndex,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    n_query_terms: int = 8,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval served from the PERSISTED index — the deployment
+    path (``bm25_topk`` is the scan-per-call twin): zero corpus
+    access; the only work is the broadcast query-term join onto the
+    stored postings and the per-query top-k window. Identical scoring
+    expression (``_bm25_score``), so indexed and scan-per-call results
+    are bit-equal over the same corpus."""
+    return _bm25_score(
+        index.tf, index.dl, index.dft, index.stats, queries,
+        query_id_col=query_id_col, query_text_col=query_text_col,
+        n_query_terms=n_query_terms, k=k, k1=k1, b=b,
     )

