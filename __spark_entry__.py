@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             llm.incremental_cluster_split_docs
         ),
         "bm25_topk_indexed_docs": llm.bm25_topk_indexed_docs,
+        "containment_verified_pairs_docs": (
+            llm.containment_verified_pairs_docs
+        ),
         # -- round-13 registrations --
         "hopping_counts_paned": ev.hopping_counts_paned,
         "cluster_split_docs": llm.cluster_split_docs,

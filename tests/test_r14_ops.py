@@ -192,3 +192,50 @@ def test_frozen_split_new_cluster_routes_by_own_label(spark):
         )
     )
     assert _splits(s2) == expected
+
+
+# -- banded containment verify (VERDICT r13 #4) -------------------------------
+
+
+from tweetaggregates_spark.operators import dedup
+
+
+def test_containment_verified_matches_truth_on_neardups(spark):
+    """High-Jaccard near-dups (the shape MinHash banding targets):
+    banded discovery + exact verify returns exactly the brute-force
+    containment pairs."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " extra"),          # near-dup of 1 (high Jaccard)
+        (3, "totally different words here about other topics entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    truth = sorted(
+        map(tuple, dedup.ngram_containment_pairs(docs, k=3,
+                                                 threshold=0.8).collect())
+    )
+    banded = sorted(
+        map(tuple, dedup.containment_verified_pairs(docs, k=3,
+                                                    threshold=0.8).collect())
+    )
+    assert truth == banded and len(truth) > 0
+
+
+def test_containment_banding_misses_extreme_ratio_pair(spark):
+    """The documented recall trade: a SHORT doc verbatim inside a much
+    longer one has containment 1.0 but tiny Jaccard, so Jaccard-tuned
+    MinHash bands miss it — the reason ngram_containment_pairs (the
+    brute-force truth) and the ExactSubstr chunk index stay in the
+    toolbox. This pins the miss so the trade stays visible."""
+    short = "one two three four five"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short + " " + filler)],
+        "doc_id LONG, text STRING",
+    )
+    truth = dedup.ngram_containment_pairs(docs, k=3, threshold=0.8)
+    assert [(r.doc_contained, r.doc_container, r.containment)
+            for r in truth.collect()] == [(1, 2, 1.0)]
+    banded = dedup.containment_verified_pairs(docs, k=3, threshold=0.8)
+    assert banded.count() == 0

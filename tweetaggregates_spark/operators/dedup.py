@@ -2600,3 +2600,77 @@ def compact_cdc_index(spark, path: str, below: int | None = None) -> None:
     folded = read_cdc_index(spark, path, below=newv + 1)
     vstore.commit_bases(path, [("base", folded)], newv)
     vstore.cleanup_after_compact(path, ["chunks"], ["base"], newv)
+
+
+def containment_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """The PRODUCTION containment path (VERDICT r13 #4):
+    ``ngram_containment_pairs`` is the quadratic-truth baseline — its
+    shingle self-join touches every co-occurring pair; at 100 TB the
+    deployable form is banded LSH candidate discovery, then the exact
+    containment verify ONLY on candidates (the ``lsh_verified_pairs``
+    / ``winnow_dup_pairs_capped`` pattern). The verify is map-side
+    per candidate: one array_intersect of the two docs' distinct
+    shingle sets, both directions from the one unordered pair —
+    |candidates| verifications instead of |docs|².
+
+    Recall trade (measured in SCALE.md): MinHash banding targets
+    JACCARD, and a short doc fully contained in a long one has low
+    Jaccard — exactly the pairs containment exists to catch — so
+    banding can miss extreme-ratio pairs a brute-force scan finds.
+    At these parameters the testdata corpus loses none (recall row in
+    SCALE.md); production tunes bands/rows to the containment floor
+    it needs, or runs the ExactSubstr chunk index for the guaranteed
+    span-level form. Output schema = ngram_containment_pairs."""
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    cand = minhash_lsh_pairs(
+        docs, "text", "doc_id", k=k, n_hashes=n_hashes, n_bands=n_bands
+    )
+    sh = F.array_distinct(word_shingles(tokens(F.col("text")), k))
+    a = docs.select(F.col("doc_id").alias("doc_a"), sh.alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), sh.alias("sh_b"))
+    j = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            .cast("long")
+            .alias("n_inter"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+        )
+    )
+    directed = j.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_contained"),
+                    F.col("doc_b").alias("doc_container"),
+                    F.col("n_inter").alias("n_inter"),
+                    F.round(F.col("n_inter") / F.col("na"), 6).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_contained"),
+                    F.col("doc_a").alias("doc_container"),
+                    F.col("n_inter").alias("n_inter"),
+                    F.round(F.col("n_inter") / F.col("nb"), 6).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
+    return directed.filter(F.col("containment") >= threshold)

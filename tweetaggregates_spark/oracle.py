@@ -5191,6 +5191,44 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN {b} < 200000 THEN 'test' ELSE 'train' END"
         )
 
+    # banded containment: brute-force directed containment restricted
+    # to the LSH candidate set (the lsh_verified_pairs CTE stack);
+    # n_inter casts to BIGINT to match Spark's size().cast('long')
+    sql["containment_verified_pairs_docs"] = f"""
+        {_D_SHINGLES},
+        sig AS (
+          SELECT doc_id, {_MINHASH_MINS}
+          FROM sh GROUP BY doc_id
+        ),
+        bands AS ({_BAND_SELECTS}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        shs AS (SELECT doc_id, list_distinct({_D_SH3}) AS shingles
+                FROM toksrc),
+        j AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(len(list_intersect(x.shingles, y.shingles))
+                      AS BIGINT) AS n_inter,
+                 len(x.shingles) AS na, len(y.shingles) AS nb
+          FROM cand c
+          JOIN shs x ON c.doc_a = x.doc_id
+          JOIN shs y ON c.doc_b = y.doc_id
+        ),
+        d AS (
+          SELECT doc_a AS doc_contained, doc_b AS doc_container,
+                 n_inter, round(n_inter / na, 6) AS containment
+          FROM j
+          UNION ALL
+          SELECT doc_b, doc_a, n_inter, round(n_inter / nb, 6)
+          FROM j
+        )
+        SELECT doc_contained, doc_container, n_inter, containment
+        FROM d WHERE containment >= 0.8
+    """
     # persisted retrieval index: additive df/N folds + union tf/dl make
     # build+append+compact+read bit-equal to the scan-per-call scorer
     # over the full corpus, so the twin IS the bm25_topk_docs SQL

@@ -2430,3 +2430,19 @@ def bm25_topk_indexed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def containment_verified_pairs_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Banded containment discovery under the gate (VERDICT r13 #4 —
+    the production form of ngram_containment_docs): MinHash-LSH
+    candidates, exact directed containment verified per candidate
+    (operators/dedup.containment_verified_pairs, which carries the
+    plan + recall docstring). Twin: the brute-force containment SQL
+    restricted to the same LSH candidate set — both engines compute
+    banding and verification, so the hash gate proves the composed
+    path, and the SCALE.md recall row records banded-vs-truth."""
+    return dedup.containment_verified_pairs(
+        _docs(spark, sf_dir), k=3, threshold=0.8
+    )
