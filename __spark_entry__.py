@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_verified_pairs_docs": (
             llm.containment_verified_pairs_docs
         ),
+        "top_users_hopping_paned": ev.top_users_hopping_paned,
         # -- round-13 registrations --
         "hopping_counts_paned": ev.hopping_counts_paned,
         "cluster_split_docs": llm.cluster_split_docs,

