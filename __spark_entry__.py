@@ -71,6 +71,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             llm.containment_verified_pairs_docs
         ),
         "top_users_hopping_paned": ev.top_users_hopping_paned,
+        "ann_refresh_recall_embeddings": (
+            llm.ann_refresh_recall_embeddings
+        ),
         # -- round-13 registrations --
         "hopping_counts_paned": ev.hopping_counts_paned,
         "cluster_split_docs": llm.cluster_split_docs,

@@ -314,3 +314,119 @@ def test_paned_keyed_equals_plain(spark):
     assert sorted(map(tuple, paned.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+# -- quantizer refresh on compact (VERDICT r13 #6) ----------------------------
+
+
+from tweetaggregates_spark.operators.similarity import (  # noqa: E402
+    ann_recall,
+    knn_bruteforce_l2,
+    knn_ivf_pq,
+)
+
+
+def _mean_recall(spark, corpus, index):
+    q = corpus.filter(F.col("vec_id") % 10 == 0)
+    exact = knn_bruteforce_l2(corpus, q, k=5)
+    approx = knn_ivf_pq(None, q, k=5, n_probe=1, index=index)
+    return (
+        ann_recall(exact, approx, k=5)
+        .agg(F.avg("recall").alias("r"))
+        .first()
+        .r
+    )
+
+
+def test_refresh_recovers_recall_after_distribution_shift(
+    spark, tmp_path
+):
+    """A REAL drift case (the synthetic negation churn in the gate
+    entry is distribution-preserving, so refresh is recall-neutral
+    there — measured in SCALE.md): v2 lives in a value range v1's PQ
+    codebook never saw, every v2 vector encodes to the same saturated
+    codes, ADC ranking degenerates and recall collapses; retraining
+    on the survivors restores it."""
+    import math
+
+    def mk(ids, centers):
+        rows = [
+            (
+                i,
+                [
+                    round(
+                        centers[i % len(centers)]
+                        + math.sin(1.7 * i * (j + 1)),
+                        6,
+                    )
+                    for j in range(4)
+                ],
+            )
+            for i in ids
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+        )
+
+    v1 = mk(range(80), [0.0, 10.0])
+    v2 = mk(range(100, 180), [100.0, 200.0])
+    root = str(tmp_path / "idx")
+    build_ivf_pq_index(
+        v1, root, n_cells=2, m_subvectors=2, k_codes=4,
+        coarse_iters=2, pq_iters=2, encode_residuals=False,
+    )
+    delete_from_ivf_pq_index(
+        v1.select("vec_id"), root, ingest_id="1"
+    )
+    append_to_ivf_pq_index(v2, root, ingest_id="1")
+    stale = compact_ivf_pq_index(spark, root)
+    r_stale = _mean_recall(spark, v2, stale)
+    refreshed = compact_ivf_pq_index(
+        spark, root, retrain_corpus=v2, coarse_iters=2, pq_iters=2
+    )
+    r_refreshed = _mean_recall(spark, v2, refreshed)
+    # the pin is the DELTA (refresh recovers a meaningful margin), not
+    # an absolute bar — n_probe=1 of 2 cells with a 4-code PQ caps the
+    # ceiling well below 1.0 even freshly trained
+    assert r_refreshed > r_stale + 0.1
+    assert r_refreshed >= 0.4
+
+
+def test_refresh_equals_init_build_over_survivors(spark, tmp_path):
+    """The rewrite contract the gate twin relies on: refresh ==
+    init-only build_ivf_pq_index over the surviving corpus (same
+    seeds, same structural params), probe-for-probe."""
+    emb = _mini_corpus(spark)
+    root = str(tmp_path / "idx")
+    build_ivf_pq_index(
+        emb, root, n_cells=4, m_subvectors=2, k_codes=8,
+        coarse_iters=0, pq_iters=0, encode_residuals=False,
+    )
+    gone = spark.createDataFrame([(3,), (17,), (40,)], "vec_id LONG")
+    delete_from_ivf_pq_index(gone, root, ingest_id="1")
+    refreshed = compact_ivf_pq_index(
+        spark, root, retrain_corpus=emb, coarse_iters=0, pq_iters=0
+    )
+    # survivor restriction applied: deleted ids are not re-admitted
+    # even though retrain_corpus still contains them
+    assert _codes_ids(refreshed) == set(range(64)) - {3, 17, 40}
+    survivors = emb.filter(~F.col("vec_id").isin(3, 17, 40))
+    root2 = str(tmp_path / "idx2")
+    init = build_ivf_pq_index(
+        survivors, root2, n_cells=4, m_subvectors=2, k_codes=8,
+        coarse_iters=0, pq_iters=0, encode_residuals=False,
+    )
+    q = survivors.filter(F.col("vec_id") < 5)
+    a = knn_ivf_pq(None, q, k=3, n_probe=2, index=refreshed)
+    b = knn_ivf_pq(None, q, k=3, n_probe=2, index=init)
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, b.collect())
+    )
+
+
+def test_refresh_rejects_below(spark, tmp_path):
+    """Carried later-ingest codes would be bit-garbage under new
+    quantizers, so retrain + below is a contract violation."""
+    emb, root = _build(spark, tmp_path)
+    with pytest.raises(AssertionError, match="refresh folds"):
+        compact_ivf_pq_index(spark, root, below=1, retrain_corpus=emb)

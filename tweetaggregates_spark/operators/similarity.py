@@ -1306,7 +1306,14 @@ def _prune_stale_builds(path: str, keep_bid: str) -> None:
 
 
 def compact_ivf_pq_index(
-    spark, path: str, below: int | None = None
+    spark,
+    path: str,
+    below: int | None = None,
+    retrain_corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_iters: int = 2,
+    pq_iters: int = 2,
 ) -> IvfPqIndex:
     """Rebase the versioned IVF-PQ code tree — the compaction half of
     the append/compact lifecycle (VERDICT r11 #5), giving the ANN
@@ -1329,9 +1336,55 @@ def compact_ivf_pq_index(
 
     Crash safety mirrors ``build_ivf_pq_index``: the new build writes
     under a fresh build id, the meta pointer flips LAST, and stale
-    builds are pruned only after the commit."""
+    builds are pruned only after the commit.
+
+    ``retrain_corpus`` (VERDICT r13 #6) upgrades the compaction to a
+    QUANTIZER REFRESH: append/delete run under frozen quantizers, so
+    after enough drift the centroids/codebook no longer fit the
+    corpus and recall decays (``IvfPqIndex.needs_rebuild`` is the
+    detector; the measured delta is in SCALE.md). Pass the corpus
+    table holding the current vectors: the refresh restricts it to
+    the ids LIVE in the index (tombstones applied — the index itself
+    stores only codes, so retraining needs the source vectors, as in
+    any PQ system), re-trains coarse + PQ on those survivors with the
+    index's existing structural parameters (n_cells / m / k derived
+    from the persisted quantizers) and re-encodes every code — a pure
+    rewrite on the same crash-safe rebase, bit-identical to an
+    init-only ``build_ivf_pq_index`` over the survivors (the gate
+    twin of ``ann_refresh_recall_embeddings``). All committed
+    tombstones fold into the rewrite (survivors exclude deleted ids);
+    ``below`` is rejected with retrain — carried later-ingest codes
+    would be bit-garbage under new quantizers."""
     import uuid
 
+    if retrain_corpus is not None:
+        assert below is None, (
+            "quantizer refresh folds the whole committed history: "
+            "codes carried under below= would pair old-quantizer "
+            "bits with the new codebook"
+        )
+        idx = read_ivf_pq_index(spark, path)
+        live = idx.codes.select(
+            F.col("neighbor_id").alias(id_col)
+        ).distinct()
+        survivors = retrain_corpus.join(live, id_col, "left_semi")
+        n_cells = idx.centroids.count()
+        m_subvectors = (
+            idx.codebook.agg(F.max("subspace")).first()[0] + 1
+        )
+        k_codes = idx.codebook.select("code").distinct().count()
+        return build_ivf_pq_index(
+            survivors,
+            path,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_cells=n_cells,
+            m_subvectors=m_subvectors,
+            k_codes=k_codes,
+            coarse_iters=coarse_iters,
+            pq_iters=pq_iters,
+            encode_residuals=idx.encode_residuals,
+        )
     meta = spark.read.parquet(f"{path}/meta").first()
     old_bid = getattr(meta, "build_id", None)
     suffix = f"_{old_bid}" if old_bid else ""

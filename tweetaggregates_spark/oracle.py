@@ -5163,6 +5163,71 @@ def oracle_sql() -> dict[str, str]:
     sql["snapshot_ann_ingest_embeddings"] = _snap_ann
 
     # ---- round 14 twins (VERDICT r13 #2-#7) --------------------------------
+    # quantizer refresh: compact(retrain_corpus=v2) re-trains on the
+    # survivors and re-encodes, bit-identical to an init-only build
+    # over the POST-DIFF corpus — so the probe twin is the same v2
+    # corpus rewrite as _snap_ann but WITHOUT the seed redirection
+    # (seeds now come from the survivors, not v1); the entry wraps the
+    # probe in the recall@5-vs-exact join (ann_recall_ivf_embeddings'
+    # SQL shape over the v2 corpus)
+    _refresh_probe = _ivf_src.replace("WITH emb AS (", "WITH emb1 AS (", 1)
+    assert _refresh_probe.count("FROM embeddings\n        ),") == 1
+    _refresh_probe = _refresh_probe.replace(
+        "FROM embeddings\n        ),",
+        """FROM embeddings
+        ),
+        emb AS (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 7 = 0 THEN [-x for x in v]
+                      ELSE v END AS v
+          FROM emb1 WHERE vec_id % 11 <> 0
+          UNION ALL
+          SELECT vec_id + 2000000 AS vec_id, v FROM emb1
+          WHERE vec_id % 13 = 0
+        ),""",
+        1,
+    )
+    sql["ann_refresh_recall_embeddings"] = f"""
+        WITH approx AS ({_refresh_probe}),
+        e1 AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+               FROM embeddings),
+        e2 AS (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 7 = 0 THEN [-x for x in v]
+                      ELSE v END AS v
+          FROM e1 WHERE vec_id % 11 <> 0
+          UNION ALL
+          SELECT vec_id + 2000000 AS vec_id, v FROM e1
+          WHERE vec_id % 13 = 0
+        ),
+        exd AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round({_KM_DIST("q.v", "c.v")}, 6) AS l2_dist
+          FROM e2 q JOIN e2 c
+            ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        ),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY l2_dist ASC, neighbor_id ASC) AS rn
+            FROM exd)
+          WHERE rn <= 5
+        ),
+        hits AS (
+          SELECT x.query_id, count(*) AS n_hits
+          FROM exact x JOIN approx a
+            ON x.query_id = a.query_id
+           AND x.neighbor_id = a.neighbor_id
+          GROUP BY x.query_id
+        )
+        SELECT q.query_id,
+               CAST(coalesce(h.n_hits, 0) AS INTEGER) AS n_hits,
+               round(coalesce(h.n_hits, 0) / q.n_exact, 6) AS recall
+        FROM (SELECT query_id, least(count(*), 5) AS n_exact
+              FROM exact GROUP BY query_id) q
+        LEFT JOIN hits h ON q.query_id = h.query_id
+    """
     # frozen cluster-split routing under incremental ingest: batch 1
     # (even docs) splits by its OWN closure's labels c1; batch 2 (odd
     # docs) routes by min(c1) over the even members of its FINAL

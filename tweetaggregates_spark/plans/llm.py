@@ -2446,3 +2446,79 @@ def containment_verified_pairs_docs(
     return dedup.containment_verified_pairs(
         _docs(spark, sf_dir), k=3, threshold=0.8
     )
+
+
+def ann_refresh_recall_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantizer refresh on compact, under the gate (VERDICT r13 #6):
+    the r13 lifecycle proved delete/append under FROZEN v1 quantizers;
+    after the negated-vector churn _emb_snapshot_v2 simulates, those
+    quantizers no longer fit the corpus and recall decays. This entry
+    runs the same diff-driven delete+append as
+    snapshot_ann_ingest_embeddings, then
+    compact_ivf_pq_index(retrain_corpus=v2): re-train coarse+PQ on
+    the SURVIVORS, re-encode every code (a pure rewrite on the same
+    crash-safe rebase — bit-identical to an init-only build over the
+    post-diff corpus, which is exactly the twin's probe side), and
+    emits the recall@5 audit of the refreshed probe vs exact L2 (the
+    ann_recall composition). The stale-vs-refreshed recall delta is
+    measured in SCALE.md and pinned in tests/test_r14_ops.py."""
+    import shutil
+    import tempfile
+
+    from tweetaggregates_spark.operators.similarity import (
+        ann_recall,
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        compact_ivf_pq_index,
+        delete_from_ivf_pq_index,
+        knn_bruteforce_l2,
+        knn_ivf_pq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    v2 = _emb_snapshot_v2(emb)
+    sig = lambda d: d.select(  # noqa: E731
+        "vec_id", F.to_json(F.col("embedding")).alias("sig")
+    )
+    diff = dedup.corpus_diff(
+        sig(emb), sig(v2), id_col="vec_id", text_col="sig"
+    )
+    batch_ids = diff.filter(
+        F.col("status").isin("added", "changed")
+    ).select(F.col("doc_id").alias("vec_id"))
+    gone_ids = diff.filter(
+        F.col("status").isin("removed", "changed")
+    ).select(F.col("doc_id").alias("vec_id"))
+    root = tempfile.mkdtemp(prefix="ann_refresh_")
+    try:
+        build_ivf_pq_index(
+            emb,
+            root,
+            n_cells=8,
+            m_subvectors=4,
+            k_codes=16,
+            coarse_iters=0,
+            pq_iters=0,
+            encode_residuals=False,
+        )
+        delete_from_ivf_pq_index(gone_ids, root, ingest_id="1")
+        append_to_ivf_pq_index(
+            v2.join(batch_ids, "vec_id"), root, ingest_id="1"
+        )
+        refreshed = compact_ivf_pq_index(
+            spark, root, retrain_corpus=v2,
+            coarse_iters=0, pq_iters=0,
+        )
+        queries = v2.filter(F.col("vec_id") < 10)
+        approx = knn_ivf_pq(
+            None, queries, k=5, n_probe=2, index=refreshed
+        )
+        exact = knn_bruteforce_l2(v2, queries, k=5)
+        out = ann_recall(exact, approx, k=5).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
