@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_refresh_recall_embeddings": (
             llm.ann_refresh_recall_embeddings
         ),
+        "dataset_card_v2_docs": llm.dataset_card_v2_docs,
         # -- round-13 registrations --
         "hopping_counts_paned": ev.hopping_counts_paned,
         "cluster_split_docs": llm.cluster_split_docs,

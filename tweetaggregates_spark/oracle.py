@@ -5324,4 +5324,87 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN c1 USING (doc_id)
         LEFT JOIN routing USING (cluster_id)
     """
+    # release datasheet v2: composition of the card / cluster-split /
+    # n-gram contamination / BM25-retrieval CTEs — every number equals
+    # what its source gate entry reports; contamination CTEs carry a
+    # _c suffix to avoid colliding with the closure's names
+    sql["dataset_card_v2_docs"] = f"""
+        WITH RECURSIVE {_lsh_cc_cte},
+        spl AS (
+          SELECT d.doc_id,
+                 coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                 {_route_case("coalesce(l.cluster_id, d.doc_id)")} AS split
+          FROM documents d LEFT JOIN labels l USING (doc_id)
+        ),
+        tcard AS (
+          SELECT doc_id, source, lang,
+                 len({_D_TOKS}) AS nt,
+                 length(text) AS nc,
+                 {_D_HASH.format(x="text")} AS h,
+                 round((length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / greatest(length(text), 1)) * 0.5
+                   + least(len({_D_TOKS}) / 100.0, 1.0) * 0.5, 6) AS q
+          FROM documents
+        ),
+        card AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(nt) AS BIGINT) AS n_tokens,
+                 CAST(sum(nc) AS BIGINT) AS n_chars,
+                 round(CAST(sum(nt) AS DOUBLE) / count(*), 6)
+                   AS mean_doc_tokens,
+                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                 round(1.0 - CAST(count(DISTINCT h) AS DOUBLE)
+                   / count(*), 6) AS dup_rate,
+                 round(CAST(sum(CAST(q AS DECIMAL(28,12))) AS DOUBLE)
+                   / count(*), 6) AS mean_quality
+          FROM tcard
+        ),
+        splitrow AS (
+          SELECT CAST(count(*) FILTER (WHERE split = 'train') AS BIGINT)
+                   AS n_train,
+                 CAST(count(*) FILTER (WHERE split = 'val') AS BIGINT)
+                   AS n_val,
+                 CAST(count(*) FILTER (WHERE split = 'test') AS BIGINT)
+                   AS n_test
+          FROM spl
+        ),
+        szs AS (SELECT cluster_id, count(*) AS c FROM spl GROUP BY 1),
+        clrow AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+                 CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT)
+                   AS n_neardup_docs
+          FROM szs
+        ),
+        tc AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+        shc AS (SELECT doc_id, unnest(list_distinct({_d_sh4})) AS shingle
+                FROM tc),
+        hc AS (SELECT doc_id, {_D_HASH.format(x="shingle")} AS h FROM shc),
+        flagged AS (
+          SELECT DISTINCT tr.doc_id
+          FROM hc tr JOIN hc ev ON tr.h = ev.h
+          WHERE tr.doc_id % 50 <> 0 AND ev.doc_id % 50 = 0
+        ),
+        controw AS (
+          SELECT CAST(count(*) AS BIGINT) AS ngram_flagged_train,
+                 (SELECT count(*) FROM documents WHERE doc_id % 50 <> 0)
+                   AS n50
+          FROM flagged
+        ),
+        bm25row AS (
+          SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+                   AS bm25_flagged_train
+          FROM ({sql["bm25_eval_contamination_docs"]})
+        )
+        SELECT card.*,
+               splitrow.n_train, splitrow.n_val, splitrow.n_test,
+               clrow.n_clusters, clrow.n_neardup_docs,
+               controw.ngram_flagged_train,
+               bm25row.bm25_flagged_train,
+               round(clrow.n_neardup_docs / card.n_docs, 6)
+                 AS neardup_rate,
+               round(controw.ngram_flagged_train / controw.n50, 6)
+                 AS ngram_train_rate
+        FROM card, splitrow, clrow, controw, bm25row
+    """
     return sql

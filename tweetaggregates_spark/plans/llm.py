@@ -2522,3 +2522,71 @@ def ann_refresh_recall_embeddings(
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def dataset_card_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release datasheet v2 (VERDICT r13 #7): the r12 one-row card
+    predates the split/contamination surface; a real release
+    datasheet also reports SPLIT SIZES, NEAR-DUP CLUSTER STATS and
+    CONTAMINATION COUNTS. Pure composition of existing gate entries —
+    dataset_card (corpus stats over the plain documents table),
+    cluster_split_docs (leak-proof 10/10/80 routing -> n_train/val/
+    test + cluster stats), contamination_docs (4-gram train docs
+    sharing a shingle with the %50 eval set) and
+    bm25_eval_contamination_docs (distinct train docs retrieved into
+    any eval top-5) — crossJoined as 1-row aggregates, so the card
+    stays one scan per input pipeline and every number is the same
+    one its source entry reports. The %50 contamination convention
+    and the 10/10/80 hash split are DIFFERENT split conventions by
+    design (the former is the n-gram audit's fixture, the latter the
+    routing policy); the card reports both."""
+    docs = _docs(spark, sf_dir)
+    card = text.dataset_card(docs)
+    splits = cluster_split_docs(spark, sf_dir)
+    split_row = splits.agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long")
+        .alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    sz = splits.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_c"))
+    cl_row = sz.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.coalesce(
+            F.sum(F.when(F.col("_c") > 1, F.col("_c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_neardup_docs"),
+    )
+    cont_row = contamination_docs(spark, sf_dir).agg(
+        F.countDistinct("train_doc_id").alias("ngram_flagged_train")
+    )
+    n50_row = docs.agg(
+        F.sum(F.when(F.col("doc_id") % 50 != 0, 1).otherwise(0))
+        .cast("long")
+        .alias("_n50")
+    )
+    bm25_row = bm25_eval_contamination_docs(spark, sf_dir).agg(
+        F.countDistinct("doc_id").alias("bm25_flagged_train")
+    )
+    out = (
+        card.crossJoin(split_row)
+        .crossJoin(cl_row)
+        .crossJoin(cont_row)
+        .crossJoin(n50_row)
+        .crossJoin(bm25_row)
+    )
+    return out.select(
+        "*",
+        F.round(F.col("n_neardup_docs") / F.col("n_docs"), 6).alias(
+            "neardup_rate"
+        ),
+        F.round(
+            F.col("ngram_flagged_train") / F.col("_n50"), 6
+        ).alias("ngram_train_rate"),
+    ).drop("_n50")
