@@ -42,93 +42,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Ordering is stalest-first for the driver gate (the first 50
-        # entries are hash-checked). Round-13 block: the SEVEN new
-        # r13 registrations lead (paned hopping under the gate,
-        # cluster-level leak-proof split routing, BM25 ranked
-        # retrieval + the BM25 eval-contamination audit, asymmetric
-        # n-gram containment, the streaming near-dup lifecycle,
-        # snapshot-diff-driven ANN ingest), then the TWO entries
-        # whose code changed this round
-        # (curated_corpus_neardup_docs was switched to OPH signatures
-        # and REVERTED after measurement — the docstring records the
-        # 12.02 vs 13.47 s numbers; it still calls the 16-hash
-        # dedup.minhash_lsh_pairs;
-        # incremental_ann_ivf_embeddings exercises the
-        # read/compact paths that gained tombstone handling), then the
-        # stalest driver rows — the r9-era tail VERDICT r12 named,
-        # starting at user_activity_concentration — in stable order.
-        # The gate boundary falls after simhash_docs (position 50);
-        # simhash_pairs_docs is the first entry outside the block. The tail stays stalest-first (the r11-checked
-        # block, then the r12-checked block at the very end) so the
-        # r14 rotation just takes the head.
+        # Ordering is stalest-first for the driver gate (the first
+        # 50 entries are hash-checked). Round-14 block: the SIX new
+        # r14 registrations lead (frozen incremental cluster-split
+        # routing, the persisted BM25 token-index lifecycle, banded
+        # containment verify, keyed paned hopping, ANN quantizer
+        # refresh, datasheet v2), then the FOUR entries whose code
+        # changed this round (snapshot_ann_ingest + incremental_ann_ivf
+        # exercise the tombstone read/compact paths that moved to
+        # try_cast + Hadoop-FS existence + numeric-ingest enforcement;
+        # the two bm25 entries sit on the refactored _bm25_score),
+        # then the stalest driver rows — the r9/r10-era tail VERDICT
+        # r13 named, starting at simhash_pairs_docs — in stable order.
+        # The gate boundary falls after q6_revenue_change (position
+        # 50); q9_profit_by_nation is the first entry outside the
+        # block. The tail stays stalest-first with the freshly
+        # r13-checked block at the very end, so the r15 rotation just
+        # takes the head.
         # -- round-14 registrations (never driver-checked) --
-        "incremental_cluster_split_docs": (
-            llm.incremental_cluster_split_docs
-        ),
+        "incremental_cluster_split_docs": llm.incremental_cluster_split_docs,
         "bm25_topk_indexed_docs": llm.bm25_topk_indexed_docs,
-        "containment_verified_pairs_docs": (
-            llm.containment_verified_pairs_docs
-        ),
+        "containment_verified_pairs_docs": llm.containment_verified_pairs_docs,
         "top_users_hopping_paned": ev.top_users_hopping_paned,
-        "ann_refresh_recall_embeddings": (
-            llm.ann_refresh_recall_embeddings
-        ),
+        "ann_refresh_recall_embeddings": llm.ann_refresh_recall_embeddings,
         "dataset_card_v2_docs": llm.dataset_card_v2_docs,
-        # -- round-13 registrations --
-        "hopping_counts_paned": ev.hopping_counts_paned,
-        "cluster_split_docs": llm.cluster_split_docs,
-        "bm25_topk_docs": llm.bm25_topk_docs,
-        "stream_near_dedup_docs": llm.stream_near_dedup_docs,
-        "snapshot_ann_ingest_embeddings": llm.snapshot_ann_ingest_embeddings,
-        "bm25_eval_contamination_docs": llm.bm25_eval_contamination_docs,
-        "ngram_containment_docs": llm.ngram_containment_docs,
         # -- code changed this round --
-        "curated_corpus_neardup_docs": llm.curated_corpus_neardup_docs,
+        "snapshot_ann_ingest_embeddings": llm.snapshot_ann_ingest_embeddings,
         "incremental_ann_ivf_embeddings": llm.incremental_ann_ivf_embeddings,
-        # -- stalest driver rows (r9-era) --
-        "user_activity_concentration": ev.user_activity_concentration,
-        "value_quantile_sketch_daily": ev.value_quantile_sketch_daily,
-        "value_quantile_sketch_monthly": ev.value_quantile_sketch_monthly,
-        "viewers_never_erroring": ev.viewers_never_erroring,
-        "vocab_docs": llm.vocab_docs,
-        "winsorized_value_stats": ev.winsorized_value_stats,
-        "brand_supplier_stats": star.brand_supplier_stats,
-        "clickers_who_purchased": ev.clickers_who_purchased,
-        "clickers_without_purchase": ev.clickers_without_purchase,
-        "contamination_docs": llm.contamination_docs,
-        "cosine_near_dups": llm.cosine_near_dups,
-        "counts_range": ev.counts_range,
-        "customers_with_orders_semi": star.customers_with_orders_semi,
-        "customers_without_orders": star.customers_without_orders,
-        "daily_rollup_counts": ev.daily_rollup_counts,
-        "decontaminated_docs": llm.decontaminated_docs,
-        "distinct_users_daily": ev.distinct_users_daily,
-        "domain_stats_docs": llm.domain_stats_docs,
-        "events_summary": ev.events_summary,
-        "fingerprint_docs": llm.fingerprint_docs,
-        "hopping_counts": ev.hopping_counts,
-        "incremental_dedup_delta_docs": llm.incremental_dedup_delta_docs,
-        "inverted_index_docs": llm.inverted_index_docs,
-        "json_props_daily": ev.json_props_daily,
-        "kmv_users_monthly_rollup": ev.kmv_users_monthly_rollup,
-        "line_dedup_docs": llm.line_dedup_docs,
-        "minhash_lsh_capped": llm.minhash_lsh_capped_docs,
-        "normalize_docs": llm.normalize_docs,
-        "pca_embeddings": llm.pca_embeddings,
-        "purchase_asof_click": ev.purchase_asof_click,
-        "q14_promo_revenue": star.q14_promo_revenue,
-        "q1_pricing_summary": star.q1_pricing_summary,
-        "q3_shipping_priority": star.q3_shipping_priority,
-        "quality_classifier_docs": llm.quality_classifier_docs,
-        "quality_signals_docs": llm.quality_signals_docs,
-        "recent_counts": ev.recent_counts,
-        "repeated_ngrams_docs": llm.repeated_ngrams_docs,
-        "repetition_docs": llm.repetition_docs,
-        "running_total_counts": ev.running_total_counts,
-        "session_windows": ev.session_windows,
-        "simhash_docs": llm.simhash_docs,
-        # ---- gate boundary: entries below are outside the first-50 block ----
+        "bm25_topk_docs": llm.bm25_topk_docs,
+        "bm25_eval_contamination_docs": llm.bm25_eval_contamination_docs,
+        # -- stalest driver rows --
         "simhash_pairs_docs": llm.simhash_pairs_docs,
         "stream_pca_embeddings": llm.stream_pca_embeddings,
         "throughput_5min": ev.throughput_5min,
@@ -169,6 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_last_shipper": star.q21_last_shipper,
         "q5_region_revenue": star.q5_region_revenue,
         "q6_revenue_change": star.q6_revenue_change,
+        # ---- gate boundary: entries below are NOT in the
+        # ---- first-50 driver hash-check block this round
         "q9_profit_by_nation": star.q9_profit_by_nation,
         "quality_classifier_bottomk_docs": llm.quality_classifier_bottomk_docs,
         "quality_classifier_sampled_docs": llm.quality_classifier_sampled_docs,
@@ -184,7 +129,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dup_pairs_docs": llm.winnow_dup_pairs_docs,
         "winnow_fingerprints_docs": llm.winnow_fingerprints_docs,
         "zipf_fit_docs": llm.zipf_fit_docs,
-        # -- r11-checked block --
         "lsh_recall_sampled_docs": llm.lsh_recall_sampled_docs,
         "incremental_cdc_trim_docs": llm.incremental_cdc_trim_docs,
         "bigram_lm_quality_bcast_docs": llm.bigram_lm_quality_bcast_docs,
@@ -203,7 +147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_rank_percentiles": sequence.acctbal_rank_percentiles,
         "chunk_docs": llm.chunk_docs,
         "click_purchase_correlation": sequence.click_purchase_correlation,
-        "cms_heavy_hitters_monthly_rollup": ev.cms_heavy_hitters_monthly_rollup,
+        "cms_heavy_hitters_monthly_rollup": (
+            ev.cms_heavy_hitters_monthly_rollup
+        ),
         "conversion_funnel": sequence.conversion_funnel,
         "curation_funnel_docs": llm.curation_funnel_docs,
         "daily_growth_by_type": sequence.daily_growth_by_type,
@@ -233,7 +179,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_new_users": sequence.cumulative_new_users,
         "daily_count_anomalies": ev.daily_count_anomalies,
         "dense_tumbling_counts": ev.dense_tumbling_counts,
-        # -- freshest rows (r12-checked block) --
         "url_canonical_docs": llm.url_canonical_docs,
         "lsh_plan_audit": llm.lsh_plan_audit,
         "substring_trim_docs": llm.substring_trim_docs,
@@ -283,6 +228,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_exact_dedup_docs": llm.stream_exact_dedup_docs,
         "substring_dup_docs": llm.substring_dup_docs,
         "tfidf_docs": llm.tfidf_docs,
+        "hopping_counts_paned": ev.hopping_counts_paned,
+        "cluster_split_docs": llm.cluster_split_docs,
+        "stream_near_dedup_docs": llm.stream_near_dedup_docs,
+        "ngram_containment_docs": llm.ngram_containment_docs,
+        "curated_corpus_neardup_docs": llm.curated_corpus_neardup_docs,
+        "user_activity_concentration": ev.user_activity_concentration,
+        "value_quantile_sketch_daily": ev.value_quantile_sketch_daily,
+        "value_quantile_sketch_monthly": ev.value_quantile_sketch_monthly,
+        "viewers_never_erroring": ev.viewers_never_erroring,
+        "vocab_docs": llm.vocab_docs,
+        "winsorized_value_stats": ev.winsorized_value_stats,
+        "brand_supplier_stats": star.brand_supplier_stats,
+        "clickers_who_purchased": ev.clickers_who_purchased,
+        "clickers_without_purchase": ev.clickers_without_purchase,
+        "contamination_docs": llm.contamination_docs,
+        "cosine_near_dups": llm.cosine_near_dups,
+        "counts_range": ev.counts_range,
+        "customers_with_orders_semi": star.customers_with_orders_semi,
+        "customers_without_orders": star.customers_without_orders,
+        "daily_rollup_counts": ev.daily_rollup_counts,
+        "decontaminated_docs": llm.decontaminated_docs,
+        "distinct_users_daily": ev.distinct_users_daily,
+        "domain_stats_docs": llm.domain_stats_docs,
+        "events_summary": ev.events_summary,
+        "fingerprint_docs": llm.fingerprint_docs,
+        "hopping_counts": ev.hopping_counts,
+        "incremental_dedup_delta_docs": llm.incremental_dedup_delta_docs,
+        "inverted_index_docs": llm.inverted_index_docs,
+        "json_props_daily": ev.json_props_daily,
+        "kmv_users_monthly_rollup": ev.kmv_users_monthly_rollup,
+        "line_dedup_docs": llm.line_dedup_docs,
+        "minhash_lsh_capped": llm.minhash_lsh_capped_docs,
+        "normalize_docs": llm.normalize_docs,
+        "pca_embeddings": llm.pca_embeddings,
+        "purchase_asof_click": ev.purchase_asof_click,
+        "q14_promo_revenue": star.q14_promo_revenue,
+        "q1_pricing_summary": star.q1_pricing_summary,
+        "q3_shipping_priority": star.q3_shipping_priority,
+        "quality_classifier_docs": llm.quality_classifier_docs,
+        "quality_signals_docs": llm.quality_signals_docs,
+        "recent_counts": ev.recent_counts,
+        "repeated_ngrams_docs": llm.repeated_ngrams_docs,
+        "repetition_docs": llm.repetition_docs,
+        "running_total_counts": ev.running_total_counts,
+        "session_windows": ev.session_windows,
+        "simhash_docs": llm.simhash_docs,
     }
 
 
