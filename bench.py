@@ -226,6 +226,20 @@ HEADLINE = [
     # same single shingle self-join plan as ngram_jaccard_docs)
     "bm25_eval_contamination_docs",
     "ngram_containment_docs",
+    # round 14: frozen incremental split routing (two closures + the
+    # remap-folded routing table) and BM25 served from the PERSISTED
+    # token index (build+append+compact+read lifecycle under the gate)
+    "incremental_cluster_split_docs",
+    "bm25_topk_indexed_docs",
+    # round 14: banded containment (LSH discovery + exact verify — the
+    # production form of ngram_containment's quadratic truth) and the
+    # keyed pane path for the flagship hopping shape
+    "containment_verified_pairs_docs",
+    "top_users_hopping_paned",
+    # round 14: quantizer-refresh lifecycle (retrain on survivors +
+    # re-encode + recall audit) and the composed release datasheet
+    "ann_refresh_recall_embeddings",
+    "dataset_card_v2_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

