@@ -43,7 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is stalest-first for the driver gate (the first
-        # 50 entries are hash-checked). Round-14 block: the SEVEN new
+        # 50 entries are hash-checked). Round-14 block: the EIGHT new
         # r14 registrations lead (frozen incremental cluster-split
         # routing, the persisted BM25 token-index lifecycle, banded
         # containment verify, keyed paned hopping, ANN quantizer
@@ -54,8 +54,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the two bm25 entries sit on the refactored _bm25_score),
         # then the stalest driver rows — the r9/r10-era tail VERDICT
         # r13 named, starting at simhash_pairs_docs — in stable order.
-        # The gate boundary falls after q5_region_revenue (position
-        # 50); q6_revenue_change is the first entry outside the
+        # The gate boundary falls after q21_last_shipper (position
+        # 50); q5_region_revenue is the first entry outside the
         # block. The tail stays stalest-first with the freshly
         # r13-checked block at the very end, so the r15 rotation just
         # takes the head.
@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_users_hopping_paned": ev.top_users_hopping_paned,
         "ann_refresh_recall_embeddings": llm.ann_refresh_recall_embeddings,
         "dataset_card_v2_docs": llm.dataset_card_v2_docs,
+        "stream_cluster_split_docs": llm.stream_cluster_split_docs,
         "hopping_counts_auto": ev.hopping_counts_auto,
         # -- code changed this round --
         "snapshot_ann_ingest_embeddings": llm.snapshot_ann_ingest_embeddings,
@@ -111,9 +112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": star.q18_large_orders,
         "q20_heavy_suppliers": star.q20_heavy_suppliers,
         "q21_last_shipper": star.q21_last_shipper,
-        "q5_region_revenue": star.q5_region_revenue,
         # ---- gate boundary: entries below are NOT in the
         # ---- first-50 driver hash-check block this round
+        "q5_region_revenue": star.q5_region_revenue,
         "q6_revenue_change": star.q6_revenue_change,
         "q9_profit_by_nation": star.q9_profit_by_nation,
         "quality_classifier_bottomk_docs": llm.quality_classifier_bottomk_docs,

@@ -240,6 +240,9 @@ HEADLINE = [
     # re-encode + recall audit) and the composed release datasheet
     "ann_refresh_recall_embeddings",
     "dataset_card_v2_docs",
+    # round 14: streaming frozen-split lifecycle (30% sampled replay;
+    # band delta + routes snapshot per trigger)
+    "stream_cluster_split_docs",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size

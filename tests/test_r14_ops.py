@@ -430,3 +430,80 @@ def test_refresh_rejects_below(spark, tmp_path):
     emb, root = _build(spark, tmp_path)
     with pytest.raises(AssertionError, match="refresh folds"):
         compact_ivf_pq_index(spark, root, below=1, retrain_corpus=emb)
+
+
+# -- streaming frozen split routing (round-14 lifecycle) ----------------------
+
+
+def test_streaming_split_routing_lifecycle(spark, tmp_path):
+    """3-trigger drop-dir replay: each doc's split record is written
+    exactly once (the freeze), later joiners inherit the cluster's
+    original route across repeated renames (route chain folds through
+    the per-trigger snapshots), and the routes snapshots hold exactly
+    the non-identity entries."""
+    import json
+    import os
+
+    from tweetaggregates_spark.operators.dedup import (
+        _apply_remap,
+        read_band_index_parts,
+    )
+    from tweetaggregates_spark.operators.sampling import split_assign
+    from tweetaggregates_spark.streaming.dedup import (
+        run_streaming_split_routing,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+    batches = [
+        [(10, text), (11, text), (40, other)],
+        [(5, text)],   # joins {10,11}: rename 10 -> 5
+        [(3, text)],   # joins again: rename 5 -> 3
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i, rows in enumerate(batches):
+        p = os.path.join(in_dir, f"{i}.ndjson")
+        with open(p, "w") as fh:
+            fh.write("\n".join(
+                json.dumps({"doc_id": d, "text": t}) for d, t in rows
+            ))
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    index_path = str(tmp_path / "index")
+    out_path = str(tmp_path / "out")
+    run_streaming_split_routing(
+        spark, in_dir, index_path, out_path,
+        str(tmp_path / "ckpt"), available_now=True,
+        max_files_per_trigger=1,
+    )
+    out = spark.read.parquet(out_path)
+    per_batch = {
+        int(r.batch_id): set()
+        for r in out.select("batch_id").distinct().collect()
+    }
+    for r in out.collect():
+        per_batch[int(r.batch_id)].add(r.doc_id)
+    # emitted exactly once, at first ingest
+    assert per_batch == {0: {10, 11, 40}, 1: {5}, 2: {3}}
+    sp = {r.doc_id: r.split for r in out.collect()}
+    # batch-0 docs routed by their own first-seen labels
+    base10 = _splits(split_assign(
+        spark.createDataFrame([(10,)], "doc_id LONG").selectExpr(
+            "doc_id", "doc_id AS cluster_id"), "cluster_id"))[10]
+    assert sp[10] == sp[11] == base10
+    # joiners inherit the ORIGINAL route (10) across both renames
+    assert sp[5] == base10 and sp[3] == base10
+    # routes snapshots: exactly the folded non-identity entry
+    r1 = spark.read.parquet(f"{index_path}/routes/v=1").collect()
+    r2 = spark.read.parquet(f"{index_path}/routes/v=2").collect()
+    assert {(r.cluster_id, r.route_key) for r in r1} == {(5, 10)}
+    assert {(r.cluster_id, r.route_key) for r in r2} == {(3, 10)}
+    # read contract: remap-folded cluster ids converge to the final
+    # label without touching the frozen split column
+    _parts, resolved = read_band_index_parts(spark, index_path)
+    folded = _apply_remap(out, resolved, "cluster_id")
+    got = {r.doc_id: (r.cluster_id, r.split) for r in folded.collect()}
+    assert {d: c for d, (c, _s) in got.items() if d != 40} == {
+        10: 3, 11: 3, 5: 3, 3: 3
+    }
+    assert all(got[d][1] == sp[d] for d in sp)

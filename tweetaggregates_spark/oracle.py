@@ -5328,6 +5328,26 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN c1 USING (doc_id)
         LEFT JOIN routing USING (cluster_id)
     """
+    # streaming split-routing lifecycle: file batching = the even/odd
+    # batching of the incremental entry, and recorded first-seen
+    # cluster ids fold through the remap log to current labels — so
+    # the twin IS the incremental entry's SQL over the same 30%
+    # 'streamsplit' hash sample the replay ingests (every documents
+    # scan: both closures, c1 and cf)
+    _ssp_pred = (
+        "("
+        + _D_HASH.format(
+            x="concat('streamsplit:', CAST(doc_id AS VARCHAR))"
+        )
+        + " % 1000000) < 300000"
+    )
+    assert sql["incremental_cluster_split_docs"].count("FROM documents") == 4
+    sql["stream_cluster_split_docs"] = sql[
+        "incremental_cluster_split_docs"
+    ].replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE {_ssp_pred})",
+    )
     # release datasheet v2: composition of the card / cluster-split /
     # n-gram contamination / BM25-retrieval CTEs — every number equals
     # what its source gate entry reports; contamination CTEs carry a

@@ -2590,3 +2590,86 @@ def dataset_card_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ngram_flagged_train") / F.col("_n50"), 6
         ).alias("ngram_train_rate"),
     ).drop("_n50")
+
+
+def stream_cluster_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen split-routing LIFECYCLE under the gate (round 14 —
+    the streaming composition of incremental_cluster_split_docs): the
+    corpus is replayed as a 2-file NDJSON drop-dir (even doc_ids,
+    then odd) and drained one file per trigger through
+    ``run_streaming_split_routing`` — per trigger the batch dedups
+    against the FOLDED pre-batch band index, its docs are routed by
+    ``frozen_split_for_batch`` against the persisted routes snapshot,
+    and only O(batch) split records + the merge-sized routes table
+    are written. Batch boundaries here equal the incremental entry's
+    even/odd batching, so the twin IS that entry's SQL; recorded
+    first-seen cluster ids fold to current labels through the band
+    index's resolved remap log at read time (the versioned-family
+    read contract).
+
+    The replay runs on a deterministic 30% hash sample ('streamsplit'
+    salt — the stream_near_dedup_docs precedent and reasoning: the
+    full-corpus replay measured 31.4 s at sf0.1 / 98.4 s at sf1,
+    exponent 0.50, while proving nothing the sampled replay + the
+    full-corpus incremental twin + the pytest lifecycle pin don't
+    already prove; the twin applies the same predicate to every
+    documents scan). Harness note: writing the drop-dir collects the
+    sampled docs to the driver — test-gate replay only; the runner
+    itself is driver-free."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from tweetaggregates_spark.operators.dedup import (
+        _apply_remap,
+        read_band_index_parts,
+    )
+    from tweetaggregates_spark.streaming.dedup import (
+        run_streaming_split_routing,
+    )
+
+    docs = sampling.hash_sample(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        "doc_id",
+        0.3,
+        salt="streamsplit",
+    )
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    root = tempfile.mkdtemp(prefix="stream_cluster_split_")
+    try:
+        in_dir = os.path.join(root, "in")
+        os.makedirs(in_dir)
+        batches = (
+            [r for r in rows if r.doc_id % 2 == 0],
+            [r for r in rows if r.doc_id % 2 == 1],
+        )
+        for i, batch in enumerate(batches):
+            p = os.path.join(in_dir, f"{i}.ndjson")
+            with open(p, "w") as fh:
+                fh.write(
+                    "\n".join(
+                        _json.dumps({"doc_id": r.doc_id, "text": r.text})
+                        for r in batch
+                    )
+                )
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        index_path = os.path.join(root, "index")
+        out_path = os.path.join(root, "out")
+        run_streaming_split_routing(
+            spark,
+            in_dir,
+            index_path,
+            out_path,
+            os.path.join(root, "ckpt"),
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        splits = spark.read.parquet(out_path).select(
+            "doc_id", "cluster_id", "split"
+        )
+        _parts, resolved = read_band_index_parts(spark, index_path)
+        out = _apply_remap(splits, resolved, "cluster_id")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
