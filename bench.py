@@ -241,8 +241,10 @@ HEADLINE = [
     "ann_refresh_recall_embeddings",
     "dataset_card_v2_docs",
     # round 14: streaming frozen-split lifecycle (30% sampled replay;
-    # band delta + routes snapshot per trigger)
+    # band delta + routes snapshot per trigger) and the probe-routed
+    # hopping entry (the density probe picking its own physical path)
     "stream_cluster_split_docs",
+    "hopping_counts_auto",
 ]
 
 STREAM_TWEETS = 20_000  # single-pass streaming drain size
