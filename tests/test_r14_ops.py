@@ -507,3 +507,55 @@ def test_streaming_split_routing_lifecycle(spark, tmp_path):
         10: 3, 11: 3, 5: 3, 3: 3
     }
     assert all(got[d][1] == sp[d] for d in sp)
+
+
+def test_drift_policy_closes_the_loop(spark, tmp_path):
+    """refresh_ivf_pq_if_drifted: the shifted batch trips
+    needs_rebuild -> refresh fires -> the SAME batch no longer trips
+    it (retrained quantizers fit); an in-distribution batch never
+    triggers a rebuild in the first place."""
+    import math
+
+    from tweetaggregates_spark.operators.similarity import (
+        append_to_ivf_pq_index,
+        refresh_ivf_pq_if_drifted,
+    )
+
+    def mk(ids, center):
+        rows = [
+            (
+                i,
+                [
+                    round(center + math.sin(1.7 * i * (j + 1)), 6)
+                    for j in range(4)
+                ],
+            )
+            for i in ids
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+        )
+
+    v1 = mk(range(60), 0.0)
+    root = str(tmp_path / "idx")
+    build_ivf_pq_index(
+        v1, root, n_cells=2, m_subvectors=2, k_codes=4,
+        coarse_iters=2, pq_iters=2, encode_residuals=False,
+    )
+    # in-distribution batch: no refresh
+    calm = mk(range(100, 120), 0.0)
+    assert not refresh_ivf_pq_if_drifted(
+        spark, root, v1, calm, coarse_iters=2, pq_iters=2
+    )
+    # shifted batch: detector fires, refresh retrains on the corpus
+    # INCLUDING the appended shift
+    shifted = mk(range(200, 240), 50.0)
+    append_to_ivf_pq_index(shifted, root, ingest_id="1")
+    corpus = v1.unionByName(shifted)
+    assert refresh_ivf_pq_if_drifted(
+        spark, root, corpus, shifted, coarse_iters=2, pq_iters=2
+    )
+    # loop closed: the same batch no longer trips the detector
+    assert not refresh_ivf_pq_if_drifted(
+        spark, root, corpus, shifted, coarse_iters=2, pq_iters=2
+    )

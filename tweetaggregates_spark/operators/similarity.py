@@ -2190,3 +2190,42 @@ def build_rp_index(
         "overwrite"
     ).parquet(path)
     return corpus.sparkSession.read.parquet(path)
+
+
+def refresh_ivf_pq_if_drifted(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    factor: float = 2.0,
+    coarse_iters: int = 2,
+    pq_iters: int = 2,
+) -> bool:
+    """The drift policy CLOSED as code (round 14): ``needs_rebuild``
+    is the detector, ``compact_ivf_pq_index(retrain_corpus=...)`` is
+    the response — this wires them. Call once per ingest batch with
+    the batch about to be appended and the corpus table holding the
+    current vectors: when the batch's mean nearest-centroid distance
+    exceeds ``factor`` x the training-time dispersion, the index is
+    refreshed (retrain on survivors + re-encode, crash-safe rebase)
+    and True is returned; otherwise nothing is touched. After a
+    refresh the SAME batch no longer trips the detector — the
+    retrained quantizers fit it (pinned in tests/test_r14_ops.py).
+    O(batch) map-side check when the index is healthy; the refresh
+    itself costs one rebuild, amortized over the ingests the
+    threshold tolerated."""
+    idx = read_ivf_pq_index(spark, path)
+    if not idx.needs_rebuild(batch, id_col, vec_col, factor):
+        return False
+    compact_ivf_pq_index(
+        spark,
+        path,
+        retrain_corpus=corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        coarse_iters=coarse_iters,
+        pq_iters=pq_iters,
+    )
+    return True
