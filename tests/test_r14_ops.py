@@ -426,9 +426,11 @@ def test_refresh_equals_init_build_over_survivors(spark, tmp_path):
 
 def test_refresh_rejects_below(spark, tmp_path):
     """Carried later-ingest codes would be bit-garbage under new
-    quantizers, so retrain + below is a contract violation."""
+    quantizers, so retrain + below is a contract violation. Explicit
+    ValueError, not assert (ADVICE r14): the contract must hold under
+    python -O too."""
     emb, root = _build(spark, tmp_path)
-    with pytest.raises(AssertionError, match="refresh folds"):
+    with pytest.raises(ValueError, match="folds the whole committed"):
         compact_ivf_pq_index(spark, root, below=1, retrain_corpus=emb)
 
 

@@ -716,9 +716,15 @@ def build_band_index(
     bands (as in minhash_lsh_pairs) and are implicit singletons."""
     from tweetaggregates_spark.operators.cluster import connected_components
 
+    # one materialization serves every consumer: the CC edge build, the
+    # returned index rows, AND any caller-side join against the index
+    # (incremental_cluster_split joins it twice) — without it each
+    # consumer re-runs the whole tokenize+shingle+minhash pipeline,
+    # the dominant map-side cost of this operator (measured r15:
+    # 3 signature passes -> 1 on the incremental-split path)
     bands = lsh_bands(
         minhash_signatures(df, text_col, id_col, k, n_hashes), n_hashes, n_bands
-    )
+    ).localCheckpoint(eager=False)
     labels = connected_components(_band_self_pairs(bands)).withColumnRenamed(
         "node", "doc_id"
     )
@@ -1952,8 +1958,18 @@ def pair_recall(truth: DataFrame, candidates: DataFrame) -> DataFrame:
     duplicate row in either input would otherwise multiply through the
     inner join and inflate n_hit/n_truth/n_cand (ADVICE r10). Cheap —
     inputs are pair-sized."""
-    t = truth.select("doc_a", "doc_b").distinct()
-    c = candidates.select("doc_a", "doc_b").distinct()
+    # each side is consumed TWICE (the hit join + its own count);
+    # unmaterialized, Spark re-ran both upstream pair generators per
+    # consumer — for lsh_recall_docs that is the quadratic truth join
+    # AND the full minhash pipeline computed twice (r15 measured:
+    # 4.1 s -> ~2.5 s at sf0.1). Pair-sized frames, so the local
+    # checkpoint is cheap at any scale.
+    t = truth.select("doc_a", "doc_b").distinct().localCheckpoint(
+        eager=False
+    )
+    c = candidates.select("doc_a", "doc_b").distinct().localCheckpoint(
+        eager=False
+    )
     hit = t.join(c, ["doc_a", "doc_b"]).agg(
         F.count(F.lit(1)).alias("n_hit")
     )

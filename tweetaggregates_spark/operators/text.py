@@ -663,21 +663,33 @@ def bm25_topk(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    # dl/total_tokens aggregate the RAW token relation, not tf: tf is
-    # already consumed twice (dft + the scored join) and Spark
-    # recomputes unpersisted subplans per consumer, so deriving dl
-    # from tf (sum of per-term counts — value-identical) re-runs the
-    # (doc, token) aggregation a third time. Measured at sf0.1:
-    # 4.9 s this form vs 7.0 s the tf-derived form (median of 3,
-    # warm). The multiple map-side token scans are the cheap side of
-    # that trade; a deployment persists the token index once anyway
-    # (see build_token_index).
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # ONE token scan + one (doc, token) shuffle: tf MATERIALIZES
+    # (lazy local checkpoint — computed on first action, then shared),
+    # and dl / df / total_tokens all derive from it by value-identical
+    # aggregation (dl = Σ tf per doc = the raw token count; total =
+    # Σ tf overall). tf is consumed four times in the scoring plan;
+    # unmaterialized, Spark re-ran the tokenize+explode+groupBy
+    # pipeline per consumer (r15 measured: 4.6 s -> 2.x s at sf0.1,
+    # 44-Exchange plan collapses). This is also the honest 100 TB
+    # shape: the materialized tf IS the inverted index a deployment
+    # persists (build_token_index); only n_docs needs the corpus
+    # (tokenless docs never join tf but still count in idf).
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     stats = df.agg(
         F.countDistinct(id_col).alias("n_docs"),
-    ).crossJoin(tok.agg(F.count(F.lit(1)).alias("total_tokens")))
+    ).crossJoin(
+        tf.agg(
+            F.coalesce(F.sum("tf"), F.lit(0).cast("long")).alias(
+                "total_tokens"
+            )
+        )
+    )
     return _bm25_score(
         tf, dl, dft, stats, queries,
         query_id_col=query_id_col, query_text_col=query_text_col,
@@ -1757,12 +1769,27 @@ def _token_index_frames(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("token"),
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # one token scan for all four families: tf materializes (lazily —
+    # at the first family write) and dl / df / total_tokens derive
+    # from it by value-identical aggregation (the bm25_topk r15
+    # restructure); without it each of the four write jobs re-ran the
+    # tokenize+explode pipeline
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     stats = batch.agg(
         F.countDistinct(id_col).alias("n_docs")
-    ).crossJoin(tok.agg(F.count(F.lit(1)).alias("total_tokens")))
+    ).crossJoin(
+        tf.agg(
+            F.coalesce(F.sum("tf"), F.lit(0).cast("long")).alias(
+                "total_tokens"
+            )
+        )
+    )
     return [("dl", dl), ("df", dft), ("stats", stats), ("tf", tf)]
 
 

@@ -2257,9 +2257,11 @@ def snapshot_ann_ingest_embeddings(
     sig = lambda d: d.select(  # noqa: E731
         "vec_id", F.to_json(F.col("embedding")).alias("sig")
     )
+    # the diff feeds two consumers (delete ids + append ids); checkpoint
+    # it lazily so the full-outer id join runs once, not per consumer
     diff = dedup.corpus_diff(
         sig(emb), sig(v2), id_col="vec_id", text_col="sig"
-    )
+    ).localCheckpoint(eager=False)
     batch_ids = diff.filter(
         F.col("status").isin("added", "changed")
     ).select(F.col("doc_id").alias("vec_id"))
@@ -2484,9 +2486,11 @@ def ann_refresh_recall_embeddings(
     sig = lambda d: d.select(  # noqa: E731
         "vec_id", F.to_json(F.col("embedding")).alias("sig")
     )
+    # the diff feeds two consumers (delete ids + append ids); checkpoint
+    # it lazily so the full-outer id join runs once, not per consumer
     diff = dedup.corpus_diff(
         sig(emb), sig(v2), id_col="vec_id", text_col="sig"
-    )
+    ).localCheckpoint(eager=False)
     batch_ids = diff.filter(
         F.col("status").isin("added", "changed")
     ).select(F.col("doc_id").alias("vec_id"))
@@ -2542,7 +2546,10 @@ def dataset_card_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     routing policy); the card reports both."""
     docs = _docs(spark, sf_dir)
     card = text.dataset_card(docs)
-    splits = cluster_split_docs(spark, sf_dir)
+    # two consumers (split sizes + cluster stats): checkpoint lazily so
+    # the routing join runs once (the CC labels inside are already
+    # materialized by cluster_split_docs's component loop)
+    splits = cluster_split_docs(spark, sf_dir).localCheckpoint(eager=False)
     split_row = splits.agg(
         F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
         .cast("long")

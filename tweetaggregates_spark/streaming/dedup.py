@@ -119,11 +119,10 @@ def run_streaming_near_dedup(
                     index_counts=counts,
                 )
             )
-        # materialize assignments BEFORE the delta writes so all three
-        # outputs see one consistent CC labeling (the CC loop
-        # checkpoints, but the outputs must not recompute the batch
-        # pipeline independently)
-        assignments = assignments.localCheckpoint(eager=True)
+        # checkpoint (lazily — it materializes inside the first write
+        # job, r15) so all three outputs see one consistent CC
+        # labeling without a separate blocking job per trigger
+        assignments = assignments.localCheckpoint(eager=False)
         append_band_index_delta(new_rows, remap, index_path, batch_id)
         assignments.write.mode("overwrite").parquet(
             f"{out_path}/batch_id={batch_id}"
@@ -207,8 +206,11 @@ def run_streaming_exact_dedup(
         assignments, new_rows = exact_dedup_new_batch_bloom(
             batch_df, index, bloom, n_bits=n_bits, n_hashes=n_hashes
         )
-        assignments = assignments.localCheckpoint(eager=True)
-        new_rows = new_rows.localCheckpoint(eager=True)
+        # lazy checkpoints (r15): each materializes inside its first
+        # consuming write job — same compute-once guarantee, two fewer
+        # blocking jobs per trigger
+        assignments = assignments.localCheckpoint(eager=False)
+        new_rows = new_rows.localCheckpoint(eager=False)
         new_rows.write.mode("overwrite").parquet(
             f"{index_path}/hashes/v={batch_id}"
         )
@@ -279,8 +281,9 @@ def run_streaming_cdc_trim(
         trimmed, delta = cdc_trim_new_batch(
             batch_df, index, k=k, divisor=divisor
         )
-        trimmed = trimmed.localCheckpoint(eager=True)
-        delta = delta.localCheckpoint(eager=True)
+        # lazy checkpoints (r15): materialize inside the writes
+        trimmed = trimmed.localCheckpoint(eager=False)
+        delta = delta.localCheckpoint(eager=False)
         append_cdc_index_delta(delta, index_path, batch_id)
         trimmed.write.mode("overwrite").parquet(
             f"{out_path}/batch_id={batch_id}"
@@ -441,12 +444,15 @@ def run_streaming_split_routing(
         assignments, new_rows, remap = dedup_new_batch_delta(
             batch_df, index
         )
-        assignments = assignments.localCheckpoint(eager=True)
+        # lazy checkpoints (r15): one consistent materialization per
+        # frame, riding the first consuming write instead of three
+        # separate blocking jobs per trigger
+        assignments = assignments.localCheckpoint(eager=False)
         splits, routes = frozen_split_for_batch(
             assignments, _read_routes(batch_id), remap
         )
-        splits = splits.localCheckpoint(eager=True)
-        routes = routes.localCheckpoint(eager=True)
+        splits = splits.localCheckpoint(eager=False)
+        routes = routes.localCheckpoint(eager=False)
         append_band_index_delta(new_rows, remap, index_path, batch_id)
         routes.write.mode("overwrite").parquet(
             f"{index_path}/routes/v={batch_id}"
