@@ -1074,8 +1074,13 @@ def knn_pq(
     codebook = codebook.localCheckpoint(eager=True)
     codes = pq_encode(corpus, codebook, vec_col, id_col)
 
-    sub_dim = codebook.select(F.size("centroid")).first()[0]
-    m = codebook.select(F.max("subspace")).first()[0] + 1
+    # one driver action for both structural scalars (r15, the
+    # pq_encode fusion): the codebook is already materialized, so this
+    # is one tiny job instead of two
+    _row = codebook.agg(
+        F.min(F.size("centroid")).alias("sd"), F.max("subspace").alias("m")
+    ).first()
+    sub_dim, m = _row.sd, _row.m + 1
     qsubs = queries.select(
         F.col(id_col).alias("query_id"),
         F.posexplode(
@@ -1391,11 +1396,31 @@ def build_ivf_pq_index(
     # can overwrite their own partitions idempotently (cell stays a
     # partition column, so probe-time dynamic pruning is unchanged).
     bid = uuid.uuid4().hex[:12]
-    codes.withColumn("ingest", F.lit("base")).write.mode(
-        "overwrite"
-    ).partitionBy("ingest", "cell").parquet(f"{path}/codes_{bid}")
-    cents.write.mode("overwrite").parquet(f"{path}/centroids_{bid}")
-    codebook.write.mode("overwrite").parquet(f"{path}/codebook_{bid}")
+    # the three table writes are independent jobs over already-
+    # materialized (or tiny) inputs: submit them from a small thread
+    # pool so the centroid/codebook writes back-fill the tail of the
+    # codes write instead of running serially after it (guide-§2.6
+    # overlap; the meta pointer still writes strictly LAST, so the
+    # crash-safety ordering is unchanged)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _w_codes() -> None:
+        codes.withColumn("ingest", F.lit("base")).write.mode(
+            "overwrite"
+        ).partitionBy("ingest", "cell").parquet(f"{path}/codes_{bid}")
+
+    def _w_cents() -> None:
+        cents.write.mode("overwrite").parquet(f"{path}/centroids_{bid}")
+
+    def _w_codebook() -> None:
+        codebook.write.mode("overwrite").parquet(f"{path}/codebook_{bid}")
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [
+            pool.submit(w) for w in (_w_codes, _w_cents, _w_codebook)
+        ]
+        for f in futures:
+            f.result()
     # structural parameters persist in meta (ADVICE r14): a quantizer
     # refresh re-trains with the ORIGINAL n_cells/m/k instead of
     # re-deriving them from the persisted tables (three extra driver
@@ -1497,7 +1522,13 @@ def compact_ivf_pq_index(
         live = idx.codes.select(
             F.col("neighbor_id").alias(id_col)
         ).distinct()
-        survivors = retrain_corpus.join(live, id_col, "left_semi")
+        # the rebuild consumes its corpus three times (dim probe, the
+        # coarse slice and the subvector slice of the fused training
+        # union); materialize the semi-join once so the live-id
+        # distinct + join do not re-run per consumer (r15)
+        survivors = retrain_corpus.join(
+            live, id_col, "left_semi"
+        ).localCheckpoint(eager=False)
         if idx.n_cells is not None:
             # structural parameters from meta (ADVICE r14): the refresh
             # reproduces the ORIGINAL build arguments exactly, with

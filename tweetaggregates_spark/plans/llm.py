@@ -2253,7 +2253,11 @@ def snapshot_ann_ingest_embeddings(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    v2 = _emb_snapshot_v2(emb)
+    # the v2 snapshot is consumed by the diff, the append batch, the
+    # compact/retrain corpus, the probe queries and the exact side;
+    # one lazy materialization replaces a re-run of the snapshot
+    # transform (two scans + union) per consumer (r15)
+    v2 = _emb_snapshot_v2(emb).localCheckpoint(eager=False)
     sig = lambda d: d.select(  # noqa: E731
         "vec_id", F.to_json(F.col("embedding")).alias("sig")
     )
@@ -2482,7 +2486,11 @@ def ann_refresh_recall_embeddings(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    v2 = _emb_snapshot_v2(emb)
+    # the v2 snapshot is consumed by the diff, the append batch, the
+    # compact/retrain corpus, the probe queries and the exact side;
+    # one lazy materialization replaces a re-run of the snapshot
+    # transform (two scans + union) per consumer (r15)
+    v2 = _emb_snapshot_v2(emb).localCheckpoint(eager=False)
     sig = lambda d: d.select(  # noqa: E731
         "vec_id", F.to_json(F.col("embedding")).alias("sig")
     )
