@@ -818,6 +818,11 @@ def _delta_parts(
     remap_delta)."""
     from tweetaggregates_spark.operators.cluster import connected_components
 
+    # no (the new-vs-index edge join — the one join that probes the
+    # FULL folded index) has two consumers: the CC edge set and the
+    # touched-cluster projection below; materialize it once so the
+    # index probe runs once per ingest, not twice (r15). Edge-sized.
+    no = no.localCheckpoint(eager=False)
     labels = connected_components(nn.unionByName(no))
     assignments = (
         batch.select(F.col(id_col).alias("doc_id"))
