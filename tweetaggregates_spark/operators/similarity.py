@@ -1593,19 +1593,40 @@ def compact_ivf_pq_index(
             folding = tombs.filter(tv < below)
             carried = tombs.filter(tv.isNull() | (tv >= below))
         codes = _apply_tombstones(codes, folding)
-    codes.withColumn("ingest", new_ingest).write.mode(
-        "overwrite"
-    ).partitionBy("ingest", "cell").parquet(f"{path}/codes_{bid}")
-    if carried is not None and carried.limit(1).count() > 0:
-        carried.write.mode("overwrite").partitionBy("ingest").parquet(
-            f"{path}/tombs_{bid}"
-        )
-    spark.read.parquet(f"{path}/centroids{suffix}").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/centroids_{bid}")
-    spark.read.parquet(f"{path}/codebook{suffix}").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/codebook_{bid}")
+    # the four rewrites are independent jobs (codes fold, carried
+    # tombstones, centroid/codebook copies): overlap them from a small
+    # thread pool (guide §2.6, the build_ivf_pq_index pattern) so the
+    # tiny copies back-fill the codes rewrite's tail; the meta pointer
+    # below still writes strictly LAST, so crash-safety is unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _w_codes() -> None:
+        codes.withColumn("ingest", new_ingest).write.mode(
+            "overwrite"
+        ).partitionBy("ingest", "cell").parquet(f"{path}/codes_{bid}")
+
+    def _w_tombs() -> None:
+        if carried is not None and carried.limit(1).count() > 0:
+            carried.write.mode("overwrite").partitionBy(
+                "ingest"
+            ).parquet(f"{path}/tombs_{bid}")
+
+    def _w_cents() -> None:
+        spark.read.parquet(f"{path}/centroids{suffix}").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/centroids_{bid}")
+
+    def _w_codebook() -> None:
+        spark.read.parquet(f"{path}/codebook{suffix}").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/codebook_{bid}")
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for f in [
+            pool.submit(w)
+            for w in (_w_codes, _w_tombs, _w_cents, _w_codebook)
+        ]:
+            f.result()
     spark.createDataFrame(
         [
             (
@@ -1806,8 +1827,6 @@ def append_to_ivf_pq_index(
     None a fresh uuid is used (unique, but a retry then duplicates)."""
     import uuid
 
-    from pyspark.sql import Window as W
-
     spark = batch.sparkSession
     idx = read_ivf_pq_index(spark, path)
     cents = idx.centroids
@@ -1821,12 +1840,15 @@ def append_to_ivf_pq_index(
         F.lit(0.0).cast("double"),
         lambda acc, d: acc + d,
     )
-    aw = W.partitionBy(id_col).orderBy("_cd", "cluster")
+    # grouped argmin (min over the (dist, cell) struct — identical
+    # lexicographic tie-break to the former row_number window, and the
+    # same shape kmeans.assign uses): partial map-side aggregation
+    # replaces the window's full sort shuffle of the exploded batch
     assigned = (
-        bd.select(F.col(id_col), "_v", "cluster", cdist.alias("_cd"))
-        .withColumn("_r", F.row_number().over(aw))
-        .filter(F.col("_r") == 1)
-        .select(F.col(id_col), "cluster")
+        bd.select(F.col(id_col), "cluster", cdist.alias("_cd"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("_cd", "cluster")).alias("_m"))
+        .select(F.col(id_col), F.col("_m.cluster").alias("cluster"))
     )
     pq_src = _pq_source(
         batch, assigned, cents, id_col, vec_col, idx.encode_residuals
