@@ -667,6 +667,10 @@ def semantic_dup_pairs(
             F.transform("_vd", lambda x: x / F.col("_n")).alias("_nv"),
         )
         .join(assigned.select(F.col(id_col).alias("_id"), "cluster"), "_id")
+        # both sides of the cluster-local self-join below consume this
+        # frame; materialize it once so the normalize pass and the
+        # assignment join run once, not per side (r15)
+        .localCheckpoint(eager=False)
     )
     a = emb.alias("a")
     b = emb.alias("b").hint("shuffle_hash")

@@ -2133,6 +2133,7 @@ def cdc_chunks(
     id_col: str = "doc_id",
     k: int = 4,
     divisor: int = 8,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Split every document into content-defined chunks.
 
@@ -2155,10 +2156,15 @@ def cdc_chunks(
     chunk_hash) with token positions 0-based inclusive."""
     from pyspark.sql import Window as W
 
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.col(text_col)).alias("toks"),
-    )
+    # the tokenize pass feeds both the boundary-flag explode and the
+    # span join-back below; materialize it once (r15 — callers that
+    # also need the token arrays, e.g. the trim reassembly, pass their
+    # own checkpointed ``base`` so the whole query tokenizes ONCE)
+    if base is None:
+        base = df.select(
+            F.col(id_col).alias("doc_id"),
+            tokens(F.col(text_col)).alias("toks"),
+        ).localCheckpoint(eager=False)
     n = F.size(F.col("toks"))
     flags = F.when(
         n > 0,
@@ -2274,11 +2280,16 @@ def cdc_trim(
 
     Output: (doc_id, n_chunks, n_chunks_kept, n_tokens_kept,
     text_deduped)."""
+    # one tokenize (shared with cdc_chunks) and one chunking pass
+    # (consumed by the keeper aggregate AND the join back), each
+    # materialized once instead of recomputed per consumer (r15)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("toks"),
-    )
-    chunks = cdc_chunks(df, text_col, id_col, k, divisor)
+    ).localCheckpoint(eager=False)
+    chunks = cdc_chunks(
+        df, text_col, id_col, k, divisor, base=base
+    ).localCheckpoint(eager=False)
     keeper = chunks.groupBy("chunk_hash").agg(
         F.min(F.struct("doc_id", "seg_id")).alias("m")
     )
@@ -2335,11 +2346,16 @@ def substring_trim(
     text_deduped) — the cdc_trim contract."""
     from pyspark.sql import Window as W
 
+    # one tokenize (shared with cdc_chunks) and one chunking pass
+    # (consumed by the keeper aggregate AND the join back), each
+    # materialized once instead of recomputed per consumer (r15)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("toks"),
-    )
-    chunks = cdc_chunks(df, text_col, id_col, k, divisor)
+    ).localCheckpoint(eager=False)
+    chunks = cdc_chunks(
+        df, text_col, id_col, k, divisor, base=base
+    ).localCheckpoint(eager=False)
     keeper = chunks.groupBy("chunk_hash").agg(
         F.min(F.struct("doc_id", "seg_id")).alias("m"),
         F.count(F.lit(1)).alias("n_occ"),
@@ -2503,11 +2519,19 @@ def cdc_trim_new_batch(
     equi-join of the (small) batch delta against the index — keyed on
     chunk_hash, so a bucketed index layout makes the join co-located
     at any scale (same posture as write_band_index_bucketed)."""
+    # one tokenize (shared with cdc_chunks) and one chunking pass,
+    # each materialized once; ``delta`` additionally feeds both the
+    # returned index delta AND the combined-keeper join inside
+    # ``trimmed``, so it is materialized here — a caller-side
+    # checkpoint on the returned frame cannot cover that internal
+    # second consumer (r15)
     base = batch.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("toks"),
-    )
-    chunks = cdc_chunks(batch, text_col, id_col, k, divisor)
+    ).localCheckpoint(eager=False)
+    chunks = cdc_chunks(
+        batch, text_col, id_col, k, divisor, base=base
+    ).localCheckpoint(eager=False)
     delta = (
         chunks.groupBy("chunk_hash")
         .agg(
@@ -2520,7 +2544,7 @@ def cdc_trim_new_batch(
             F.col("m.seg_id").cast("long").alias("keeper_seg_id"),
             F.col("n_occurrences").cast("long").alias("n_occurrences"),
         )
-    )
+    ).localCheckpoint(eager=False)
     # combined keeper per batch hash: least of the index keeper and
     # the batch-local min (F.least skips the null side of the left
     # join). Struct comparison is lexicographic — (doc_id, seg_id).
