@@ -1219,11 +1219,32 @@ def append_band_index_delta(
     ``counts/v=<version>`` (O(batch buckets) rows): summed at read
     (``read_bucket_counts``) it gives the hot-band guard the combined
     bucket sizes WITHOUT re-aggregating the corpus every ingest."""
+    # new_rows feeds both the bands write and the bucket-count
+    # aggregate; materialize it once (lazy — the bands write is the
+    # single-sided first consumer, so no concurrent-materialization
+    # race) instead of re-running the bands-to-assignments join for
+    # the counts (r15). The bands write runs FIRST and alone (it
+    # materializes the checkpoint); the remap and counts writes are
+    # then independent jobs over materialized inputs and overlap
+    # (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    new_rows = new_rows.localCheckpoint(eager=False)
     new_rows.write.mode("overwrite").parquet(f"{path}/bands/v={version}")
-    remap_delta.write.mode("overwrite").parquet(f"{path}/remap/v={version}")
-    bucket_counts(new_rows).write.mode("overwrite").parquet(
-        f"{path}/counts/v={version}"
-    )
+
+    def _w_remap() -> None:
+        remap_delta.write.mode("overwrite").parquet(
+            f"{path}/remap/v={version}"
+        )
+
+    def _w_counts() -> None:
+        bucket_counts(new_rows).write.mode("overwrite").parquet(
+            f"{path}/counts/v={version}"
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(w) for w in (_w_remap, _w_counts)]:
+            f.result()
 
 
 def read_band_index_parts(
