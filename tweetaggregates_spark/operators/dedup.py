@@ -1989,12 +1989,16 @@ def pair_recall(truth: DataFrame, candidates: DataFrame) -> DataFrame:
     # consumer — for lsh_recall_docs that is the quadratic truth join
     # AND the full minhash pipeline computed twice (r15 measured:
     # 4.1 s -> ~2.5 s at sf0.1). Pair-sized frames, so the local
-    # checkpoint is cheap at any scale.
+    # checkpoint is cheap at any scale. EAGER: all consumers sit in
+    # the ONE final job, and stages racing to materialize a lazy
+    # checkpoint recompute its narrow tail concurrently (the
+    # new_bands race, measured r15); the blocking jobs here are
+    # pair-sized.
     t = truth.select("doc_a", "doc_b").distinct().localCheckpoint(
-        eager=False
+        eager=True
     )
     c = candidates.select("doc_a", "doc_b").distinct().localCheckpoint(
-        eager=False
+        eager=True
     )
     hit = t.join(c, ["doc_a", "doc_b"]).agg(
         F.count(F.lit(1)).alias("n_hit")

@@ -115,9 +115,12 @@ def ann_recall(
     # the exact side is consumed TWICE (hit join + the per-query
     # denominator); unmaterialized, Spark re-ran the brute-force kNN
     # upstream per consumer (r15). |Q| x k rows — cheap to checkpoint
-    # at any scale.
+    # at any scale. EAGER: both consumers sit inside the ONE final
+    # job, and two stages racing to materialize a lazy checkpoint
+    # recompute its narrow tail concurrently (the new_bands race,
+    # measured r15); the blocking job here is |Q| x k rows.
     exact = exact.select("query_id", "neighbor_id").localCheckpoint(
-        eager=False
+        eager=True
     )
     hits = (
         exact.select("query_id", "neighbor_id")
