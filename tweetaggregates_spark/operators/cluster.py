@@ -668,9 +668,11 @@ def semantic_dup_pairs(
         )
         .join(assigned.select(F.col(id_col).alias("_id"), "cluster"), "_id")
         # both sides of the cluster-local self-join below consume this
-        # frame; materialize it once so the normalize pass and the
-        # assignment join run once, not per side (r15)
-        .localCheckpoint(eager=False)
+        # frame INSIDE one job; materialize it EAGERLY so the normalize
+        # pass and the assignment join run once — a lazy checkpoint's
+        # two join sides race to materialize it and compute the pass
+        # twice (the new_bands race, measured r15)
+        .localCheckpoint(eager=True)
     )
     a = emb.alias("a")
     b = emb.alias("b").hint("shuffle_hash")

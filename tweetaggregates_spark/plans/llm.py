@@ -2554,10 +2554,11 @@ def dataset_card_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     routing policy); the card reports both."""
     docs = _docs(spark, sf_dir)
     card = text.dataset_card(docs)
-    # two consumers (split sizes + cluster stats): checkpoint lazily so
-    # the routing join runs once (the CC labels inside are already
-    # materialized by cluster_split_docs's component loop)
-    splits = cluster_split_docs(spark, sf_dir).localCheckpoint(eager=False)
+    # two consumers (split sizes + cluster stats), BOTH inside the one
+    # final job: checkpoint EAGERLY so the routing join runs once —
+    # lazily, the two consumer stages race to materialize it and the
+    # tail recomputes per stage (the new_bands race, measured r15)
+    splits = cluster_split_docs(spark, sf_dir).localCheckpoint(eager=True)
     split_row = splits.agg(
         F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
         .cast("long")
