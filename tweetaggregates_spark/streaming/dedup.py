@@ -123,14 +123,33 @@ def run_streaming_near_dedup(
         # job, r15) so all three outputs see one consistent CC
         # labeling without a separate blocking job per trigger
         assignments = assignments.localCheckpoint(eager=False)
-        append_band_index_delta(new_rows, remap, index_path, batch_id)
-        assignments.write.mode("overwrite").parquet(
-            f"{out_path}/batch_id={batch_id}"
-        )
-        if quarantine is not None:
-            quarantine.write.mode("overwrite").parquet(
-                f"{out_path}_quarantine/batch_id={batch_id}"
+
+        # overlap the index-delta append with the assignment/quarantine
+        # writes (guide §2.6): the two branches share NO unmaterialized
+        # lazy checkpoint — the CC labels and the batch's band rows are
+        # already eagerly materialized, `assignments` is consumed only
+        # by its own write, and the append's internal new_rows
+        # checkpoint only by the append — so each branch materializes
+        # its own frame exactly once and the trigger pays the slower
+        # branch instead of the sum (r15, measured on the 2-trigger
+        # replay)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _w_index() -> None:
+            append_band_index_delta(new_rows, remap, index_path, batch_id)
+
+        def _w_out() -> None:
+            assignments.write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}"
             )
+            if quarantine is not None:
+                quarantine.write.mode("overwrite").parquet(
+                    f"{out_path}_quarantine/batch_id={batch_id}"
+                )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(w) for w in (_w_index, _w_out)]:
+                f.result()
 
     from tweetaggregates_spark.streaming.runner import run_foreach_batch
 
@@ -211,17 +230,33 @@ def run_streaming_exact_dedup(
         # blocking jobs per trigger
         assignments = assignments.localCheckpoint(eager=False)
         new_rows = new_rows.localCheckpoint(eager=False)
-        new_rows.write.mode("overwrite").parquet(
-            f"{index_path}/hashes/v={batch_id}"
-        )
-        bloom_slots(
-            new_rows, "content_hash", n_bits, n_hashes
-        ).write.mode("overwrite").parquet(
-            f"{index_path}/blooms/v={batch_id}"
-        )
-        assignments.write.mode("overwrite").parquet(
-            f"{out_path}/batch_id={batch_id}"
-        )
+
+        # overlap the index-side writes with the assignments write
+        # (guide §2.6): the hashes->bloom chain stays serial (the bloom
+        # consumes the materialized new_rows), but the assignments
+        # branch materializes only its OWN checkpoint — the two
+        # branches share nothing unmaterialized, so the trigger pays
+        # the slower branch instead of the sum (r15)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _w_index() -> None:
+            new_rows.write.mode("overwrite").parquet(
+                f"{index_path}/hashes/v={batch_id}"
+            )
+            bloom_slots(
+                new_rows, "content_hash", n_bits, n_hashes
+            ).write.mode("overwrite").parquet(
+                f"{index_path}/blooms/v={batch_id}"
+            )
+
+        def _w_out() -> None:
+            assignments.write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}"
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(w) for w in (_w_index, _w_out)]:
+                f.result()
 
     from tweetaggregates_spark.streaming.runner import run_foreach_batch
 
@@ -453,13 +488,30 @@ def run_streaming_split_routing(
         )
         splits = splits.localCheckpoint(eager=False)
         routes = routes.localCheckpoint(eager=False)
-        append_band_index_delta(new_rows, remap, index_path, batch_id)
-        routes.write.mode("overwrite").parquet(
-            f"{index_path}/routes/v={batch_id}"
-        )
-        splits.write.mode("overwrite").parquet(
-            f"{out_path}/batch_id={batch_id}"
-        )
+        # overlap the index-delta append with the routing writes
+        # (guide §2.6): the routes->splits chain stays serial (both
+        # consume the `assignments` checkpoint — the first write
+        # materializes it, the second reuses it), and the append's
+        # internal new_rows checkpoint belongs to the append branch
+        # alone, so the two branches race on nothing unmaterialized
+        # and the trigger pays the slower branch instead of the sum
+        # (r15, measured on the 2-trigger replay)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _w_index() -> None:
+            append_band_index_delta(new_rows, remap, index_path, batch_id)
+
+        def _w_routing() -> None:
+            routes.write.mode("overwrite").parquet(
+                f"{index_path}/routes/v={batch_id}"
+            )
+            splits.write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}"
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(w) for w in (_w_index, _w_routing)]:
+                f.result()
 
     from tweetaggregates_spark.streaming.runner import run_foreach_batch
 
