@@ -1807,7 +1807,9 @@ def append_to_ivf_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ingest_id: str | None = None,
-) -> IvfPqIndex:
+    return_index: bool = True,
+    index: "IvfPqIndex | None" = None,
+) -> "IvfPqIndex | None":
     """Fold a NEW batch of vectors into an existing persisted index
     without retraining — the ANN analog of ``dedup_new_batch``:
     production indexes ingest continuously and re-train quantizers on
@@ -1827,11 +1829,21 @@ def append_to_ivf_pq_index(
     lands under ``ingest=<id>`` with dynamic partition overwrite, so a
     RETRIED batch replaces its own earlier rows instead of duplicating
     them — pass the upstream batch id for exactly-once folds; when
-    None a fresh uuid is used (unique, but a retry then duplicates)."""
+    None a fresh uuid is used (unique, but a retry then duplicates).
+
+    ``index=`` passes an already-open handle (e.g. the one
+    ``build_ivf_pq_index`` returns) so the append skips its own
+    opening ``read_ivf_pq_index``; ``return_index=False`` skips the
+    trailing one and returns None. For callers that hold the handle
+    and re-read or compact next (the snapshot-ingest lifecycles) both
+    reads are redundant driver actions, and skipping them also lets
+    the append overlap a concurrent ``delete_from_ivf_pq_index``
+    (either read would otherwise list the tombstone tree
+    mid-write)."""
     import uuid
 
     spark = batch.sparkSession
-    idx = read_ivf_pq_index(spark, path)
+    idx = index if index is not None else read_ivf_pq_index(spark, path)
     cents = idx.centroids
     # nearest-cell assignment with the index's centroids: same ordered
     # fold + (dist, cell) tie-break as kmeans.assign
@@ -1883,7 +1895,7 @@ def append_to_ivf_pq_index(
         new_codes.write.mode("append").partitionBy("cell").parquet(
             f"{path}/codes"
         )
-    return read_ivf_pq_index(spark, path)
+    return read_ivf_pq_index(spark, path) if return_index else None
 
 
 def knn_ivf_pq(

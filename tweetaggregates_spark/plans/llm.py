@@ -2274,7 +2274,7 @@ def snapshot_ann_ingest_embeddings(
     ).select(F.col("doc_id").alias("vec_id"))
     root = tempfile.mkdtemp(prefix="snapshot_ann_")
     try:
-        build_ivf_pq_index(
+        idx0 = build_ivf_pq_index(
             emb,
             root,
             n_cells=8,
@@ -2285,8 +2285,15 @@ def snapshot_ann_ingest_embeddings(
             encode_residuals=False,
         )
         delete_from_ivf_pq_index(gone_ids, root, ingest_id="1")
+        # reuse build's open handle and skip the post-append re-read
+        # (r15): both are redundant driver actions here — this entry
+        # re-reads/compacts the index itself right after (a
+        # delete+append OVERLAP was also tried: no win above the host
+        # noise, and the entry-level A/B medians leaned slower, so the
+        # lifecycle actions stay serial — measured, not inferred)
         append_to_ivf_pq_index(
-            v2.join(batch_ids, "vec_id"), root, ingest_id="1"
+            v2.join(batch_ids, "vec_id"), root, ingest_id="1",
+            return_index=False, index=idx0,
         )
         compact_ivf_pq_index(spark, root)
         idx = read_ivf_pq_index(spark, root)
@@ -2507,7 +2514,7 @@ def ann_refresh_recall_embeddings(
     ).select(F.col("doc_id").alias("vec_id"))
     root = tempfile.mkdtemp(prefix="ann_refresh_")
     try:
-        build_ivf_pq_index(
+        idx0 = build_ivf_pq_index(
             emb,
             root,
             n_cells=8,
@@ -2518,8 +2525,15 @@ def ann_refresh_recall_embeddings(
             encode_residuals=False,
         )
         delete_from_ivf_pq_index(gone_ids, root, ingest_id="1")
+        # reuse build's open handle and skip the post-append re-read
+        # (r15): both are redundant driver actions here — this entry
+        # re-reads/compacts the index itself right after (a
+        # delete+append OVERLAP was also tried: no win above the host
+        # noise, and the entry-level A/B medians leaned slower, so the
+        # lifecycle actions stay serial — measured, not inferred)
         append_to_ivf_pq_index(
-            v2.join(batch_ids, "vec_id"), root, ingest_id="1"
+            v2.join(batch_ids, "vec_id"), root, ingest_id="1",
+            return_index=False, index=idx0,
         )
         refreshed = compact_ivf_pq_index(
             spark, root, retrain_corpus=v2,
