@@ -697,7 +697,7 @@ def incremental_ann_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     emb = load_table(spark, sf_dir, "embeddings")
     root = tempfile.mkdtemp(prefix="ivf_lifecycle_")
     try:
-        build_ivf_pq_index(
+        idx0 = build_ivf_pq_index(
             emb.filter(F.col("vec_id") % 2 == 0),
             root,
             n_cells=8,
@@ -707,8 +707,11 @@ def incremental_ann_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
             pq_iters=0,
             encode_residuals=False,
         )
+        # reuse build's open handle and skip the post-append re-read
+        # (r15): the compact + read right after make both redundant
         append_to_ivf_pq_index(
-            emb.filter(F.col("vec_id") % 2 == 1), root, ingest_id="1"
+            emb.filter(F.col("vec_id") % 2 == 1), root, ingest_id="1",
+            return_index=False, index=idx0,
         )
         compact_ivf_pq_index(spark, root)
         idx = read_ivf_pq_index(spark, root)

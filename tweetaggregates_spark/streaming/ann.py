@@ -62,7 +62,14 @@ def run_streaming_ann_ingest(
             idx.avg_assign_dist is not None
             and drift > drift_factor * idx.avg_assign_dist
         )
-        append_to_ivf_pq_index(batch_df, index_path, ingest_id=str(batch_id))
+        # the pre-batch handle's quantizers are exactly what the append
+        # would re-read (appends never change them); reusing it and
+        # skipping the post-append re-read drops two redundant driver
+        # read actions per trigger (r15)
+        append_to_ivf_pq_index(
+            batch_df, index_path, ingest_id=str(batch_id),
+            return_index=False, index=idx,
+        )
         spark.createDataFrame(
             [(int(n), float(drift), idx.avg_assign_dist, bool(rebuild))],
             "n_vectors BIGINT, batch_drift DOUBLE, "
