@@ -1,13 +1,18 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints, in order: a one-line summary (total + calibration — short
+enough to survive any stdout-tail truncation), the full verbose record
+(also written in-repo as BENCH_LOCAL_r*.json), and LAST the contract
+JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": "<dir>"}
 
 Each query is forced with the noop sink (full computation, no driver
 collect). One untimed warmup query initializes the JVM/codegen paths so
-timings measure the plans, not session startup.
+timings measure the plans, not session startup. Between entries the
+harness drains stale block-manager state (_reset_state) OUTSIDE the
+timing windows — per-entry isolation, VERDICT r15 #3.
 """
 
 from __future__ import annotations
@@ -437,6 +442,27 @@ def bench_incremental_dedup(spark, sf_dir: str) -> dict:
     }
 
 
+def _reset_state(spark) -> None:
+    """Per-entry measurement isolation (VERDICT r15 #3, explicitly
+    sanctioned there): r15's five full runs showed 4-8 entries per run
+    swinging 2-4x on UNTOUCHED code because the 116 entries run
+    back-to-back in one session and inherit block-manager state from
+    their neighbors — chiefly localCheckpoint RDD blocks whose Python
+    wrappers are long garbage but whose JVM blocks wait on the
+    weak-ref ContextCleaner. Collecting the Python side, then asking
+    the JVM to GC, drains that queue so every entry starts from the
+    same block-manager state. Runs OUTSIDE every timing window, so it
+    changes isolation, not the measured work."""
+    import gc
+
+    gc.collect()
+    spark.catalog.clearCache()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass  # measurement hygiene only; never fail the bench
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -468,13 +494,17 @@ def main() -> int:
         }
 
     for name in HEADLINE:
+        _reset_state(spark)
+        spark.sparkContext.setJobDescription(f"bench: {name}")
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
         _record(name, runs)
+    spark.sparkContext.setJobDescription(None)
 
+    _reset_state(spark)
     _record(
         "streaming_drain_20k",
         [bench_streaming_drain(spark) for _ in range(3)],
@@ -507,6 +537,7 @@ def main() -> int:
     from tweetaggregates_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _reset_state(spark)
     runs = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -523,6 +554,7 @@ def main() -> int:
     from tweetaggregates_spark.operators.cluster import semantic_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
+    _reset_state(spark)
     runs = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -543,6 +575,7 @@ def main() -> int:
         kcenter_coreset_batched,
     )
 
+    _reset_state(spark)
     runs = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -556,6 +589,7 @@ def main() -> int:
     # (VERDICT r5 #2): a ONE-TIME index build, the per-batch dedup
     # against the persisted index (the steady-state number users see),
     # and the O(batch) delta append (reported per batch row)
+    _reset_state(spark)
     inc = bench_incremental_dedup(spark, sf_dir)
     _record("incremental_dedup_index_build", inc["build_runs"])
     _record("incremental_dedup_batch_amortized", inc["batch_runs"])
@@ -580,6 +614,29 @@ def main() -> int:
         s["rps_x_scan"] = round(
             s["rows_per_sec"] * calib["scan_count_sec"], 1
         )
+    # Truncation-safe summary FIRST (VERDICT r15 #2): the driver's
+    # stored record keeps only a ~2000-char stdout TAIL, which clips
+    # the front of the (3.4 KB, 116-query) contract line — BENCH_r14's
+    # stored tail could not be re-parsed and PERF_r15 lost its whole
+    # round-over-round comparison. The full per-query record survives
+    # in THREE places: this summary (total + calibration, short enough
+    # to quote anywhere), the BENCH_LOCAL_r*.json artifact written
+    # below (committed in-repo), and the contract line printed LAST
+    # (unchanged; additions-only).
+    print(
+        json.dumps(
+            {
+                "bench_summary": {
+                    "value": total,
+                    "unit": "sec",
+                    "n_queries": len(timings),
+                    "calib": calib,
+                    "sf": sf_dir,
+                }
+            },
+            separators=(",", ":"),
+        )
+    )
     verbose = {
         "metric": "headline_queries_total_sec",
         "value": total,

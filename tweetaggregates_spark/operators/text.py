@@ -61,6 +61,7 @@ def dataset_card(
     id_col: str = "doc_id",
     source_col: str = "source",
     lang_col: str = "lang",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """One-row corpus DATASHEET (round 12) — the summary a dataset
     release ships with (Gebru et al. "Datasheets for Datasets";
@@ -74,9 +75,35 @@ def dataset_card(
     DECIMAL(28,12) (order-free, twin-exact).
 
     Output columns: n_docs, n_tokens, n_chars, mean_doc_tokens,
-    n_sources, n_langs, dup_rate, mean_quality."""
+    n_sources, n_langs, dup_rate, mean_quality. ``tokens_col``: an
+    optional pre-tokenized array column (exactly ``tokens(text)``) so
+    a composed pipeline can share one tokenize pass; value-identical
+    either way."""
+    return _dataset_card_agg(
+        dataset_card_row_stats(
+            df, text_col, id_col, source_col, lang_col, tokens_col
+        )
+    )
+
+
+def dataset_card_row_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    tokens_col: str | None = None,
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """The per-doc map-side projection feeding ``dataset_card``'s
+    one-row aggregate — factored out (r16) so a composed pipeline
+    (dataset_card_v2_docs) can fold these scalar stats into its
+    shared materialized layer and keep the text payload OUT of the
+    checkpoint (guide §5: store keys and metadata, not payloads).
+    Columns: doc_id, _src, _lang, _nt, _nc, _h, _q (+ ``keep_cols``
+    passed through)."""
     t = F.col(text_col)
-    toks = tokens(t)
+    toks = F.col(tokens_col) if tokens_col else tokens(t)
     n_tok = F.size(toks)
     n_chars = F.length(t)
     score = F.round(
@@ -88,7 +115,7 @@ def dataset_card(
         + F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5,
         6,
     )
-    row = df.select(
+    return df.select(
         F.col(id_col).alias("doc_id"),
         F.col(source_col).alias("_src"),
         F.col(lang_col).alias("_lang"),
@@ -96,7 +123,13 @@ def dataset_card(
         n_chars.alias("_nc"),
         hash64(t).alias("_h"),
         score.alias("_q"),
+        *[F.col(c) for c in keep_cols],
     )
+
+
+def _dataset_card_agg(row: DataFrame) -> DataFrame:
+    """The one-row datasheet aggregate over ``dataset_card_row_stats``
+    columns (see ``dataset_card`` for the output contract)."""
     return row.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_nt").cast("long").alias("n_tokens"),
@@ -345,6 +378,7 @@ def contamination_pairs(
     id_col: str = "doc_id",
     k: int = 5,
     min_overlap: int = 1,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: training docs sharing >= min_overlap
     distinct k-word shingles with any eval doc (the n-gram overlap
@@ -357,17 +391,28 @@ def contamination_pairs(
     side NEVER shuffles: a map-side join per partition, cost linear in
     train shingle count. Same pigeonhole economics as LSH: a long
     shared passage shares many shingles, so min_overlap tolerates hash
-    noise without losing true contamination."""
+    noise without losing true contamination. ``tokens_col``: an
+    optional pre-tokenized array column present on BOTH inputs
+    (exactly ``tokens(text)``) so a composed pipeline shares one
+    tokenize pass; value-identical either way."""
+
+    def _toks():
+        return (
+            F.col(tokens_col)
+            if tokens_col
+            else tokens(F.col(text_col))
+        )
+
     t_sh = train.select(
         F.col(id_col).alias("train_doc_id"),
         F.explode(
-            F.array_distinct(word_shingles(tokens(F.col(text_col)), k))
+            F.array_distinct(word_shingles(_toks(), k))
         ).alias("shingle"),
     ).withColumn("h", hash64(F.col("shingle"))).drop("shingle")
     e_sh = evalset.select(
         F.col(id_col).alias("eval_doc_id"),
         F.explode(
-            F.array_distinct(word_shingles(tokens(F.col(text_col)), k))
+            F.array_distinct(word_shingles(_toks(), k))
         ).alias("shingle"),
     ).withColumn("h", hash64(F.col("shingle"))).drop("shingle")
     return (
@@ -633,6 +678,8 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    tokens_col: str | None = None,
+    query_tokens_col: str | None = None,
 ) -> DataFrame:
     """BM25 ranked retrieval (VERDICT r12 #5): top-k documents per
     query by Okapi BM25 — the retrieval shape contamination checks and
@@ -659,9 +706,15 @@ def bm25_topk(
     a real system would persist (see inverted_index /
     build_token_index). Final top-k is a per-query window over
     |Q| x matched-docs rows."""
+    # tokens_col / query_tokens_col: optional pre-tokenized array
+    # columns (exactly tokens(text)) so a composed pipeline shares
+    # one tokenize pass (dataset_card_v2_docs); value-identical.
+    doc_toks = (
+        F.col(tokens_col) if tokens_col else tokens(F.col(text_col))
+    )
     tok = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+        F.posexplode(doc_toks).alias("pos", "token"),
     )
     # ONE token scan + one (doc, token) shuffle: tf MATERIALIZES
     # (lazy local checkpoint — computed on first action, then shared),
@@ -694,6 +747,7 @@ def bm25_topk(
         tf, dl, dft, stats, queries,
         query_id_col=query_id_col, query_text_col=query_text_col,
         n_query_terms=n_query_terms, k=k, k1=k1, b=b,
+        query_tokens_col=query_tokens_col,
     )
 
 
@@ -709,17 +763,24 @@ def _bm25_score(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    query_tokens_col: str | None = None,
 ) -> DataFrame:
     """The BM25 scoring plan over MATERIALIZED index stats — shared by
     the scan-per-call ``bm25_topk`` and the persisted-index
     ``bm25_topk_indexed``. Inputs: tf(doc_id, token, tf),
     dl(doc_id, dl), dft(token, doc_freq), stats 1-row
-    (n_docs, total_tokens)."""
+    (n_docs, total_tokens). ``query_tokens_col``: optional
+    pre-tokenized query array column (see ``bm25_topk``)."""
     from pyspark.sql import Window
 
+    q_toks = (
+        F.col(query_tokens_col)
+        if query_tokens_col
+        else tokens(F.col(query_text_col))
+    )
     qtok = queries.select(
         F.col(query_id_col).alias("query_id"),
-        F.posexplode(tokens(F.col(query_text_col))).alias("pos", "token"),
+        F.posexplode(q_toks).alias("pos", "token"),
     )
     qw = Window.partitionBy("query_id").orderBy("fp", "token")
     qterms = (

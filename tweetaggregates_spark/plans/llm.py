@@ -2568,14 +2568,43 @@ def dataset_card_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one its source entry reports. The %50 contamination convention
     and the 10/10/80 hash split are DIFFERENT split conventions by
     design (the former is the n-gram audit's fixture, the latter the
-    routing policy); the card reports both."""
+    routing policy); the card reports both.
+
+    r16 (VERDICT r15 #4, guide §5): the four constituent pipelines
+    each scanned + tokenized the corpus from scratch; one
+    materialized layer — the datasheet's per-doc scalar stats
+    (dataset_card_row_stats) plus ONE shared tokens array — now feeds
+    all four aggregate families (1 scan + 1 tokenize instead of ~5)
+    via the operators' ``tokens_col`` hooks, value-identical (every
+    consumer derives the same ``tokens(text)`` expression it computed
+    itself before; oracle re-verified). The text payload itself stays
+    OUT of the checkpoint (guide §5/§8: materialize keys + metadata,
+    not payloads — no downstream consumer needs raw text once the
+    stats and tokens are folded in). The checkpoint is LAZY: its
+    first consumer is the CC labels init inside assign_clusters,
+    which runs ALONE at plan-construction time (the r15 eager/lazy
+    rule — lazy is safe when the first consumer is single-sided)."""
+    from tweetaggregates_spark.functions.textstats import tokens as _tk
+
     docs = _docs(spark, sf_dir)
-    card = text.dataset_card(docs)
+    base = text.dataset_card_row_stats(
+        docs.withColumn("_toks", _tk(F.col("text"))),
+        tokens_col="_toks",
+        keep_cols=("_toks",),
+    ).localCheckpoint(eager=False)
+    card = text._dataset_card_agg(base)
+    # inlined cluster_split_docs on the shared layer (same operators,
+    # same values: minhash pairs -> CC labels -> 10/10/80 hash split)
+    pairs = dedup.minhash_lsh_pairs(base, tokens_col="_toks")
+    labeled = cluster.assign_clusters(base.select("doc_id"), pairs)
+    routed = sampling.split_assign(labeled, "cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )
     # two consumers (split sizes + cluster stats), BOTH inside the one
     # final job: checkpoint EAGERLY so the routing join runs once —
     # lazily, the two consumer stages race to materialize it and the
     # tail recomputes per stage (the new_bands race, measured r15)
-    splits = cluster_split_docs(spark, sf_dir).localCheckpoint(eager=True)
+    splits = routed.localCheckpoint(eager=True)
     split_row = splits.agg(
         F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
         .cast("long")
@@ -2596,17 +2625,28 @@ def dataset_card_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_neardup_docs"),
     )
-    cont_row = contamination_docs(spark, sf_dir).agg(
-        F.countDistinct("train_doc_id").alias("ngram_flagged_train")
-    )
-    n50_row = docs.agg(
+    train = base.filter(F.col("doc_id") % 50 != 0)
+    evalset = base.filter(F.col("doc_id") % 50 == 0)
+    # contamination_docs semantics on the shared layer
+    cont_row = text.contamination_pairs(
+        train, evalset, k=4, tokens_col="_toks"
+    ).agg(F.countDistinct("train_doc_id").alias("ngram_flagged_train"))
+    n50_row = base.agg(
         F.sum(F.when(F.col("doc_id") % 50 != 0, 1).otherwise(0))
         .cast("long")
         .alias("_n50")
     )
-    bm25_row = bm25_eval_contamination_docs(spark, sf_dir).agg(
-        F.countDistinct("doc_id").alias("bm25_flagged_train")
+    # bm25_eval_contamination_docs semantics on the shared layer
+    queries = evalset.select(
+        F.col("doc_id").alias("query_id"), "_toks"
     )
+    bm25_row = text.bm25_topk(
+        train,
+        queries,
+        k=5,
+        tokens_col="_toks",
+        query_tokens_col="_toks",
+    ).agg(F.countDistinct("doc_id").alias("bm25_flagged_train"))
     out = (
         card.crossJoin(split_row)
         .crossJoin(cl_row)

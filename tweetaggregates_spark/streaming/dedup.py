@@ -133,8 +133,6 @@ def run_streaming_near_dedup(
         # its own frame exactly once and the trigger pays the slower
         # branch instead of the sum (r15, measured on the 2-trigger
         # replay)
-        from concurrent.futures import ThreadPoolExecutor
-
         def _w_index() -> None:
             append_band_index_delta(new_rows, remap, index_path, batch_id)
 
@@ -147,9 +145,7 @@ def run_streaming_near_dedup(
                     f"{out_path}_quarantine/batch_id={batch_id}"
                 )
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            for f in [pool.submit(w) for w in (_w_index, _w_out)]:
-                f.result()
+        _run_write_branches(pool_size=2, branches=(_w_index, _w_out))
 
     from tweetaggregates_spark.streaming.runner import run_foreach_batch
 
@@ -157,6 +153,30 @@ def run_streaming_near_dedup(
         spark, in_dir, DOC_SCHEMA, _process, checkpoint,
         available_now, max_files_per_trigger,
     )
+
+
+def _run_write_branches(pool_size: int, branches) -> None:
+    """Run the per-trigger write branches on a small pool (guide
+    §2.6). Each branch is wrapped in ``inheritable_thread_target`` so
+    that, under PySpark pinned-thread mode, the worker inherits the
+    parent's JVM thread-local properties — streaming job group/tags —
+    and ``StreamingQuery.stop()`` can cancel in-flight branch writes
+    and the UI attributes them to the query (ADVICE r15). Failure
+    semantics (ADVICE r15, noted trade): when one branch raises, the
+    sibling write is NOT cancelled — the pool joins it before the
+    trigger fails. Results stay correct (every write is a
+    per-version/batch-dir overwrite, so replay overwrites both
+    outputs); the only cost is a delayed failure, and cancelling a
+    running Spark job mid-write buys nothing safer."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=pool_size) as pool:
+        for f in [
+            pool.submit(inheritable_thread_target(w)) for w in branches
+        ]:
+            f.result()
 
 
 # -- streaming EXACT-dup ingest over a versioned hash index + bloom ----------
@@ -216,6 +236,13 @@ def run_streaming_exact_dedup(
             # only fully-committed triggers fold, so a replayed
             # trigger still reads exactly its pre-batch index
             compact_hash_index(spark, index_path, below=batch_id)
+        # ADVICE r15: the two overlapped branches below both derive
+        # from the batch scan + hash64 + batch_agg pipeline, and the
+        # per-branch lazy checkpoints do NOT cover that shared
+        # lineage — unmaterialized, both threads recompute the source
+        # scan concurrently. One eager batch-sized blocking job here
+        # makes the overlap pay the slower branch only.
+        batch_df = batch_df.localCheckpoint(eager=True)
         index, bloom = read_hash_index_parts(
             spark, index_path, below=batch_id
         )
@@ -237,8 +264,6 @@ def run_streaming_exact_dedup(
         # branch materializes only its OWN checkpoint — the two
         # branches share nothing unmaterialized, so the trigger pays
         # the slower branch instead of the sum (r15)
-        from concurrent.futures import ThreadPoolExecutor
-
         def _w_index() -> None:
             new_rows.write.mode("overwrite").parquet(
                 f"{index_path}/hashes/v={batch_id}"
@@ -254,9 +279,7 @@ def run_streaming_exact_dedup(
                 f"{out_path}/batch_id={batch_id}"
             )
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            for f in [pool.submit(w) for w in (_w_index, _w_out)]:
-                f.result()
+        _run_write_branches(pool_size=2, branches=(_w_index, _w_out))
 
     from tweetaggregates_spark.streaming.runner import run_foreach_batch
 
@@ -496,8 +519,6 @@ def run_streaming_split_routing(
         # alone, so the two branches race on nothing unmaterialized
         # and the trigger pays the slower branch instead of the sum
         # (r15, measured on the 2-trigger replay)
-        from concurrent.futures import ThreadPoolExecutor
-
         def _w_index() -> None:
             append_band_index_delta(new_rows, remap, index_path, batch_id)
 
@@ -509,9 +530,7 @@ def run_streaming_split_routing(
                 f"{out_path}/batch_id={batch_id}"
             )
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            for f in [pool.submit(w) for w in (_w_index, _w_routing)]:
-                f.result()
+        _run_write_branches(pool_size=2, branches=(_w_index, _w_routing))
 
     from tweetaggregates_spark.streaming.runner import run_foreach_batch
 
