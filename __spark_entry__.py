@@ -40,25 +40,83 @@ def entry(spark: SparkSession) -> DataFrame:
     return ev.top_users_hopping(spark, SF0001)
 
 
+GATE_HEAD_R16 = [
+    # Round-16 gate head (VERDICT r15 #9 — registry reorder only, no
+    # semantics): the driver hash-checks the FIRST 50 entries. Block
+    # 1 = every entry whose code or plan shape changed this round
+    # (the recall-metric checkpoint revert, the shared-tokenize
+    # datasheet layer + tokens_col operator hooks, the neardup sizes
+    # restructure, the streaming pool/checkpoint fixes) so the r16
+    # diff is driver-verified; block 2 = the stalest never/oldest-
+    # checked rows (q5_region_revenue onward — the rotation VERDICT
+    # r14 asked for and r15 deferred). Everything else keeps its
+    # previous relative order behind the head.
+    # -- block 1: r16-touched entries (30) --
+    "dataset_card_v2_docs",
+    "dataset_card_docs",
+    "curated_corpus_neardup_docs",
+    "curated_corpus_docs",
+    "lsh_recall_docs",
+    "lsh_recall_sampled_docs",
+    "oph_lsh_recall_docs",
+    "lsh_plan_audit",
+    "ann_filtered_recall_embeddings",
+    "ann_recall_ivf_embeddings",
+    "ann_recall_truncated_embeddings",
+    "ann_refresh_recall_embeddings",
+    "contamination_docs",
+    "decontaminated_docs",
+    "stream_exact_dedup_docs",
+    "stream_near_dedup_docs",
+    "stream_cluster_split_docs",
+    "snapshot_ann_ingest_embeddings",
+    "incremental_ann_ivf_embeddings",
+    "incremental_dedup_delta_docs",
+    "incremental_dedup_docs",
+    "incremental_cluster_split_docs",
+    "minhash_lsh_docs",
+    "minhash_lsh_capped",
+    "cluster_split_docs",
+    "lsh_verified_pairs",
+    "dedup_clusters_docs",
+    "canonical_docs",
+    "bm25_topk_docs",
+    "bm25_eval_contamination_docs",
+    # -- block 2: stalest rows (20; q5_region_revenue onward) --
+    "q5_region_revenue",
+    "q6_revenue_change",
+    "q9_profit_by_nation",
+    "quality_classifier_bottomk_docs",
+    "quality_classifier_sampled_docs",
+    "quality_docs",
+    "random_projection_embeddings",
+    "returnflag_measures_unpivot",
+    "revenue_cube",
+    "revenue_rollup",
+    "simhash_pairs_banded",
+    "stream_quality_scores_docs",
+    "temperature_sample_docs",
+    "winnow_dup_pairs_capped",
+    "winnow_dup_pairs_docs",
+    "winnow_fingerprints_docs",
+    "zipf_fit_docs",
+    "incremental_cdc_trim_docs",
+    "bigram_lm_quality_bcast_docs",
+    "html_extract_docs",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _queries_base()
+    ordered = {k: base[k] for k in GATE_HEAD_R16}
+    ordered.update((k, v) for k, v in base.items() if k not in ordered)
+    return ordered
+
+
+def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Ordering is stalest-first for the driver gate (the first
-        # 50 entries are hash-checked). Round-14 block: the EIGHT new
-        # r14 registrations lead (frozen incremental cluster-split
-        # routing, the persisted BM25 token-index lifecycle, banded
-        # containment verify, keyed paned hopping, ANN quantizer
-        # refresh, datasheet v2), then the FOUR entries whose code
-        # changed this round (snapshot_ann_ingest + incremental_ann_ivf
-        # exercise the tombstone read/compact paths that moved to
-        # try_cast + Hadoop-FS existence + numeric-ingest enforcement;
-        # the two bm25 entries sit on the refactored _bm25_score),
-        # then the stalest driver rows — the r9/r10-era tail VERDICT
-        # r13 named, starting at simhash_pairs_docs — in stable order.
-        # The gate boundary falls after q21_last_shipper (position
-        # 50); q5_region_revenue is the first entry outside the
-        # block. The tail stays stalest-first with the freshly
-        # r13-checked block at the very end, so the r15 rotation just
-        # takes the head.
+        # Historical (r14/r15) ordering below — the r16 gate order is
+        # GATE_HEAD_R16 above; this dict is the registry itself.
         # -- round-14 registrations (never driver-checked) --
         "incremental_cluster_split_docs": llm.incremental_cluster_split_docs,
         "bm25_topk_indexed_docs": llm.bm25_topk_indexed_docs,

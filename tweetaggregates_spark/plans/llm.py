@@ -1991,19 +1991,36 @@ def curated_corpus_neardup_docs(
     wider signatures)."""
     clean = _curated_clean(spark, sf_dir).localCheckpoint(eager=False)
     pairs = dedup.minhash_lsh_pairs(clean)
-    labeled = cluster.assign_clusters(
-        clean.select("doc_id"), pairs
-    ).select("doc_id", "cluster_id")
-    sizes = labeled.groupBy("cluster_id").agg(
+    # r16 (VERDICT r15 #5, guide §2.4): the previous shape joined
+    # clean x CC-labels TWICE in the final job — once for the output
+    # rows and once (under `sizes`) only to count members. But every
+    # CC-labels node IS a clean doc (pairs come from clean), so the
+    # per-cluster member count for PAIRED clusters is a groupBy over
+    # the labels table alone (label-sized, not corpus-sized), and a
+    # singleton representative's count is the constant 1 — the second
+    # corpus-sized SortMergeJoin + corpus-sized aggregate drop out of
+    # the plan (2 SMJ -> 1, 14 -> 8 Exchanges). Value-identical:
+    # labeled(doc) = coalesce(label, doc) exactly as assign_clusters,
+    # representatives filter the same, and for paired clusters
+    # count(labels.node per cluster) == count(labeled docs per
+    # cluster) because the node and doc sets coincide.
+    labels = cluster.connected_components(pairs).withColumnRenamed(
+        "node", "doc_id"
+    )
+    sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )
     return (
-        clean.join(labeled, "doc_id")
+        clean.join(labels, "doc_id", "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+        )
         .where(F.col("doc_id") == F.col("cluster_id"))
-        .join(sizes, "cluster_id")
+        .join(sizes, "cluster_id", "left")
         .select(
             "doc_id", "lang", "source", "n_tokens", "quality_score",
-            "content_hash", "n_members",
+            "content_hash",
+            F.coalesce(F.col("n_members"), F.lit(1)).alias("n_members"),
         )
     )
 
