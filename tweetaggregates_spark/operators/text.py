@@ -1875,6 +1875,10 @@ def build_token_index(
     rescan ever (``append_token_index_delta``)."""
     from tweetaggregates_spark import versioned_store as vs
 
+    # overlap_after_first (r16, guide §2.6): dl's temp write
+    # materializes the shared lazy tf checkpoint alone, then the
+    # df/stats/tf temps run as overlapped jobs over it; the rename
+    # commit order (tf_base last) is unchanged.
     vs.commit_bases(
         path,
         [
@@ -1882,6 +1886,7 @@ def build_token_index(
             for sub, frame in _token_index_frames(df, text_col, id_col)
         ],
         0,
+        overlap_after_first=True,
     )
 
 
@@ -1900,10 +1905,29 @@ def append_token_index_delta(
     overwrite + tf-written-last make a replayed ingest idempotent:
     a crash mid-append leaves no tf/v=<id>, so readers ignore the
     orphan families and the retry overwrites them."""
-    for sub, frame in _token_index_frames(batch, text_col, id_col):
+    frames = _token_index_frames(batch, text_col, id_col)
+
+    def _w(sub: str, frame) -> None:
         frame.write.mode("overwrite").parquet(
             f"{path}/{sub}/v={int(ingest_id)}"
         )
+
+    # r16 (guide §2.6): dl writes first and alone (materializing the
+    # shared lazy tf checkpoint), df/stats then overlap, and tf still
+    # writes strictly LAST — it is the commit point readers key
+    # versions off, so crash-idempotence is unchanged.
+    _w(*frames[0])
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [
+            pool.submit(inheritable_thread_target(_w), sub, frame)
+            for sub, frame in frames[1:-1]
+        ]:
+            f.result()
+    _w(*frames[-1])
 
 
 def read_token_index(
@@ -1975,6 +1999,9 @@ def compact_token_index(
             ("tf_base", idx.tf),
         ],
         newv,
+        # each frame folds its OWN persisted family (no shared lazy
+        # checkpoint), so the post-first temps overlap safely (r16)
+        overlap_after_first=True,
     )
     vs.cleanup_after_compact(
         path,

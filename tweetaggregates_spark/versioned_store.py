@@ -126,6 +126,7 @@ def commit_bases(
     frames: list[tuple[str, DataFrame]],
     newv: int,
     allow_replace: bool = False,
+    overlap_after_first: bool = False,
 ) -> None:
     """Atomically commit ``frames`` — ``(base_sub, df)`` in COMMIT
     ORDER, the last being the commit point readers key off — as base
@@ -136,14 +137,43 @@ def commit_bases(
     whose fold can change without a new version, e.g. quarantine
     re-admission relabeling clusters) — it trades the no-pre-existing-
     name guarantee for in-place replacement, so callers should skip
-    the commit entirely when the fold is a no-op."""
-    tmps = []
-    for sub, df in frames:
+    the commit entirely when the fold is a no-op.
+
+    ``overlap_after_first`` (r16, guide §2.6): materialize the FIRST
+    frame's temp dir serially, then the remaining temps from a small
+    thread pool — the renames below stay strictly serial in commit
+    order, so crash-safety is unchanged (the commit point is the LAST
+    rename, never a temp write). Only safe when the caller's frames
+    share no UNMATERIALIZED lazy checkpoint beyond one the first
+    frame materializes (the token-index families: dl's write
+    materializes the shared tf checkpoint, then df/stats/tf are
+    independent jobs over it); default off — several callers' frames
+    have not been audited for that race."""
+
+    def _write_tmp(sub: str, df) -> tuple[str, str]:
         tmp = f"{root}/.compact_{sub}_tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         df.write.mode("overwrite").parquet(tmp)
         os.makedirs(f"{root}/{sub}", exist_ok=True)
-        tmps.append((sub, tmp))
+        return (sub, tmp)
+
+    if overlap_after_first and len(frames) > 2:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        tmps = [_write_tmp(*frames[0])]
+        rest = frames[1:]
+        with ThreadPoolExecutor(max_workers=len(rest)) as pool:
+            futs = [
+                pool.submit(
+                    inheritable_thread_target(_write_tmp), sub, df
+                )
+                for sub, df in rest
+            ]
+            tmps.extend(f.result() for f in futs)
+    else:
+        tmps = [_write_tmp(sub, df) for sub, df in frames]
     for i, (sub, tmp) in enumerate(tmps):
         target = f"{root}/{sub}/v={newv}"
         if i < len(tmps) - 1 or allow_replace:
